@@ -1,0 +1,189 @@
+"""Configuration pytrees for the TPU audio-triangulation framework.
+
+Every knob that is a compile-time ``#define`` in the reference firmware is a field
+here, with the reference's default value:
+
+- sampling / physics constants: reference ``src/components/constants.h:10-19``
+- frame size: reference ``src/components/buffer.h:5-6``
+- detection threshold: reference ``src/sample_compute.h:21``
+- correlogram smoothing / taper: reference ``src/components/correlations.c:26-49``
+- heatmap grid geometry: reference ``src/components/vga/vga.h:27-35``
+
+Configs are frozen dataclasses so they hash and can be closed over by ``jax.jit``
+as static values.  Anything array-valued (mic positions, window tables, steering
+LUTs) lives in :mod:`audio_triangulation_tpu.models` parameter pytrees instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Signal-chain configuration (windowing, correlation, smoothing).
+
+    Defaults reproduce the reference firmware's behavior exactly (for the
+    integer validation path) or up to float tolerance (float path).
+    """
+
+    # --- sampling / physics (constants.h:10-14) ---
+    sample_rate_hz: int = 50_000
+    speed_of_sound_mps: float = 343.0
+
+    # --- frame geometry (buffer.h:5-6) ---
+    frame_size_bits: int = 10  # frame = 1 << frame_size_bits samples
+
+    # --- correlation search (constants.h:12) ---
+    # None -> reference formula: sample_rate * 32 // 34300  (== 46 @ 50 kHz)
+    max_shift_samples: Optional[int] = None
+
+    # --- event detection (sample_compute.h:21, :124-134) ---
+    # None -> reference formula: 2 << (2 * (frame_size_bits - 1))
+    power_threshold: Optional[int] = None
+    shift_gate: int = 4  # accept event iff sum of squared best shifts > this
+
+    # --- conditioning (buffer.c:4-49) ---
+    # 'shift8'     : the live reference behavior (fixed <<8 gain, buffer.c:15-18)
+    # 'full_range' : the reference's dead peak-normalization code, done properly
+    # 'none'       : raw
+    normalize_mode: str = "shift8"
+    window_nw: float = 2.0  # DPSS time-halfbandwidth (window.ipynb cell 2)
+    window_enabled: bool = True
+
+    # --- correlation engine ---
+    # 'fft'  : GCC via rFFT/irFFT (O(N log N), the TPU-native hot path)
+    # 'time' : direct lag-domain correlation (matches reference math in float)
+    xcorr_mode: str = "fft"
+    # PHAT whitening of the cross-power spectrum (new capability; reference has
+    # no whitening -- set False for reference parity).
+    phat: bool = False
+    phat_eps: float = 1e-12
+    # 'linear'  : zero-padded FFT -> exact linear correlation (= reference's
+    #             overlap-only sum, correlations.c:9-18)
+    # 'circular': N-point circular correlation (cheaper; valid with windowing)
+    fft_pad_mode: str = "linear"
+    fft_size: Optional[int] = None  # None -> derived from pad mode
+
+    # --- peak post-processing (correlations.c:20-33) ---
+    taper_enabled: bool = True
+    taper_denom: float = 36.0  # exp(-(s - s_best)^2 / taper_denom)
+    subsample_peak: bool = True  # parabolic interpolation (new capability)
+
+    # --- temporal smoothing (correlations.c:38-49) ---
+    ema_tau_s: float = 0.5
+
+    # --- numerics ---
+    dtype: str = "float32"  # compute dtype of the float path
+
+    # ------------------------------------------------------------------
+    @property
+    def frame_size(self) -> int:
+        return 1 << self.frame_size_bits
+
+    @property
+    def max_shift(self) -> int:
+        if self.max_shift_samples is not None:
+            return self.max_shift_samples
+        # constants.h:12 -- SAMPLE_RATE_HZ * 32 / 34300 (integer division)
+        return self.sample_rate_hz * 32 // 34300
+
+    @property
+    def num_lags(self) -> int:
+        return 2 * self.max_shift + 1
+
+    @property
+    def detect_threshold(self) -> int:
+        if self.power_threshold is not None:
+            return self.power_threshold
+        # sample_compute.h:21 -- 2 << (2 * BUFFER_HALF_SIZE_BITS)
+        return 2 << (2 * (self.frame_size_bits - 1))
+
+    @property
+    def fft_length(self) -> int:
+        if self.fft_size is not None:
+            return self.fft_size
+        if self.fft_pad_mode == "circular":
+            return self.frame_size
+        # linear correlation needs length >= N + max_shift; round to pow2 so
+        # the TPU FFT stays on its fast path.
+        return _next_pow2(self.frame_size + self.max_shift)
+
+    def lag_axis(self):
+        """Integer lags [-max_shift .. max_shift] as a Python range."""
+        return range(-self.max_shift, self.max_shift + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """SRP localization grid (reference vga.h:27-35, vga_heatmap.h:48-93).
+
+    The reference evaluates a (2*half_cells+1)^2 planar grid, projects each
+    cell onto a sphere of radius ``height_m`` centered on the array (so all
+    candidate points are equidistant from the array center), and scores cells
+    by summing correlogram values at each cell's expected integer lags.
+    """
+
+    half_cells_x: int = 50  # POS_HALF_W
+    half_cells_y: int = 50  # POS_HALF_H
+    cells_per_m: float = 24.0  # POS_SCALE (reference: pixels-per-meter / cell)
+    height_m: float = 1.2  # EXPECTED_HEIGHT_OFFSET
+    # 'sphere' : project every cell onto the radius-height_m sphere (reference)
+    # 'plane'  : keep cells on the z = height_m plane (new capability)
+    projection: str = "sphere"
+
+    @property
+    def width(self) -> int:
+        return 2 * self.half_cells_x + 1
+
+    @property
+    def height(self) -> int:
+        return 2 * self.half_cells_y + 1
+
+    @property
+    def num_cells(self) -> int:
+        return self.width * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Closed-form / iterative TDOA solver (new capability; the reference's
+    only solver is the grid search itself)."""
+
+    iterations: int = 8  # Gauss-Newton steps
+    damping: float = 1e-3  # Levenberg damping
+    constrain_to_sphere: bool = True  # match the reference's sphere-cap model
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Streaming ingest / event-detection configuration
+    (reference sample_compute.h:45-150, rolling_buffer.c)."""
+
+    chunk_size: int = 256  # samples consumed per stream step
+    max_events_per_chunk: int = 1  # events extracted per step (masked)
+    refractory_samples: int = 0  # post-trigger holdoff
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Multi-chip execution layout (no reference equivalent: the firmware's
+    dual-core FIFO scaffolding, pt_cornell_rp2040_v1_3.h:629-682, is unused)."""
+
+    data_axis: str = "data"  # frames/batch axis
+    model_axis: str = "model"  # SRP grid / pair axis
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on data
+
+
+# Reference mic geometry (constants.h:17-19, :26-28)
+REFERENCE_DISTANCES = (0.132, 0.15, 0.20)  # AB, BC, CA in meters
+REFERENCE_MIRROR = True
+REFERENCE_ROTATE = False

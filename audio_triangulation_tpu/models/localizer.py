@@ -1,0 +1,275 @@
+"""Flagship frame-batch localizer: the end-to-end jitted pipeline.
+
+Maps a batch of multi-channel PCM frames to TDOAs and source positions:
+
+    frames [B, M, N] -> condition -> window -> GCC(-PHAT) -> taper ->
+    SRP grid scores -> grid peak -> Gauss-Newton refine -> xy [B, 2]
+
+This is the TPU re-expression of the reference's per-event burst
+(``src/sample_compute.h:105-139`` + ``vga_heatmap.h:95-133``): what the
+firmware does once per acoustic event on 3 mics, this does for thousands of
+frames and arbitrary arrays in one XLA program, entirely HBM-resident.
+
+An integer path (``localize_frames_int``) reproduces the reference's
+fixed-point semantics bit-for-bit for validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GridConfig, PipelineConfig, SolverConfig
+from ..core import geometry
+from ..ops import conditioning, srp, solver as solver_ops, window as window_ops
+from ..ops import xcorr
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LocalizerParams:
+    """Array-valued constants consumed by the jitted pipeline."""
+
+    mic_positions: jnp.ndarray  # [M, 2] float32
+    pairs: jnp.ndarray  # [P, 2] int32
+    window: jnp.ndarray  # [N] float32
+    lut_flat: jnp.ndarray  # [P, G] int32 lag indices
+    onehot: Optional[jnp.ndarray]  # [P*L, G] float32 or None (gather form)
+
+
+@dataclasses.dataclass(frozen=True)
+class Localizer:
+    """Configured, jit-compiled frame-batch localizer.
+
+    >>> loc = Localizer.create(mic_positions)
+    >>> out = loc(frames)           # frames [B, M, N]
+    >>> out["xy"]                   # [B, 2] source positions (meters)
+    """
+
+    pipeline: PipelineConfig
+    grid: GridConfig
+    solver: SolverConfig
+    params: LocalizerParams
+    srp_form: str  # 'matmul' | 'gather'
+    with_solver: bool = True
+    with_heatmap: bool = False
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig = PipelineConfig(),
+        grid: GridConfig = GridConfig(),
+        solver: SolverConfig = SolverConfig(),
+        *,
+        srp_form: str = "auto",
+        with_solver: bool = True,
+        with_heatmap: bool = False,
+        dtype=jnp.float32,
+    ) -> "Localizer":
+        mic_positions = np.asarray(mic_positions, dtype=np.float32)
+        pairs = geometry.mic_pairs(mic_positions.shape[0])
+        lut = geometry.lag_lut(grid, mic_positions, pairs, pipeline)  # [P,H,W]
+        lut_flat = lut.reshape(lut.shape[0], -1)
+        if srp_form == "auto":
+            srp_form = srp.auto_srp_form(
+                pairs.shape[0], pipeline.num_lags, grid.num_cells
+            )
+        onehot = None
+        if srp_form == "matmul":
+            onehot = jnp.asarray(
+                geometry.lag_onehot(lut, pipeline.num_lags), dtype=dtype
+            )
+        win = window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw)
+        params = LocalizerParams(
+            mic_positions=jnp.asarray(mic_positions),
+            pairs=jnp.asarray(pairs),
+            window=jnp.asarray(win, dtype=dtype),
+            lut_flat=jnp.asarray(lut_flat),
+            onehot=onehot,
+        )
+        return cls(
+            pipeline=pipeline, grid=grid, solver=solver, params=params,
+            srp_form=srp_form, with_solver=with_solver,
+            with_heatmap=with_heatmap,
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(self, frames: jnp.ndarray) -> dict:
+        return self._jitted(self.params, frames)
+
+    @functools.cached_property
+    def _jitted(self):
+        return jax.jit(
+            functools.partial(
+                localize_frames,
+                cfg=self.pipeline,
+                grid_cfg=self.grid,
+                solver_cfg=self.solver,
+                srp_form=self.srp_form,
+                with_solver=self.with_solver,
+                with_heatmap=self.with_heatmap,
+            )
+        )
+
+    def lower(self, frames):
+        """jax.jit lowering handle (for AOT compile / inspection)."""
+        return self._jitted.lower(self.params, frames)
+
+
+# ----------------------------------------------------------------------
+# Functional pipeline (pure; jit/vmap/pjit-able)
+# ----------------------------------------------------------------------
+
+def condition_frames(frames: jnp.ndarray, window: jnp.ndarray,
+                     cfg: PipelineConfig) -> jnp.ndarray:
+    """DC-remove -> gain -> window, the float analogue of
+    sample_compute.h:105-117."""
+    x = frames.astype(window.dtype)
+    x = conditioning.dc_remove(x)
+    x = conditioning.normalize(x, cfg.normalize_mode)
+    if cfg.window_enabled:
+        x = window_ops.apply_window(x, window)
+    return x
+
+
+def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
+                     cfg: PipelineConfig) -> jnp.ndarray:
+    """Conditioned frames [..., M, N] -> correlograms [..., P, L]."""
+    if cfg.xcorr_mode == "fft":
+        return xcorr.xcorr_fft(frames, params.pairs, cfg)
+    if cfg.xcorr_mode == "time":
+        return xcorr.xcorr_time(frames, params.pairs, cfg.max_shift)
+    raise ValueError(f"unknown xcorr mode {cfg.xcorr_mode}")
+
+
+def localize_frames(
+    params: LocalizerParams,
+    frames: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    srp_form: str,
+    with_solver: bool = True,
+    with_heatmap: bool = False,
+) -> dict:
+    """Full pipeline on frames [..., M, N].  Returns a dict of:
+
+    - 'tdoa_samples' [..., P]: sub-sample TDOAs (fractional lags)
+    - 'best_shift'   [..., P]: integer argmax lags (reference parity)
+    - 'correlograms' [..., P, L]: tapered correlograms
+    - 'scores'       [..., G]: SRP grid scores
+    - 'xy_grid'      [..., 2]: grid peak (meters, quadratic-refined)
+    - 'xy'           [..., 2]: Gauss-Newton refined position
+    - 'rms_m'        [...]: solver residual (meters)
+    - 'heat_levels'  [..., G] uint8 (only if with_heatmap)
+    """
+    k = cfg.max_shift
+    x = condition_frames(frames, params.window, cfg)
+    corr = correlate_frames(x, params, cfg)
+
+    shifts = xcorr.best_lag(corr, k)
+    tdoa_samples, peak_val = xcorr.subsample_peak(corr, k)
+    if not cfg.subsample_peak:
+        tdoa_samples = shifts.astype(corr.dtype)
+
+    corr_t = (
+        xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
+        if cfg.taper_enabled else corr
+    )
+
+    if srp_form == "matmul":
+        scores = srp.srp_scores_matmul(corr_t, params.onehot)
+    else:
+        scores = srp.srp_scores_gather(corr_t, params.lut_flat)
+
+    grid_shape = (grid_cfg.height, grid_cfg.width)
+    xy_grid = srp.grid_peak_xy(
+        scores, grid_shape,
+        (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+        grid_cfg.cells_per_m,
+    )
+
+    out = {
+        "tdoa_samples": tdoa_samples,
+        "best_shift": shifts,
+        "correlograms": corr_t,
+        "scores": scores,
+        "xy_grid": xy_grid,
+        "peak_value": peak_val,
+    }
+
+    if with_heatmap:
+        out["heat_levels"] = srp.quantize_heatmap(scores)
+
+    if with_solver:
+        tdoa_s = tdoa_samples / cfg.sample_rate_hz
+
+        def solve_one(tau, init):
+            return solver_ops.solve_tdoa(
+                tau, params.mic_positions, params.pairs,
+                speed_of_sound=cfg.speed_of_sound_mps,
+                height=grid_cfg.height_m,
+                init_xy=init, cfg=solver_cfg,
+            )
+
+        lead = tdoa_s.shape[:-1]
+        flat_tau = tdoa_s.reshape(-1, tdoa_s.shape[-1])
+        flat_init = xy_grid.reshape(-1, 2)
+        xy, rms = jax.vmap(solve_one)(flat_tau, flat_init)
+        out["xy"] = xy.reshape(*lead, 2)
+        out["rms_m"] = rms.reshape(lead)
+    else:
+        out["xy"] = xy_grid
+        out["rms_m"] = jnp.zeros(tdoa_samples.shape[:-1], corr.dtype)
+
+    return out
+
+
+# ----------------------------------------------------------------------
+# Bit-exact integer pipeline (validation vs the golden model)
+# ----------------------------------------------------------------------
+
+def localize_frames_int(
+    frames_u8: jnp.ndarray,
+    pairs: jnp.ndarray,
+    window_q15: jnp.ndarray,
+    lut_flat: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> dict:
+    """The reference's exact fixed-point event burst on raw 8-bit frames
+    [..., M, N] (values 0..255 as pushed from the DMA sample array):
+
+    DC-remove (sum >> bits) -> int16 <<8 -> Q15 window -> int64 xcorr ->
+    argmax -> float32 Gaussian taper truncated to int64 -> shift gate ->
+    int SRP scores + 4-level heat colors.
+    """
+    x = frames_u8.astype(jnp.int16)
+    x = conditioning.dc_remove_int(x, cfg.frame_size_bits)
+    x = conditioning.normalize_shift8_int(x)
+    x = window_ops.apply_window_q15(x, window_q15)
+
+    corr = xcorr.xcorr_time_int(x, pairs, cfg.max_shift)
+    shifts = xcorr.best_lag(corr, cfg.max_shift)
+    corr_t = xcorr.peak_taper_int(corr, cfg.max_shift, cfg.taper_denom)
+
+    gate = jnp.sum(shifts.astype(jnp.int64) ** 2, axis=-1) > cfg.shift_gate
+
+    scores = srp.srp_scores_int(corr_t, lut_flat)
+    levels = srp.quantize_heatmap(scores)
+    return {
+        "frames_conditioned": x,
+        "correlograms": corr_t,
+        "correlograms_raw": corr,
+        "best_shift": shifts,
+        "gate": gate,
+        "scores": scores,
+        "heat_levels": levels,
+    }

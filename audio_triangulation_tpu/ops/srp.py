@@ -1,0 +1,155 @@
+"""Steered-response-power (SRP) grid localization.
+
+The reference's localization solver IS this grid search: each of 101x101
+cells has a precomputed expected integer lag per mic pair, the cell score is
+the sum of the pairs' correlogram values at those lags, and the argmax cell
+is where the heatmap glows (``src/components/vga/vga_heatmap.h:48-133``).
+
+TPU-native formulations, batched over frames:
+
+- **matmul form** (default, MXU): scores[B, G] = corr[B, P*L] @ onehot[P*L, G]
+  where ``onehot`` is the steering one-hot of the lag LUT.  For the reference
+  geometry that's a [B, 279] x [279, 10201] matmul — one MXU pass for the
+  whole batch instead of the firmware's 2 x 101 x 101 x 3 scalar gathers.
+- **gather form**: take_along_axis per pair then sum — preferred when
+  P * L * G makes the one-hot too large (e.g. 64-mic arrays).
+
+Both produce identical scores (tested).  Peak extraction refines the argmax
+cell with a 2-D quadratic fit (new capability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def srp_scores_matmul(
+    correlograms: jnp.ndarray, onehot: jnp.ndarray
+) -> jnp.ndarray:
+    """scores[..., G] from correlograms [..., P, L] and onehot [P*L, G]."""
+    *lead, p, l = correlograms.shape
+    flat = correlograms.reshape(*lead, p * l)
+    return jnp.matmul(flat, onehot, preferred_element_type=jnp.float32)
+
+
+def srp_scores_gather(
+    correlograms: jnp.ndarray, lut_flat: jnp.ndarray
+) -> jnp.ndarray:
+    """scores[..., G] via per-pair gather; lut_flat is int32 [P, G].
+
+    corr[..., p, lut[p, g]] summed over p — the literal (but batched)
+    vga_draw_heatmap:99-108 computation."""
+    gathered = jnp.take_along_axis(
+        correlograms[..., :, :],  # [..., P, L]
+        jnp.broadcast_to(
+            lut_flat, correlograms.shape[:-2] + lut_flat.shape
+        ),
+        axis=-1,
+    )  # [..., P, G]
+    return jnp.sum(gathered, axis=-2)
+
+
+def srp_scores_int(
+    correlograms: jnp.ndarray, lut_flat: jnp.ndarray
+) -> jnp.ndarray:
+    """int64 scores for bit-exact heatmap validation."""
+    return srp_scores_gather(correlograms.astype(jnp.int64), lut_flat)
+
+
+def quantize_heatmap(scores: jnp.ndarray) -> jnp.ndarray:
+    """4-level fractional-of-max color quantization, vga_draw_heatmap:111-127:
+    thresholds 63/64, 31/32, 15/16, 7/8 of the max -> levels 4/3/2/1, else 0.
+
+    Works on float or int scores; for int inputs uses the C arithmetic-shift
+    semantics exactly."""
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    if jnp.issubdtype(scores.dtype, jnp.integer):
+        t_white = (m * 63) >> 6
+        t_green = (m * 31) >> 5
+        t_red = (m * 15) >> 4
+        t_blue = (m * 7) >> 3
+    else:
+        t_white = m * (63.0 / 64.0)
+        t_green = m * (31.0 / 32.0)
+        t_red = m * (15.0 / 16.0)
+        t_blue = m * (7.0 / 8.0)
+    level = (
+        (scores >= t_blue).astype(jnp.uint8)
+        + (scores >= t_red).astype(jnp.uint8)
+        + (scores >= t_green).astype(jnp.uint8)
+        + (scores >= t_white).astype(jnp.uint8)
+    )
+    return level
+
+
+def grid_argmax(
+    scores: jnp.ndarray, grid_shape: tuple[int, int]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(row, col) int32 argmax of flat scores [..., G]."""
+    h, w = grid_shape
+    flat_idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    return flat_idx // w, flat_idx % w
+
+
+def grid_peak_xy(
+    scores: jnp.ndarray,
+    grid_shape: tuple[int, int],
+    half_cells: tuple[int, int],
+    cells_per_m: float,
+    refine: bool = True,
+) -> jnp.ndarray:
+    """Peak position [..., 2] in meters from flat scores [..., G].
+
+    Cell->meters mapping matches vga_init_heatmap:52-54; with ``refine`` a
+    separable quadratic fit over the 3x3 neighborhood adds sub-cell accuracy.
+    """
+    h, w = grid_shape
+    half_x, half_y = half_cells
+    row, col = grid_argmax(scores, grid_shape)
+    grid = scores.reshape(*scores.shape[:-1], h, w)
+
+    def _frac(center_idx, axis_len, take):
+        c = jnp.clip(center_idx, 1, axis_len - 2)
+        vm = take(c - 1)
+        v0 = take(c)
+        vp = take(c + 1)
+        den = vm - 2.0 * v0 + vp
+        d = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (vm - vp) / den, 0.0)
+        d = jnp.where((center_idx >= 1) & (center_idx <= axis_len - 2), d, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    if refine:
+        def take_col(c):
+            return jnp.take_along_axis(
+                jnp.take_along_axis(
+                    grid, row[..., None, None], axis=-2
+                )[..., 0, :],
+                c[..., None], axis=-1,
+            )[..., 0]
+
+        def take_row(r):
+            return jnp.take_along_axis(
+                jnp.take_along_axis(
+                    grid, col[..., None, None], axis=-1
+                )[..., 0],
+                r[..., None], axis=-1,
+            )[..., 0]
+
+        dx = _frac(col, w, take_col)
+        dy = _frac(row, h, take_row)
+    else:
+        dx = jnp.zeros_like(row, dtype=scores.dtype)
+        dy = jnp.zeros_like(row, dtype=scores.dtype)
+
+    x_m = (col.astype(scores.dtype) + dx - half_x) / cells_per_m
+    y_m = (half_y - (row.astype(scores.dtype) + dy)) / cells_per_m
+    return jnp.stack([x_m, y_m], axis=-1)
+
+
+def auto_srp_form(num_pairs: int, num_lags: int, num_cells: int,
+                  onehot_budget_bytes: int = 256 * 1024 * 1024) -> str:
+    """Pick 'matmul' when the one-hot steering matrix fits the budget,
+    else 'gather' (large arrays, e.g. 64 mics -> 2016 pairs)."""
+    onehot_bytes = num_pairs * num_lags * num_cells * 4
+    return "matmul" if onehot_bytes <= onehot_budget_bytes else "gather"

@@ -1,0 +1,230 @@
+"""Pairwise cross-correlation / GCC(-PHAT) TDOA engine.
+
+The reference brute-forces a time-domain int cross-correlation over +-46 lags
+(``src/components/correlations.c:4-24``: ~93k MACs per pair), tapers the
+correlogram around its peak with a Gaussian (``correlations.c:26-33``) and
+EMA-smooths correlograms over time (``correlations.c:38-63``).
+
+The TPU-native hot path computes the same quantity as a batched GCC:
+rFFT -> cross-power spectrum (optionally PHAT-whitened) -> irFFT -> lag
+extraction.  With zero-padding to >= N + max_shift the FFT path is exactly the
+reference's overlap-only linear correlation (up to float rounding); a
+bit-exact int64 time-domain path is kept for validation.
+
+All ops are shaped [..., M, N] frames -> [..., P, L] correlograms and are
+free of data-dependent Python control flow, so they jit/vmap/shard cleanly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import PipelineConfig
+
+
+# ----------------------------------------------------------------------
+# Cross-power / GCC path (hot)
+# ----------------------------------------------------------------------
+
+def rfft_frames(frames: jnp.ndarray, fft_length: int) -> jnp.ndarray:
+    """rFFT of frames [..., N] zero-padded to fft_length."""
+    return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+
+
+def cross_power(
+    spectra: jnp.ndarray,
+    pairs: jnp.ndarray,
+    *,
+    phat: bool = False,
+    phat_eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Cross-power spectra per mic pair.
+
+    spectra: [..., M, F] complex; pairs: [P, 2] int.
+    Returns [..., P, F] complex: conj(X_i) * X_j (optionally PHAT-whitened).
+
+    The conj convention makes irfft(.)[s] == sum_n a[n] * b[n+s], the
+    reference's correlation sign convention (correlations.c:9-18): a positive
+    best shift means mic j's signal lags mic i's.
+    """
+    xi = jnp.take(spectra, pairs[:, 0], axis=-2)
+    xj = jnp.take(spectra, pairs[:, 1], axis=-2)
+    r = jnp.conj(xi) * xj
+    if phat:
+        r = r / (jnp.abs(r) + phat_eps)
+    return r
+
+
+def correlogram_from_cross_power(
+    r: jnp.ndarray, fft_length: int, max_shift: int
+) -> jnp.ndarray:
+    """irFFT the cross-power and extract lags [-K..K] -> [..., 2K+1]."""
+    c = jnp.fft.irfft(r, n=fft_length, axis=-1)
+    neg = c[..., fft_length - max_shift:]
+    pos = c[..., : max_shift + 1]
+    return jnp.concatenate([neg, pos], axis=-1)
+
+
+def xcorr_fft(
+    frames: jnp.ndarray,
+    pairs: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """GCC correlograms [..., P, 2K+1] from frames [..., M, N]."""
+    spectra = rfft_frames(frames, cfg.fft_length)
+    r = cross_power(spectra, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps)
+    return correlogram_from_cross_power(r, cfg.fft_length, cfg.max_shift)
+
+
+# ----------------------------------------------------------------------
+# Time-domain paths (validation / parity)
+# ----------------------------------------------------------------------
+
+def _lag_window_indices(n: int, max_shift: int) -> np.ndarray:
+    """Static gather index matrix [2K+1, N]: row l reads b_padded[l + arange(N)],
+    where b is padded with K zeros on each side."""
+    l = np.arange(2 * max_shift + 1)[:, None]
+    return (l + np.arange(n)[None, :]).astype(np.int32)
+
+
+def xcorr_time(
+    frames: jnp.ndarray,
+    pairs: jnp.ndarray,
+    max_shift: int,
+) -> jnp.ndarray:
+    """Float time-domain correlation over the overlap, [..., P, 2K+1].
+
+    Same math as correlations.c:9-18, vectorized: out-of-overlap b samples
+    contribute zero via padding, so corr[l] = sum_n a[n] * b_pad[n + l].
+    """
+    a = jnp.take(frames, pairs[:, 0], axis=-2)
+    b = jnp.take(frames, pairs[:, 1], axis=-2)
+    n = frames.shape[-1]
+    bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(max_shift, max_shift)])
+    idx = jnp.asarray(_lag_window_indices(n, max_shift))
+    windows = bp[..., idx]  # [..., P, 2K+1, N]
+    return jnp.einsum("...n,...ln->...l", a, windows)
+
+
+def xcorr_time_int(
+    frames: jnp.ndarray,
+    pairs: jnp.ndarray,
+    max_shift: int,
+) -> jnp.ndarray:
+    """Bit-exact int64 correlogram (the reference's exact accumulation:
+    int16 x int16 products summed in int64, correlations.c:16)."""
+    a = jnp.take(frames, pairs[:, 0], axis=-2).astype(jnp.int64)
+    b = jnp.take(frames, pairs[:, 1], axis=-2).astype(jnp.int64)
+    n = frames.shape[-1]
+    bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(max_shift, max_shift)])
+    idx = jnp.asarray(_lag_window_indices(n, max_shift))
+    windows = bp[..., idx]
+    return jnp.sum(a[..., None, :] * windows, axis=-1)
+
+
+# ----------------------------------------------------------------------
+# Peak handling
+# ----------------------------------------------------------------------
+
+def best_lag(correlograms: jnp.ndarray, max_shift: int) -> jnp.ndarray:
+    """Integer best shift in [-K, K] per correlogram [..., 2K+1].
+
+    jnp.argmax returns the first maximum, matching the reference's strict
+    ``>`` scan (correlations.c:20-23)."""
+    return jnp.argmax(correlograms, axis=-1).astype(jnp.int32) - max_shift
+
+
+def peak_taper(
+    correlograms: jnp.ndarray,
+    max_shift: int,
+    denom: float = 36.0,
+    shifts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Gaussian taper around the (arg)max: c[s] *= exp(-(s - s_best)^2/denom),
+    the float analogue of correlations.c:26-33."""
+    if shifts is None:
+        shifts = best_lag(correlograms, max_shift)
+    lags = jnp.arange(-max_shift, max_shift + 1, dtype=correlograms.dtype)
+    d = lags - shifts[..., None].astype(correlograms.dtype)
+    return correlograms * jnp.exp(-(d * d) / denom)
+
+
+def peak_taper_int(
+    correlograms: jnp.ndarray,
+    max_shift: int,
+    denom: float = 36.0,
+) -> jnp.ndarray:
+    """Bit-exact integer taper (correlations.c:26-33): the C computes
+    ``float scale = exp(-diff/36.f)`` — float32 argument, double exp,
+    narrowed to float32 — then multiplies the int64 bin in float32 and
+    truncates on assignment.  The scale table over all possible ``s - s0``
+    diffs is precomputed on host with that exact conversion chain; the
+    kernel just gathers and multiplies."""
+    shifts = best_lag(correlograms, max_shift)
+    # diff = s - s_best ranges over [-2K, 2K]
+    diffs = np.arange(-2 * max_shift, 2 * max_shift + 1, dtype=np.int64)
+    args = np.float32(-(diffs * diffs)) / np.float32(denom)
+    table = jnp.asarray(np.exp(args.astype(np.float64)).astype(np.float32))
+    lags = jnp.arange(-max_shift, max_shift + 1, dtype=jnp.int32)
+    d = lags - shifts[..., None]  # [..., L] in [-2K, 2K]
+    scale = table[d + 2 * max_shift]
+    v = correlograms.astype(jnp.float32) * scale
+    return jnp.trunc(v).astype(jnp.int64)
+
+
+def subsample_peak(
+    correlograms: jnp.ndarray, max_shift: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Parabolic sub-sample peak interpolation (new capability; the reference
+    stops at integer shifts).
+
+    Returns (tdoa_samples [...], peak_value [...]): fractional lag of the
+    correlogram maximum, in samples."""
+    n_lags = correlograms.shape[-1]
+    p = jnp.argmax(correlograms, axis=-1)
+    pc = jnp.clip(p, 1, n_lags - 2)
+    cm = jnp.take_along_axis(correlograms, (pc - 1)[..., None], axis=-1)[..., 0]
+    c0 = jnp.take_along_axis(correlograms, pc[..., None], axis=-1)[..., 0]
+    cp = jnp.take_along_axis(correlograms, (pc + 1)[..., None], axis=-1)[..., 0]
+    den = cm - 2.0 * c0 + cp
+    delta = jnp.where(
+        jnp.abs(den) > 1e-20, 0.5 * (cm - cp) / den, 0.0
+    )
+    # only interpolate interior peaks
+    delta = jnp.where((p >= 1) & (p <= n_lags - 2), delta, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return (p - max_shift) + delta, c0
+
+
+# ----------------------------------------------------------------------
+# Temporal smoothing
+# ----------------------------------------------------------------------
+
+def ema_decay(dt_s: jnp.ndarray, tau_s: float) -> jnp.ndarray:
+    """decay = 1 - exp(-dt / tau) (correlations.c:42-43)."""
+    return 1.0 - jnp.exp(-dt_s / tau_s)
+
+
+def ema_update(
+    state: jnp.ndarray, new: jnp.ndarray, decay: jnp.ndarray
+) -> jnp.ndarray:
+    """state + (new - state) * decay — donate ``state`` under jit for an
+    in-place HBM update (the XLA analogue of the reference's mutate-in-place
+    correlations_average)."""
+    return state + (new - state) * decay
+
+
+def ema_update_int(
+    state: jnp.ndarray, new: jnp.ndarray, dt_s: float, tau_s: float = 0.5
+) -> jnp.ndarray:
+    """Bit-exact integer EMA: float32 delta and sum truncated to int64
+    (correlations.c:45-49).  ``dt_s`` is a host scalar; the decay factor is
+    computed in float64 then narrowed to float32, matching the C
+    double-exp-to-float chain."""
+    arg = np.float64(-np.float32(dt_s) / np.float32(tau_s))
+    decay = jnp.float32(np.float64(1.0) - np.exp(arg))
+    delta = (new - state).astype(jnp.float32) * decay
+    v = state.astype(jnp.float32) + delta
+    return jnp.trunc(v).astype(jnp.int64)

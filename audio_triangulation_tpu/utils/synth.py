@@ -1,0 +1,117 @@
+"""Synthetic acoustic scene generation (test/bench signal source).
+
+The reference has no simulator — its "test input" is claps in a room.  For a
+test pyramid we need controlled scenes: a source at a known (x, y[, z]) emits
+a transient; each mic receives it with the exact geometric fractional delay
+(applied in the frequency domain), optional 1/r attenuation, noise, and
+optional 8-bit ADC quantization matching the firmware's front end
+(``src/components/dma_sampler.c``: 8-bit unsigned samples).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def chirp_burst(n: int, fs: float, f0: float = 800.0, f1: float = 6000.0,
+                center: float = 0.5, width: float = 0.15,
+                dtype=np.float64) -> np.ndarray:
+    """Gaussian-enveloped linear chirp, peak amplitude 1, centered at
+    ``center`` (fraction of the frame)."""
+    t = np.arange(n, dtype=dtype) / fs
+    t_total = n / fs
+    tc = center * t_total
+    sweep = f0 + (f1 - f0) * (t / t_total)
+    phase = 2 * np.pi * np.cumsum(sweep) / fs
+    env = np.exp(-0.5 * ((t - tc) / (width * t_total)) ** 2)
+    return (env * np.sin(phase)).astype(dtype)
+
+
+def click_burst(n: int, fs: float, center: float = 0.5,
+                decay_s: float = 0.002, f_ring: float = 3000.0,
+                dtype=np.float64) -> np.ndarray:
+    """Exponentially-decaying ringing click (clap/snap-like transient)."""
+    t = np.arange(n, dtype=dtype) / fs
+    t0 = center * n / fs
+    dt = t - t0
+    env = np.where(dt >= 0, np.exp(-dt / decay_s), 0.0)
+    return (env * np.sin(2 * np.pi * f_ring * dt)).astype(dtype)
+
+
+def fractional_delay(signal: np.ndarray, delay_samples: np.ndarray,
+                     axis: int = -1) -> np.ndarray:
+    """Apply (possibly fractional) delays via FFT phase shift.
+
+    signal: [..., N]; delay_samples broadcastable against the leading dims.
+    Positive delay shifts the waveform later in time."""
+    n = signal.shape[axis]
+    spec = np.fft.rfft(signal, axis=axis)
+    freqs = np.fft.rfftfreq(n)  # cycles/sample
+    shift = np.exp(-2j * np.pi * freqs * np.asarray(delay_samples)[..., None])
+    return np.fft.irfft(spec * shift, n=n, axis=axis)
+
+
+def synth_scene(
+    source_xyz: np.ndarray,
+    mic_positions: np.ndarray,
+    *,
+    n: int = 1024,
+    fs: float = 50_000.0,
+    speed_of_sound: float = 343.0,
+    signal: np.ndarray | None = None,
+    amplitude: float = 0.8,
+    attenuation: bool = False,
+    noise_rms: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-mic received frames [B, M, N] float64 in [-1, 1].
+
+    source_xyz: [B, 3] (or [3]); mic_positions: [M, 2 or 3] (z = 0 if 2-D).
+    Delays are relative to the array center so the transient stays inside the
+    frame for any source range."""
+    src = np.atleast_2d(np.asarray(source_xyz, dtype=np.float64))  # [B, 3]
+    mics = np.asarray(mic_positions, dtype=np.float64)
+    mic3 = np.zeros((mics.shape[0], 3))
+    mic3[:, : mics.shape[1]] = mics
+
+    if signal is None:
+        signal = chirp_burst(n, fs)
+    rng = np.random.default_rng(seed)
+
+    d = np.linalg.norm(src[:, None, :] - mic3[None, :, :], axis=-1)  # [B, M]
+    d_ref = np.linalg.norm(src, axis=-1, keepdims=True)  # [B, 1]
+    delays = (d - d_ref) / speed_of_sound * fs  # samples, zero-mean-ish
+
+    out = fractional_delay(
+        np.broadcast_to(signal, (src.shape[0], mic3.shape[0], n)), delays
+    )
+    out = out * amplitude
+    if attenuation:
+        out = out * (d_ref[..., None] / np.maximum(d[..., None], 1e-6))
+    if noise_rms > 0:
+        out = out + rng.normal(0.0, noise_rms, out.shape)
+    return out
+
+
+def to_adc_u8(frames: np.ndarray, *, dc: int = 128, scale: float = 120.0,
+              clip: bool = True) -> np.ndarray:
+    """Quantize float frames in [-1, 1] to the firmware's 8-bit unsigned ADC
+    format (mid-scale DC offset, dma_sampler.c free-running 8-bit ADC)."""
+    x = np.round(frames * scale + dc)
+    if clip:
+        x = np.clip(x, 0, 255)
+    return x.astype(np.uint8)
+
+
+def embed_burst_in_stream(
+    frames: np.ndarray, total_len: int, burst_at: int, *,
+    noise_rms: float = 0.0, seed: int = 1,
+) -> np.ndarray:
+    """Place event frames [B, M, N] into longer streams [B, M, total_len]
+    starting at sample ``burst_at`` (for detector tests)."""
+    b, m, n = frames.shape
+    rng = np.random.default_rng(seed)
+    out = rng.normal(0.0, noise_rms, (b, m, total_len)) if noise_rms > 0 \
+        else np.zeros((b, m, total_len))
+    out[..., burst_at: burst_at + n] += frames
+    return out
