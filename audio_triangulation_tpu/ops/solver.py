@@ -86,7 +86,7 @@ def solve_tdoa(
         jtr = jac.T @ r
         damp = cfg.damping * jnp.eye(2, dtype=xy.dtype)
         delta = jnp.linalg.solve(jtj + damp, jtr)
-        return xy - delta
+        return (xy - delta).astype(xy.dtype)
 
     xy = jax.lax.fori_loop(0, cfg.iterations, gn_step, init_xy)
     r = residual(xy)

@@ -1,0 +1,109 @@
+"""End-to-end: synthetic source at known (x, y) -> full jitted pipeline ->
+recovered position within tolerance (SURVEY.md §4 test plan item c).
+
+Coordinate convention: the pipeline reports PLANE coordinates (the heatmap's
+cell coordinates, vga_heatmap.h:52-54); the physical source sits at the
+radial projection of (x, y, height) onto the radius-``height`` sphere — the
+reference's equidistant model.  ``_place(x, y)`` returns both.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu import (
+    GridConfig, Localizer, PipelineConfig, SolverConfig, geometry,
+)
+from audio_triangulation_tpu.ops import solver as solver_ops
+from audio_triangulation_tpu.utils import synth
+
+MICS = geometry.reference_array()
+H = 1.2
+
+
+def _place(x, y, h=H):
+    """plane coords -> (plane_xy [2], physical source xyz [3])."""
+    p = np.array([x, y, h], np.float64)
+    return np.array([x, y]), p * (h / np.linalg.norm(p))
+
+
+def test_three_mic_reference_scene_localizes():
+    loc = Localizer.create(MICS, with_heatmap=True)
+    planes, sources = zip(*[
+        _place(0.9, 0.4), _place(-0.6, -0.8), _place(0.2, 1.0)])
+    frames = synth.synth_scene(np.stack(sources), MICS, noise_rms=0.01, seed=3)
+    out = loc(jnp.asarray(frames, jnp.float32))
+    xy = np.asarray(out["xy"])
+    for i, plane in enumerate(planes):
+        err = np.linalg.norm(xy[i] - plane)
+        # grid cell is 1/24 m ~= 4.2 cm; expect solver-refined accuracy
+        assert err < 0.10, (i, xy[i], plane, err)
+    # heat levels: argmax cell must be white (level 4)
+    levels = np.asarray(out["heat_levels"])
+    scores = np.asarray(out["scores"])
+    assert all(levels[i, scores[i].argmax()] == 4 for i in range(3))
+
+
+def test_four_mic_square_array_batch():
+    mics = geometry.square_array(0.3)
+    loc = Localizer.create(mics, PipelineConfig(phat=True))
+    planes, sources = zip(*[
+        _place(0.5, 0.5), _place(-0.9, 0.3), _place(0.0, -1.0),
+        _place(1.2, -0.7)])
+    frames = synth.synth_scene(np.stack(sources), mics, noise_rms=0.02, seed=4)
+    out = loc(jnp.asarray(frames, jnp.float32))
+    xy = np.asarray(out["xy"])
+    err = np.linalg.norm(xy - np.stack(planes), axis=-1)
+    assert np.all(err < 0.12), err
+
+
+def test_tdoa_accuracy_vs_geometry():
+    """Sub-sample TDOA estimates match geometric truth to < 0.1 samples
+    (the BASELINE.md accuracy target)."""
+    loc = Localizer.create(MICS)
+    plane, source = _place(0.7, -0.5)
+    frames = synth.synth_scene(source, MICS, noise_rms=0.0, seed=5)
+    out = loc(jnp.asarray(frames, jnp.float32))
+
+    pairs = geometry.mic_pairs(3)
+    true_tau = np.asarray(solver_ops.predicted_tdoas(
+        jnp.asarray(plane, jnp.float32),
+        jnp.zeros((3, 3), jnp.float32).at[:, :2].set(jnp.asarray(MICS)),
+        jnp.asarray(pairs), 343.0, H, True,
+    )) * 50_000.0  # samples
+    est = np.asarray(out["tdoa_samples"])[0]
+    assert np.all(np.abs(est - true_tau) < 0.1), (est, true_tau)
+
+
+def test_uint8_adc_frames_work():
+    """8-bit ADC-quantized input (the firmware's front end) still localizes."""
+    loc = Localizer.create(MICS)
+    plane, source = _place(-0.8, 0.6)
+    frames = synth.synth_scene(source, MICS, noise_rms=0.005, seed=6)
+    u8 = synth.to_adc_u8(frames)
+    out = loc(jnp.asarray(u8, jnp.float32))
+    err = np.linalg.norm(np.asarray(out["xy"])[0] - plane)
+    assert err < 0.15, err
+
+
+def test_gather_form_matches_matmul_form():
+    loc_mm = Localizer.create(MICS, srp_form="matmul")
+    loc_g = Localizer.create(MICS, srp_form="gather")
+    _, source = _place(0.4, 0.9)
+    frames = jnp.asarray(
+        synth.synth_scene(source, MICS, noise_rms=0.01, seed=7), jnp.float32)
+    s_mm = np.asarray(loc_mm(frames)["scores"])
+    s_g = np.asarray(loc_g(frames)["scores"])
+    np.testing.assert_allclose(s_mm, s_g, rtol=1e-4, atol=1e-2)
+
+
+def test_time_domain_mode_matches_fft_mode():
+    loc_f = Localizer.create(MICS, PipelineConfig(xcorr_mode="fft"))
+    loc_t = Localizer.create(MICS, PipelineConfig(xcorr_mode="time"))
+    _, source = _place(0.3, -0.7)
+    frames = jnp.asarray(
+        synth.synth_scene(source, MICS, noise_rms=0.0, seed=8), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(loc_f(frames)["tdoa_samples"]),
+        np.asarray(loc_t(frames)["tdoa_samples"]),
+        atol=1e-3,
+    )

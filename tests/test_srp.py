@@ -1,0 +1,68 @@
+"""SRP grid scoring: matmul == gather, heat quantization, peak extraction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu.core import geometry
+from audio_triangulation_tpu.core.config import GridConfig, PipelineConfig
+from audio_triangulation_tpu.ops import srp
+
+CFG = PipelineConfig()
+GRID = GridConfig()
+MICS = geometry.reference_array()
+PAIRS = geometry.mic_pairs(3)
+LUT = geometry.lag_lut(GRID, MICS, PAIRS, CFG)
+LUT_FLAT = jnp.asarray(LUT.reshape(3, -1))
+ONEHOT = jnp.asarray(geometry.lag_onehot(LUT, CFG.num_lags))
+
+
+def test_matmul_equals_gather(rng):
+    corr = jnp.asarray(
+        rng.normal(size=(4, 3, CFG.num_lags)).astype(np.float32))
+    s_mm = np.asarray(srp.srp_scores_matmul(corr, ONEHOT))
+    s_g = np.asarray(srp.srp_scores_gather(corr, LUT_FLAT))
+    assert s_mm.shape == (4, GRID.num_cells)
+    np.testing.assert_allclose(s_mm, s_g, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_heatmap_levels(rng):
+    scores = jnp.asarray(rng.normal(size=(2, 101 * 101)).astype(np.float32))
+    levels = np.asarray(srp.quantize_heatmap(scores))
+    assert levels.dtype == np.uint8
+    assert levels.max() == 4  # the max cell is always white
+    assert (levels == 4).sum() >= 2
+
+
+def test_grid_peak_xy_centers():
+    # put all the score on a known cell
+    scores = np.zeros((1, GRID.num_cells), np.float32)
+    row, col = 30, 80
+    scores[0, row * GRID.width + col] = 1.0
+    xy = np.asarray(srp.grid_peak_xy(
+        jnp.asarray(scores), (GRID.height, GRID.width),
+        (GRID.half_cells_x, GRID.half_cells_y), GRID.cells_per_m,
+        refine=False,
+    ))[0]
+    assert np.isclose(xy[0], (col - 50) / 24.0)
+    assert np.isclose(xy[1], (50 - row) / 24.0)
+
+
+def test_grid_peak_quadratic_refinement():
+    # smooth bump centered between cells -> refinement pulls toward center
+    h, w = GRID.height, GRID.width
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = 40.4, 60.7
+    bump = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 50.0)
+    xy = np.asarray(srp.grid_peak_xy(
+        jnp.asarray(bump.reshape(1, -1)), (h, w),
+        (GRID.half_cells_x, GRID.half_cells_y), GRID.cells_per_m,
+    ))[0]
+    exp_x = (cx - 50) / 24.0
+    exp_y = (50 - cy) / 24.0
+    assert abs(xy[0] - exp_x) < 0.3 / 24.0
+    assert abs(xy[1] - exp_y) < 0.3 / 24.0
+
+
+def test_auto_srp_form():
+    assert srp.auto_srp_form(3, 93, 101 * 101) == "matmul"
+    assert srp.auto_srp_form(2016, 129, 64 * 64) == "gather"
