@@ -1,0 +1,212 @@
+"""Streaming localizer: stateful chunked ingest with event detection and
+EMA-smoothed correlograms.
+
+This is the TPU re-expression of the reference's whole runtime loop
+(``src/sample_compute.h:45-150``): where the firmware paces one sample every
+20 us through a ring buffer and bursts compute on a trigger, this consumes
+fixed-size chunks (jit-friendly static shapes), detects triggers with the
+vectorized variance detector, and — masked, not branched — runs the
+correlation/localization burst and EMA update for chunks that contain an
+event.  State is a pytree; ``step`` is pure and donation-safe, so the EMA
+correlogram state updates in place in HBM (the analogue of the firmware's
+mutate-in-place ``correlations_average``).
+
+Reference-parity behaviors:
+- trigger = summed outgoing variance > threshold + summed incoming variance
+  (sample_compute.h:78-90)
+- post-event ring reset: detection is suppressed until a full frame of fresh
+  samples has streamed in (sample_compute.h:55-57 re-inits the rings)
+- shift gate: events with sum(best_shift^2) <= gate don't update the EMA
+  (sample_compute.h:124-134)
+- EMA decay 1 - exp(-dt/tau) with dt the real time since the last accepted
+  event (correlations.c:40-43)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GridConfig, PipelineConfig, SolverConfig, StreamConfig
+from ..core import geometry
+from ..ops import detector, srp, xcorr
+from . import localizer as localizer_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamState:
+    """Carried state of the streaming localizer (a pytree)."""
+
+    context: jnp.ndarray  # [M, frame_size - 1] trailing samples
+    ema_corr: jnp.ndarray  # [P, L] float32 smoothed correlograms
+    best_shift: jnp.ndarray  # [P] int32 current best shifts
+    time_s: jnp.ndarray  # scalar: stream clock (seconds)
+    last_event_s: jnp.ndarray  # scalar: time of last accepted event
+    valid_from: jnp.ndarray  # scalar int32: suppress triggers before this abs sample
+    abs_sample: jnp.ndarray  # scalar int64: absolute sample counter
+    event_count: jnp.ndarray  # scalar int32
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingLocalizer:
+    """Chunked streaming pipeline around a :class:`Localizer`'s params."""
+
+    pipeline: PipelineConfig
+    grid: GridConfig
+    solver: SolverConfig
+    stream: StreamConfig
+    params: localizer_mod.LocalizerParams
+    srp_form: str
+
+    @classmethod
+    def create(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig = PipelineConfig(),
+        grid: GridConfig = GridConfig(),
+        solver: SolverConfig = SolverConfig(),
+        stream: StreamConfig = StreamConfig(),
+        **kwargs,
+    ) -> "StreamingLocalizer":
+        base = localizer_mod.Localizer.create(
+            mic_positions, pipeline, grid, solver, **kwargs)
+        return cls(pipeline=pipeline, grid=grid, solver=solver, stream=stream,
+                   params=base.params, srp_form=base.srp_form)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> StreamState:
+        m = self.params.mic_positions.shape[0]
+        p = self.params.pairs.shape[0]
+        n = self.pipeline.frame_size
+        return StreamState(
+            context=jnp.zeros((m, n - 1), jnp.float32),
+            ema_corr=jnp.zeros((p, self.pipeline.num_lags), jnp.float32),
+            best_shift=jnp.zeros((p,), jnp.int32),
+            time_s=jnp.zeros((), jnp.float32),
+            last_event_s=jnp.zeros((), jnp.float32),
+            valid_from=jnp.asarray(n - 1, jnp.int32),
+            abs_sample=jnp.zeros((), jnp.int32),
+            event_count=jnp.zeros((), jnp.int32),
+        )
+
+    def __call__(self, state: StreamState, chunk: jnp.ndarray):
+        return self._jitted(state, chunk)
+
+    @functools.cached_property
+    def _jitted(self):
+        return jax.jit(
+            functools.partial(
+                stream_step,
+                params=self.params,
+                cfg=self.pipeline,
+                grid_cfg=self.grid,
+                solver_cfg=self.solver,
+                srp_form=self.srp_form,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def run(self, streams: np.ndarray):
+        """Convenience: drive a whole [M, T] stream through chunked steps on
+        host, returning the list of per-chunk outputs."""
+        c = self.stream.chunk_size
+        t = streams.shape[-1]
+        state = self.init_state()
+        outs = []
+        for i in range(0, t - t % c, c):
+            state, out = self(state, jnp.asarray(streams[:, i: i + c]))
+            outs.append(jax.tree.map(np.asarray, out))
+        return state, outs
+
+
+# ----------------------------------------------------------------------
+
+def stream_step(
+    state: StreamState,
+    chunk: jnp.ndarray,  # [M, C]
+    *,
+    params: localizer_mod.LocalizerParams,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    srp_form: str,
+):
+    """One streaming step: returns (new_state, outputs dict)."""
+    n = cfg.frame_size
+    c_len = chunk.shape[-1]
+    chunk = chunk.astype(jnp.float32)
+    fs = cfg.sample_rate_hz
+
+    window = jnp.concatenate([state.context, chunk], axis=-1)  # [M, N-1+C]
+
+    # detector over the windowed view; absolute position of window[.., t]
+    mask = detector.trigger_mask(window[None], cfg)[0]  # [N-1+C]
+    t_abs = (state.abs_sample - (n - 1)) + jnp.arange(mask.shape[-1])
+    in_chunk = t_abs >= state.abs_sample  # only fresh positions
+    valid = t_abs >= state.valid_from
+    mask = mask & in_chunk & valid
+
+    found = jnp.any(mask)
+    t_rel = jnp.argmax(mask)  # index into window
+    # frame = N samples ending at trigger
+    start = jnp.maximum(t_rel - (n - 1), 0)
+    frame = jax.lax.dynamic_slice_in_dim(window, start, n, axis=-1)  # [M, N]
+
+    # --- correlation burst (computed every step, masked into state) ---
+    x = localizer_mod.condition_frames(frame[None], params.window, cfg)
+    corr = localizer_mod.correlate_frames(x, params, cfg)[0]  # [P, L]
+    shifts = xcorr.best_lag(corr, cfg.max_shift)  # [P]
+    corr_t = (xcorr.peak_taper(corr, cfg.max_shift, cfg.taper_denom, shifts)
+              if cfg.taper_enabled else corr)
+
+    gate = jnp.sum(shifts.astype(jnp.int32) ** 2) > cfg.shift_gate
+    accept = found & gate
+
+    # EMA with real dt since last accepted event (correlations.c:40-43)
+    trigger_time = state.time_s + (t_rel - (n - 1) + 1).astype(jnp.float32) / fs
+    dt = jnp.maximum(trigger_time - state.last_event_s, 0.0)
+    decay = xcorr.ema_decay(dt, cfg.ema_tau_s)
+    ema_new = xcorr.ema_update(state.ema_corr, corr_t, decay)
+    ema_corr = jnp.where(accept, ema_new, state.ema_corr)
+    best = jnp.where(
+        accept, xcorr.best_lag(ema_corr, cfg.max_shift), state.best_shift)
+
+    # --- localization from the smoothed correlograms ---
+    if srp_form == "matmul":
+        scores = srp.srp_scores_matmul(ema_corr[None], params.onehot)[0]
+    else:
+        scores = srp.srp_scores_gather(ema_corr[None], params.lut_flat)[0]
+    xy_grid = srp.grid_peak_xy(
+        scores[None], (grid_cfg.height, grid_cfg.width),
+        (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+        grid_cfg.cells_per_m,
+    )[0]
+
+    new_state = StreamState(
+        context=window[:, -(n - 1):],
+        ema_corr=ema_corr,
+        best_shift=best,
+        time_s=state.time_s + c_len / fs,
+        last_event_s=jnp.where(accept, trigger_time, state.last_event_s),
+        # post-event: reference re-inits rings -> need a full fresh frame
+        valid_from=jnp.where(
+            found, (t_abs[t_rel] + n).astype(jnp.int32), state.valid_from),
+        abs_sample=state.abs_sample + c_len,
+        event_count=state.event_count + accept.astype(jnp.int32),
+    )
+    out = {
+        "event": accept,
+        "triggered": found,
+        "trigger_abs": jnp.where(found, t_abs[t_rel], -1),
+        "best_shift": best,
+        "tdoa_samples": xcorr.subsample_peak(ema_corr, cfg.max_shift)[0],
+        "xy_grid": xy_grid,
+        "event_count": new_state.event_count,
+    }
+    return new_state, out

@@ -1,0 +1,143 @@
+"""Acoustic event detection over sample streams.
+
+The reference detects events sequentially: a 1024-deep ring per mic keeps O(1)
+running sums/sum-of-squares of its newest 512 ("incoming") and previous 512
+("outgoing") samples; an event triggers when the summed outgoing variance
+exceeds the incoming variance plus a threshold — i.e. when a transient has
+fully entered the older half (``src/components/rolling_buffer.c:16-85``,
+``src/sample_compute.h:78-90``).
+
+TPU-native re-expression: the per-sample recurrences are prefix sums, so the
+detector statistic at EVERY sample position is computed at once with two
+cumsums — no sequential scan, fully batched over streams and mics:
+
+    incoming_power(t) = H * S2[t-H+1 .. t]   - S1[t-H+1 .. t]^2
+    outgoing_power(t) = H * S2[t-2H+1 .. t-H] - S1[t-2H+1 .. t-H]^2
+
+with H = frame/2, matching the reference's ``512 * sum(x^2) - sum(x)^2``
+(un-normalized variance * 512^2).  Integer-exact in int64.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import PipelineConfig
+
+
+def _windowed_sums(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Trailing-window sums: out[t] = sum(x[t-win+1 .. t]), defined for
+    t >= win-1 (earlier positions contain partial sums; callers mask)."""
+    c = jnp.cumsum(x, axis=-1)
+    shifted = jnp.pad(c[..., :-win], [(0, 0)] * (x.ndim - 1) + [(win, 0)])
+    return c - shifted
+
+
+def half_window_powers(
+    streams: jnp.ndarray, frame_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(incoming, outgoing) detector powers at every sample position.
+
+    streams: [..., T] integer or float samples.
+    Returns two [..., T] arrays; positions t < frame_size - 1 are partial
+    (the reference's is_full gate masks them, see ``trigger_mask``).
+
+    Integer inputs use the reference's exact int64 arithmetic:
+    power = (sum_sq << (bits-1)) - sum^2  (rolling_buffer.c:73-85)."""
+    half = frame_size // 2
+    is_int = jnp.issubdtype(streams.dtype, jnp.integer)
+    x = streams.astype(jnp.int64 if is_int else streams.dtype)
+    s1 = _windowed_sums(x, half)
+    s2 = _windowed_sums(x * x, half)
+    inc = half * s2 - s1 * s1
+    # outgoing window ends half samples earlier
+    pad = [(0, 0)] * (x.ndim - 1) + [(half, 0)]
+    out = jnp.pad(half * s2 - s1 * s1, pad)[..., : x.shape[-1]]
+    # shift: outgoing[t] is incoming at t-half
+    return inc, out
+
+
+def trigger_mask(
+    streams: jnp.ndarray,
+    cfg: PipelineConfig,
+    mic_axis: int = -2,
+) -> jnp.ndarray:
+    """Boolean [..., T] mask of trigger positions.
+
+    streams: [..., M, T].  A position triggers when the mic-summed outgoing
+    power exceeds threshold + mic-summed incoming power AND the full frame
+    window is populated (t >= frame_size - 1), matching
+    sample_compute.h:78-90."""
+    inc, out = half_window_powers(streams, cfg.frame_size)
+    inc_sum = inc.sum(axis=mic_axis)
+    out_sum = out.sum(axis=mic_axis)
+    t = jnp.arange(streams.shape[-1])
+    is_full = t >= cfg.frame_size - 1
+    return (out_sum > cfg.detect_threshold + inc_sum) & is_full
+
+
+def first_trigger(
+    streams: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(index [..., ], found [...]) of the first trigger along the last axis.
+
+    Matches the sequential loop's first-break semantics.  index is 0 when no
+    trigger (check ``found``)."""
+    mask = trigger_mask(streams, cfg)
+    found = jnp.any(mask, axis=-1)
+    idx = jnp.argmax(mask, axis=-1)
+    return jnp.where(found, idx, 0), found
+
+
+def extract_frames_at(
+    streams: jnp.ndarray,
+    trigger_idx: jnp.ndarray,
+    frame_size: int,
+) -> jnp.ndarray:
+    """Gather the frame_size-sample window ENDING at trigger_idx per batch.
+
+    streams: [B, M, T]; trigger_idx: [B].  Returns [B, M, frame_size] — the
+    ring contents the reference captures at its break
+    (sample_compute.h:105-107: the newest 1024 samples, oldest first).
+    Positions before stream start clamp to 0 (callers should ensure the
+    trigger is >= frame_size - 1, which ``trigger_mask`` guarantees)."""
+    start = jnp.maximum(trigger_idx - (frame_size - 1), 0)
+    offs = jnp.arange(frame_size)
+    gather_idx = start[:, None] + offs[None, :]  # [B, N]
+    return jnp.take_along_axis(
+        streams, gather_idx[:, None, :], axis=-1
+    )
+
+
+def all_triggers_capped(
+    streams: jnp.ndarray,
+    cfg: PipelineConfig,
+    max_events: int,
+    refractory: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Up to ``max_events`` trigger indices per stream with a refractory
+    holdoff (new capability: the reference handles one event per capture
+    cycle).  Returns (indices [B, max_events], valid [B, max_events]).
+
+    Static shapes: absent events are masked, not dropped."""
+    mask = trigger_mask(streams, cfg)  # [B, T]
+    t_len = mask.shape[-1]
+    hold = refractory if refractory > 0 else cfg.frame_size
+
+    def body(carry, _):
+        m, = carry
+        found = jnp.any(m, axis=-1)
+        idx = jnp.argmax(m, axis=-1)
+        # suppress the holdoff window after each taken trigger
+        t = jnp.arange(t_len)
+        within = (t[None, :] >= idx[:, None]) & (
+            t[None, :] < idx[:, None] + hold)
+        m = m & ~(within & found[:, None])
+        return (m,), (jnp.where(found, idx, 0), found)
+
+    import jax
+
+    (_,), (idxs, valids) = jax.lax.scan(
+        body, (mask,), None, length=max_events)
+    return jnp.moveaxis(idxs, 0, -1), jnp.moveaxis(valids, 0, -1)

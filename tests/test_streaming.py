@@ -1,0 +1,81 @@
+"""Streaming localizer: chunked steps vs offline processing; EMA behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu.core.config import PipelineConfig, StreamConfig
+from audio_triangulation_tpu.core import geometry
+from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+from audio_triangulation_tpu.utils import synth
+
+MICS = geometry.reference_array()
+
+
+def _place(x, y, h=1.2):
+    p = np.array([x, y, h], np.float64)
+    return np.array([x, y]), p * (h / np.linalg.norm(p))
+
+
+def _quiet_stream_with_event(source, t_len=8000, event_at=3000, seed=0):
+    """[M, T] uint8 stream: quiet DC + an event burst from ``source``."""
+    rng = np.random.default_rng(seed)
+    frames = synth.synth_scene(source, MICS, noise_rms=0.0, seed=seed)[0]
+    streams = rng.integers(127, 130, size=(3, t_len)).astype(np.float64)
+    streams[:, event_at: event_at + 1024] += 110.0 * frames
+    return np.clip(np.round(streams), 0, 255)
+
+
+def test_stream_detects_and_localizes_event():
+    plane, source = _place(0.8, 0.5)
+    streams = _quiet_stream_with_event(source)
+    sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=512))
+    state, outs = sl.run(streams)
+
+    events = [o for o in outs if o["event"]]
+    assert len(events) >= 1
+    assert int(state.event_count) >= 1
+    # after the event, grid peak near the true plane position
+    xy = events[-1]["xy_grid"]
+    assert np.linalg.norm(xy - plane) < 0.25, (xy, plane)
+
+
+def test_stream_quiet_produces_no_events():
+    rng = np.random.default_rng(5)
+    streams = rng.integers(127, 130, size=(3, 6000)).astype(np.float64)
+    sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=512))
+    state, outs = sl.run(streams)
+    assert int(state.event_count) == 0
+    assert not any(o["event"] for o in outs)
+
+
+def test_stream_refractory_after_event():
+    """Triggers within a frame of a previous trigger are suppressed
+    (the reference re-inits its rings after each capture)."""
+    plane, source = _place(0.3, 0.6)
+    streams = _quiet_stream_with_event(source, t_len=12000, event_at=3000)
+    # a second event right after the first
+    frames2 = synth.synth_scene(source, MICS, noise_rms=0.0, seed=9)[0]
+    streams[:, 4200: 4200 + 1024] += 110.0 * frames2
+    streams = np.clip(streams, 0, 255)
+
+    sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=512))
+    state, outs = sl.run(streams)
+    trig = [int(o["trigger_abs"]) for o in outs if o["triggered"]]
+    for a, b in zip(trig, trig[1:]):
+        assert b - a >= 1024, trig
+
+
+def test_ema_accumulates_over_events():
+    plane, source = _place(-0.5, 0.7)
+    sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=512))
+    state = sl.init_state()
+    for seed in range(3):
+        streams = _quiet_stream_with_event(source, t_len=6000, seed=seed)
+        for i in range(0, 6000, 512):
+            state, out = sl(state, jnp.asarray(streams[:, i: i + 512]))
+    assert int(state.event_count) >= 2
+    # smoothed correlograms are nonzero and peak where expected
+    ema = np.asarray(state.ema_corr)
+    assert np.abs(ema).max() > 0
+    xy = np.asarray(out["xy_grid"])
+    assert np.linalg.norm(xy - plane) < 0.25, (xy, plane)
