@@ -1,0 +1,172 @@
+"""Array self-calibration: learn microphone geometry (and per-channel gain)
+from observed frames by gradient descent through the full GCC pipeline.
+
+New capability with no reference equivalent (the firmware trusts its
+measured tape-distances, ``constants.h:17-19``): given frames of events at
+known (or jointly estimated) source positions, minimize the mismatch between
+
+- **measured** TDOAs: soft-argmax over the GCC correlogram (differentiable
+  through windowing, rFFT, cross-power, whitening and irFFT), and
+- **predicted** TDOAs from the current geometry estimate.
+
+This is also the framework's canonical *training step* — the thing that gets
+sharded over a device mesh (data-parallel over frames; XLA inserts the psum
+for gradient reduction from sharding annotations alone).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import PipelineConfig
+from ..core import geometry
+from ..ops import conditioning, solver as solver_ops, window as window_ops, xcorr
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CalibParams:
+    """Trainable parameters."""
+
+    mic_xy: jnp.ndarray  # [M, 2] microphone positions (meters)
+    log_gain: jnp.ndarray  # [M] per-channel gain (log-domain)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CalibBatch:
+    """One training batch."""
+
+    frames: jnp.ndarray  # [B, M, N] raw PCM
+    source_xy: jnp.ndarray  # [B, 2] known source plane positions
+
+
+def init_params(mic_xy_guess: np.ndarray) -> CalibParams:
+    m = np.asarray(mic_xy_guess, np.float32)
+    return CalibParams(
+        mic_xy=jnp.asarray(m),
+        log_gain=jnp.zeros((m.shape[0],), jnp.float32),
+    )
+
+
+def soft_tdoa(
+    correlograms: jnp.ndarray, max_shift: int, beta: float = 2.0
+) -> jnp.ndarray:
+    """Differentiable TDOA: softmax-weighted lag expectation.
+
+    correlograms [..., L] are max-normalized before the softmax so ``beta``
+    is scale-free."""
+    lags = jnp.arange(-max_shift, max_shift + 1, dtype=correlograms.dtype)
+    c = correlograms / (
+        jnp.max(jnp.abs(correlograms), axis=-1, keepdims=True) + 1e-20)
+    w = jax.nn.softmax(beta * c * max_shift, axis=-1)
+    return jnp.sum(w * lags, axis=-1)
+
+
+def measured_tdoas(
+    params: CalibParams,
+    frames: jnp.ndarray,
+    pairs: jnp.ndarray,
+    window: jnp.ndarray,
+    cfg: PipelineConfig,
+    beta: float = 2.0,
+) -> jnp.ndarray:
+    """Frames [B, M, N] -> differentiable TDOAs [B, P] (samples)."""
+    x = frames.astype(window.dtype)
+    x = conditioning.dc_remove(x)
+    x = x * jnp.exp(params.log_gain)[:, None]
+    x = window_ops.apply_window(x, window)
+    corr = xcorr.xcorr_fft(x, pairs, cfg)
+    return soft_tdoa(corr, cfg.max_shift, beta)
+
+
+def calib_loss(
+    params: CalibParams,
+    batch: CalibBatch,
+    pairs: jnp.ndarray,
+    window: jnp.ndarray,
+    cfg: PipelineConfig,
+    *,
+    height: float = 1.2,
+    beta: float = 2.0,
+    anchor_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Mean squared TDOA residual (samples^2) + gauge anchors.
+
+    The anchors fix the translation/rotation gauge freedom: centroid at the
+    origin and zero net rotation relative to the initial estimate are not
+    observable from TDOAs alone."""
+    meas = measured_tdoas(params, batch.frames, pairs, window, cfg, beta)
+
+    mic3 = jnp.concatenate(
+        [params.mic_xy, jnp.zeros((params.mic_xy.shape[0], 1))], axis=-1)
+    pred = solver_ops.predicted_tdoas(
+        batch.source_xy, mic3, pairs,
+        cfg.speed_of_sound_mps, height, True,
+    ) * cfg.sample_rate_hz  # [B, P] samples
+
+    resid = meas - pred
+    loss = jnp.mean(resid * resid)
+    centroid = jnp.mean(params.mic_xy, axis=0)
+    loss = loss + anchor_weight * jnp.sum(centroid * centroid)
+    return loss
+
+
+@dataclasses.dataclass(frozen=True)
+class Calibrator:
+    """Optax-based calibration trainer."""
+
+    pipeline: PipelineConfig
+    pairs: jnp.ndarray
+    window: jnp.ndarray
+    height: float = 1.2
+    beta: float = 2.0
+    learning_rate: float = 3e-3
+
+    @classmethod
+    def create(cls, n_mics: int, pipeline: PipelineConfig = PipelineConfig(),
+               **kwargs) -> "Calibrator":
+        pairs = jnp.asarray(geometry.mic_pairs(n_mics))
+        win = jnp.asarray(
+            window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw))
+        return cls(pipeline=pipeline, pairs=pairs, window=win, **kwargs)
+
+    @functools.cached_property
+    def optimizer(self):
+        return optax.adam(self.learning_rate)
+
+    def init(self, mic_xy_guess: np.ndarray):
+        params = init_params(mic_xy_guess)
+        return params, self.optimizer.init(params)
+
+    @functools.cached_property
+    def train_step(self):
+        """Jitted (params, opt_state, batch) -> (params, opt_state, loss)."""
+
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(calib_loss)(
+                params, batch, self.pairs, self.window, self.pipeline,
+                height=self.height, beta=self.beta,
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def fit(self, mic_xy_guess, batches, steps_per_batch: int = 1):
+        params, opt_state = self.init(mic_xy_guess)
+        losses = []
+        for batch in batches:
+            for _ in range(steps_per_batch):
+                params, opt_state, loss = self.train_step(
+                    params, opt_state, batch)
+                losses.append(float(loss))
+        return params, losses

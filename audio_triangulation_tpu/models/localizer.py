@@ -38,8 +38,11 @@ class LocalizerParams:
     mic_positions: jnp.ndarray  # [M, 2] float32
     pairs: jnp.ndarray  # [P, 2] int32
     window: jnp.ndarray  # [N] float32
-    lut_flat: jnp.ndarray  # [P, G] int32 lag indices
-    onehot: Optional[jnp.ndarray]  # [P*L, G] float32 or None (gather form)
+    lut_flat: jnp.ndarray  # [P, G+] int32 lag indices
+    onehot: Optional[jnp.ndarray]  # [P*L, G+] float32 or None (gather form)
+    # additive bias [G+] masking grid-axis padding (None when unpadded);
+    # padding lets the grid axis shard evenly over a mesh axis
+    score_bias: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +96,7 @@ class Localizer:
             window=jnp.asarray(win, dtype=dtype),
             lut_flat=jnp.asarray(lut_flat),
             onehot=onehot,
+            score_bias=None,
         )
         return cls(
             pipeline=pipeline, grid=grid, solver=solver, params=params,
@@ -189,6 +193,8 @@ def localize_frames(
         scores = srp.srp_scores_matmul(corr_t, params.onehot)
     else:
         scores = srp.srp_scores_gather(corr_t, params.lut_flat)
+    if params.score_bias is not None:
+        scores = scores + params.score_bias
 
     grid_shape = (grid_cfg.height, grid_cfg.width)
     xy_grid = srp.grid_peak_xy(

@@ -99,52 +99,64 @@ def grid_peak_xy(
     cells_per_m: float,
     refine: bool = True,
 ) -> jnp.ndarray:
-    """Peak position [..., 2] in meters from flat scores [..., G].
+    """Peak position [..., 2] in meters from flat scores [..., G+].
 
     Cell->meters mapping matches vga_init_heatmap:52-54; with ``refine`` a
     separable quadratic fit over the 3x3 neighborhood adds sub-cell accuracy.
-    """
+
+    Works on flat (never reshaped) scores so the grid axis may be sharded
+    and/or padded beyond H*W (padded cells must carry -inf-like scores; see
+    ``pad_scores_bias``)."""
     h, w = grid_shape
     half_x, half_y = half_cells
-    row, col = grid_argmax(scores, grid_shape)
-    grid = scores.reshape(*scores.shape[:-1], h, w)
+    flat_idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    row = flat_idx // w
+    col = flat_idx % w
 
-    def _frac(center_idx, axis_len, take):
-        c = jnp.clip(center_idx, 1, axis_len - 2)
-        vm = take(c - 1)
-        v0 = take(c)
-        vp = take(c + 1)
+    def _take(idx):
+        return jnp.take_along_axis(scores, idx[..., None], axis=-1)[..., 0]
+
+    def _frac(center, axis_len, stride):
+        c = jnp.clip(center, 1, axis_len - 2)
+        base = flat_idx + (c - center) * stride  # clamped center, same line
+        vm = _take(base - stride)
+        v0 = _take(base)
+        vp = _take(base + stride)
         den = vm - 2.0 * v0 + vp
         d = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (vm - vp) / den, 0.0)
-        d = jnp.where((center_idx >= 1) & (center_idx <= axis_len - 2), d, 0.0)
+        d = jnp.where((center >= 1) & (center <= axis_len - 2), d, 0.0)
         return jnp.clip(d, -0.5, 0.5)
 
     if refine:
-        def take_col(c):
-            return jnp.take_along_axis(
-                jnp.take_along_axis(
-                    grid, row[..., None, None], axis=-2
-                )[..., 0, :],
-                c[..., None], axis=-1,
-            )[..., 0]
-
-        def take_row(r):
-            return jnp.take_along_axis(
-                jnp.take_along_axis(
-                    grid, col[..., None, None], axis=-1
-                )[..., 0],
-                r[..., None], axis=-1,
-            )[..., 0]
-
-        dx = _frac(col, w, take_col)
-        dy = _frac(row, h, take_row)
+        dx = _frac(col, w, 1)
+        dy = _frac(row, h, w)
     else:
-        dx = jnp.zeros_like(row, dtype=scores.dtype)
+        dx = jnp.zeros_like(col, dtype=scores.dtype)
         dy = jnp.zeros_like(row, dtype=scores.dtype)
 
     x_m = (col.astype(scores.dtype) + dx - half_x) / cells_per_m
     y_m = (half_y - (row.astype(scores.dtype) + dy)) / cells_per_m
     return jnp.stack([x_m, y_m], axis=-1)
+
+
+def pad_grid_axis(arr: np.ndarray, multiple: int, axis: int = -1,
+                  fill=0.0) -> np.ndarray:
+    """Pad the grid axis up to a multiple (for sharding G over a mesh axis)."""
+    g = arr.shape[axis]
+    pad = (-g) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def pad_scores_bias(num_cells: int, padded: int, dtype=np.float32) -> np.ndarray:
+    """Additive bias [padded]: 0 on valid cells, -3e38 on pad cells so they
+    can never win the argmax."""
+    b = np.zeros((padded,), dtype=dtype)
+    b[num_cells:] = -3e38
+    return b
 
 
 def auto_srp_form(num_pairs: int, num_lags: int, num_cells: int,

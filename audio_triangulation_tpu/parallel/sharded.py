@@ -1,0 +1,100 @@
+"""Sharded (multi-chip) execution of the localization pipeline.
+
+Strategy (the scaling-book recipe): pick a mesh, annotate input/output
+shardings, let XLA insert the collectives.
+
+- **Data parallel**: frames [B, M, N] sharded on batch over the ``data``
+  axis; params replicated.  No communication in the forward pass except the
+  final (host-bound) outputs — each chip localizes its shard of frames.
+- **Grid parallel** (large arrays / dense grids): the steering one-hot
+  [P*L, G] and scores [B, G] are additionally partitioned on G over the
+  ``model`` axis.  The grid argmax then requires a cross-chip reduction,
+  which XLA emits from the sharding annotations alone.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+import jax
+
+from ..models import localizer as localizer_mod
+from . import mesh as mesh_lib
+
+
+def shard_params(params: localizer_mod.LocalizerParams, mesh,
+                 grid_parallel: bool = False) -> localizer_mod.LocalizerParams:
+    """Place params on the mesh: replicated, except the steering matrix's
+    grid axis when grid_parallel.
+
+    Grid-parallel pads the grid axis up to a multiple of the model-axis size
+    (zero columns in the steering matrix, -inf score bias so padding never
+    wins the argmax)."""
+    import numpy as np
+
+    from ..ops import srp as srp_ops
+
+    rep = mesh_lib.replicated(mesh)
+    put = lambda x: jax.device_put(x, rep)  # noqa: E731
+
+    onehot = params.onehot
+    lut_flat = params.lut_flat
+    score_bias = params.score_bias
+    if grid_parallel:
+        model_n = mesh.shape[mesh_lib.MODEL_AXIS]
+        g = lut_flat.shape[-1]
+        lut_flat = jnp.asarray(srp_ops.pad_grid_axis(
+            np.asarray(lut_flat), model_n))
+        g_pad = lut_flat.shape[-1]
+        if g_pad != g or score_bias is None:
+            score_bias = jnp.asarray(srp_ops.pad_scores_bias(g, g_pad))
+        if onehot is not None:
+            onehot = jnp.asarray(srp_ops.pad_grid_axis(
+                np.asarray(onehot), model_n))
+        lut_flat = jax.device_put(lut_flat, mesh_lib.onehot_sharding(mesh))
+        score_bias = jax.device_put(
+            score_bias,
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(mesh_lib.MODEL_AXIS)))
+        if onehot is not None:
+            onehot = jax.device_put(onehot, mesh_lib.onehot_sharding(mesh))
+    else:
+        lut_flat = put(lut_flat)
+        if onehot is not None:
+            onehot = put(onehot)
+        if score_bias is not None:
+            score_bias = put(score_bias)
+
+    return localizer_mod.LocalizerParams(
+        mic_positions=put(params.mic_positions),
+        pairs=put(params.pairs),
+        window=put(params.window),
+        lut_flat=lut_flat,
+        onehot=onehot,
+        score_bias=score_bias,
+    )
+
+
+def make_sharded_localize(loc: localizer_mod.Localizer, mesh,
+                          grid_parallel: bool = False):
+    """Returns (fn, sharded_params): ``fn(params, frames)`` jitted with
+    sharding constraints for the given mesh.
+
+    frames must have batch divisible by the data-axis size."""
+    params = shard_params(loc.params, mesh, grid_parallel)
+    fn = functools.partial(
+        localizer_mod.localize_frames,
+        cfg=loc.pipeline,
+        grid_cfg=loc.grid,
+        solver_cfg=loc.solver,
+        srp_form=loc.srp_form,
+        with_solver=loc.with_solver,
+        with_heatmap=loc.with_heatmap,
+    )
+    jitted = jax.jit(
+        fn,
+        in_shardings=(None, mesh_lib.frames_sharding(mesh)),
+    )
+    return jitted, params
