@@ -60,9 +60,13 @@ class PipelineConfig:
     window_enabled: bool = True
 
     # --- correlation engine ---
-    # 'fft'  : GCC via rFFT/irFFT (O(N log N), the TPU-native hot path)
+    # 'mxu'  : GCC as MXU matmuls (DFT + 93-lag synthesis; fastest on TPU)
+    # 'fft'  : GCC via XLA rFFT/irFFT (reference implementation of the math)
     # 'time' : direct lag-domain correlation (matches reference math in float)
-    xcorr_mode: str = "fft"
+    xcorr_mode: str = "mxu"
+    # matmul precision for the 'mxu' engine: 'float32' or 'bfloat16'
+    # (bf16 runs the DFT at 2x MXU rate with f32 accumulation)
+    matmul_dtype: str = "float32"
     # PHAT whitening of the cross-power spectrum (new capability; reference has
     # no whitening -- set False for reference parity).
     phat: bool = False

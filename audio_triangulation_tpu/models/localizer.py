@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 from ..core.config import GridConfig, PipelineConfig, SolverConfig
 from ..core import geometry
-from ..ops import conditioning, srp, solver as solver_ops, window as window_ops
-from ..ops import xcorr
+from ..ops import conditioning, mxu_fft, srp, solver as solver_ops
+from ..ops import window as window_ops, xcorr
 
 
 @jax.tree_util.register_dataclass
@@ -146,6 +146,9 @@ def condition_frames(frames: jnp.ndarray, window: jnp.ndarray,
 def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
                      cfg: PipelineConfig) -> jnp.ndarray:
     """Conditioned frames [..., M, N] -> correlograms [..., P, L]."""
+    if cfg.xcorr_mode == "mxu":
+        return mxu_fft.xcorr_mxu(
+            frames, params.pairs, cfg, matmul_dtype=cfg.matmul_dtype)
     if cfg.xcorr_mode == "fft":
         return xcorr.xcorr_fft(frames, params.pairs, cfg)
     if cfg.xcorr_mode == "time":
@@ -217,21 +220,14 @@ def localize_frames(
 
     if with_solver:
         tdoa_s = tdoa_samples / cfg.sample_rate_hz
-
-        def solve_one(tau, init):
-            return solver_ops.solve_tdoa(
-                tau, params.mic_positions, params.pairs,
-                speed_of_sound=cfg.speed_of_sound_mps,
-                height=grid_cfg.height_m,
-                init_xy=init, cfg=solver_cfg,
-            )
-
-        lead = tdoa_s.shape[:-1]
-        flat_tau = tdoa_s.reshape(-1, tdoa_s.shape[-1])
-        flat_init = xy_grid.reshape(-1, 2)
-        xy, rms = jax.vmap(solve_one)(flat_tau, flat_init)
-        out["xy"] = xy.reshape(*lead, 2)
-        out["rms_m"] = rms.reshape(lead)
+        xy, rms = solver_ops.solve_tdoa_batched(
+            tdoa_s, params.mic_positions, params.pairs,
+            speed_of_sound=cfg.speed_of_sound_mps,
+            height=grid_cfg.height_m,
+            init_xy=xy_grid, cfg=solver_cfg,
+        )
+        out["xy"] = xy
+        out["rms_m"] = rms
     else:
         out["xy"] = xy_grid
         out["rms_m"] = jnp.zeros(tdoa_samples.shape[:-1], corr.dtype)

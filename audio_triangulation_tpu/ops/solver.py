@@ -94,6 +94,83 @@ def solve_tdoa(
     return xy, rms
 
 
+def solve_tdoa_batched(
+    tdoas: jnp.ndarray,
+    mic_positions: jnp.ndarray,
+    pairs: jnp.ndarray,
+    *,
+    speed_of_sound: float,
+    height: float,
+    init_xy: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    cfg: SolverConfig = SolverConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully batched damped Gauss-Newton (the TPU hot path).
+
+    Same math as :func:`solve_tdoa` but with an analytic Jacobian and a
+    closed-form damped 2x2 solve, vectorized over the batch — a handful of
+    large elementwise ops per iteration instead of per-sample autodiff and
+    tiny linear solves (which dominate wall-clock when batched via vmap).
+
+    tdoas: [B, P] seconds; init_xy: [B, 2].  Returns (xy [B, 2], rms [B])."""
+    dt = init_xy.dtype
+    m = mic_positions.shape[0]
+    mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
+        mic_positions.astype(dt))
+    c = jnp.asarray(speed_of_sound, dt)
+    h = jnp.asarray(height, dt)
+    pi = pairs[:, 0]
+    pj = pairs[:, 1]
+    target = tdoas.astype(dt) * c  # [B, P] meters
+    damp = jnp.asarray(cfg.damping, dt)
+
+    def residual_jac(xy):
+        v = jnp.concatenate(
+            [xy, jnp.full(xy.shape[:-1] + (1,), h, dt)], axis=-1)  # [B, 3]
+        if cfg.constrain_to_sphere:
+            nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+            vhat = v / jnp.maximum(nv, 1e-12)
+            s = h * vhat  # [B, 3]
+            # J_s = h/|v| (I - vhat vhat^T) E,  E = d v / d xy = [[1,0],[0,1],[0,0]]
+            scale = h / jnp.maximum(nv, 1e-12)  # [B, 1]
+            e = jnp.zeros((3, 2), dt).at[0, 0].set(1.0).at[1, 1].set(1.0)
+            js = scale[..., None] * (
+                e - vhat[..., None] * vhat[..., :2][..., None, :])  # [B, 3, 2]
+        else:
+            s = v
+            js = jnp.broadcast_to(
+                jnp.zeros((3, 2), dt).at[0, 0].set(1.0).at[1, 1].set(1.0),
+                xy.shape[:-1] + (3, 2))
+        diff = s[..., None, :] - mic3  # [B, M, 3]
+        d = jnp.linalg.norm(diff, axis=-1)  # [B, M]
+        u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
+        gd = jnp.einsum("...mi,...ij->...mj", u, js)  # [B, M, 2]
+        r = (jnp.take(d, pj, axis=-1) - jnp.take(d, pi, axis=-1)) - target
+        jac = jnp.take(gd, pj, axis=-2) - jnp.take(gd, pi, axis=-2)  # [B,P,2]
+        if weights is not None:
+            r = r * weights
+            jac = jac * weights[..., None]
+        return r, jac
+
+    def gn_step(_, xy):
+        r, jac = residual_jac(xy)
+        a = jnp.einsum("...pi,...pj->...ij", jac, jac)  # [B, 2, 2]
+        b = jnp.einsum("...pi,...p->...i", jac, r)  # [B, 2]
+        a00 = a[..., 0, 0] + damp
+        a11 = a[..., 1, 1] + damp
+        a01 = a[..., 0, 1]
+        det = a00 * a11 - a01 * a01
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+        dx = (a11 * b[..., 0] - a01 * b[..., 1]) * inv_det
+        dy = (a00 * b[..., 1] - a01 * b[..., 0]) * inv_det
+        return xy - jnp.stack([dx, dy], axis=-1)
+
+    xy = jax.lax.fori_loop(0, cfg.iterations, gn_step, init_xy.astype(dt))
+    r, _ = residual_jac(xy)
+    rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
+    return xy, rms
+
+
 def farfield_bearing(
     tdoas: jnp.ndarray,
     mic_positions: jnp.ndarray,

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 4-mic 1024-sample frames/sec/chip, GCC-PHAT + SRP +
+least-squares solve (BASELINE.json north-star: >= 50,000 on TPU v5e).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The benched program is the full flagship pipeline (condition -> window ->
+rFFT -> cross-power + PHAT -> irFFT -> taper -> SRP matmul -> grid peak ->
+Gauss-Newton solve), entirely device-resident; the timed loop reuses
+device-resident inputs so HBM bandwidth and compute — not host transfers —
+are what's measured.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--no-solver", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
+    from audio_triangulation_tpu.utils import synth
+
+    dev = jax.devices()[0]
+    mics = geometry.square_array(0.3)
+    # circular GCC on DPSS-windowed frames: 0.003-sample TDOA accuracy
+    # (tests/test_mxu_fft.py) at half the transform cost of 'linear'
+    cfg = PipelineConfig(phat=True, fft_pad_mode="circular")
+    loc = Localizer.create(mics, cfg, with_solver=not args.no_solver)
+
+    # one synthetic event replicated over the batch (content doesn't affect
+    # timing; shapes do)
+    src = np.array([0.5, 0.4, 1.2]) * (1.2 / np.linalg.norm([0.5, 0.4, 1.2]))
+    frame = synth.synth_scene(src, mics, noise_rms=0.01, seed=0)  # [1, 4, N]
+    frames = jnp.asarray(
+        np.broadcast_to(frame, (args.batch, 4, 1024)).copy(), jnp.float32)
+    frames = jax.device_put(frames, dev)
+
+    def run(x):
+        out = loc._jitted(loc.params, x)
+        return out["xy"], out["tdoa_samples"], out["rms_m"]
+
+    run_c = jax.jit(lambda x: run(x))
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(run_c(frames))
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res = run_c(frames)
+    jax.block_until_ready(res)
+    t1 = time.perf_counter()
+
+    frames_per_sec = args.batch * args.iters / (t1 - t0)
+    baseline = 50_000.0
+    if args.verbose:
+        print(f"device={dev} batch={args.batch} iters={args.iters} "
+              f"time={t1 - t0:.3f}s")
+    print(json.dumps({
+        "metric": "4mic_1024pt_frames_per_sec_per_chip_gccphat_srp_solve",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
