@@ -1,0 +1,233 @@
+"""ctypes bindings for the native host runtime (libatrt.so).
+
+Builds the shared library on first use (``make`` + g++); if no toolchain is
+available, :class:`PyIngestRuntime` provides the identical API in NumPy.
+Both reproduce the reference's exact trigger semantics (validated against
+``utils.golden`` in tests/test_native_runtime.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libatrt.so")
+_build_lock = threading.Lock()
+_lib = None
+
+
+def _load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH)
+            < os.path.getmtime(os.path.join(_NATIVE_DIR, "atrt.cpp"))
+        ):
+            subprocess.run(
+                ["make", "-s", "libatrt.so"], cwd=_NATIVE_DIR, check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.atrt_create.restype = ctypes.c_void_p
+        lib.atrt_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_int]
+        lib.atrt_destroy.argtypes = [ctypes.c_void_p]
+        lib.atrt_push.restype = ctypes.c_int
+        lib.atrt_push.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int]
+        lib.atrt_poll.restype = ctypes.c_int
+        lib.atrt_poll.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_longlong)]
+        for name in ("atrt_sample_count", "atrt_events_detected",
+                     "atrt_events_dropped"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_longlong
+            fn.argtypes = [ctypes.c_void_p]
+        lib.atrt_powers.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    try:
+        _load_library()
+        return True
+    except Exception:
+        return False
+
+
+class NativeIngestRuntime:
+    """Native streaming ingest + event detection (libatrt.so)."""
+
+    def __init__(self, channels: int, frame_size: int = 1024,
+                 threshold: Optional[int] = None, queue_capacity: int = 64):
+        if threshold is None:
+            bits = int(np.log2(frame_size))
+            threshold = 2 << (2 * (bits - 1))
+        self._lib = _load_library()
+        self.channels = channels
+        self.frame_size = frame_size
+        self.threshold = threshold
+        self._h = self._lib.atrt_create(
+            channels, frame_size, threshold, queue_capacity)
+        if not self._h:
+            raise MemoryError("atrt_create failed")
+        self._frame_buf = np.empty(channels * frame_size, np.int16)
+
+    def push(self, samples: np.ndarray) -> int:
+        """samples: [T, channels] (interleaved tuples) int16.
+        Returns events enqueued by this push."""
+        arr = np.ascontiguousarray(samples, dtype=np.int16)
+        assert arr.ndim == 2 and arr.shape[1] == self.channels
+        return self._lib.atrt_push(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            arr.shape[0])
+
+    def poll(self):
+        """Pop one event -> (frames [channels, frame_size] int16, stamp) or
+        None."""
+        stamp = ctypes.c_longlong()
+        ok = self._lib.atrt_poll(
+            self._h,
+            self._frame_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.byref(stamp))
+        if not ok:
+            return None
+        return (self._frame_buf.reshape(
+            self.channels, self.frame_size).copy(), int(stamp.value))
+
+    def powers(self):
+        inc = (ctypes.c_longlong * self.channels)()
+        out = (ctypes.c_longlong * self.channels)()
+        self._lib.atrt_powers(self._h, inc, out)
+        return np.array(inc[:]), np.array(out[:])
+
+    @property
+    def sample_count(self) -> int:
+        return self._lib.atrt_sample_count(self._h)
+
+    @property
+    def events_detected(self) -> int:
+        return self._lib.atrt_events_detected(self._h)
+
+    @property
+    def events_dropped(self) -> int:
+        return self._lib.atrt_events_dropped(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.atrt_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PyIngestRuntime:
+    """Pure-NumPy fallback with the same API and semantics."""
+
+    def __init__(self, channels: int, frame_size: int = 1024,
+                 threshold: Optional[int] = None, queue_capacity: int = 64):
+        bits = int(np.log2(frame_size))
+        self.channels = channels
+        self.frame_size = frame_size
+        self.threshold = (threshold if threshold is not None
+                          else 2 << (2 * (bits - 1)))
+        self._half_bits = bits - 1
+        self._events: list = []
+        self._queue_capacity = queue_capacity
+        self.sample_count = 0
+        self.events_detected = 0
+        self.events_dropped = 0
+        self._suppress_until = frame_size - 1
+        self._reset_rings()
+
+    def _reset_rings(self):
+        n, c = self.frame_size, self.channels
+        self._buf = np.zeros((c, n), np.int16)
+        self._head = 0
+        self._full = False
+        self._inc_t = np.zeros(c, np.int64)
+        self._inc_p = np.zeros(c, np.int64)
+        self._out_t = np.zeros(c, np.int64)
+        self._out_p = np.zeros(c, np.int64)
+
+    def push(self, samples: np.ndarray) -> int:
+        arr = np.asarray(samples, np.int16)
+        events = 0
+        n = self.frame_size
+        for tup in arr:
+            mid = (self._head - n // 2) % n
+            m = self._buf[:, mid].astype(np.int64)
+            o = self._buf[:, self._head].astype(np.int64)
+            s = tup.astype(np.int64)
+            self._out_t += m - o
+            self._out_p += m * m - o * o
+            self._inc_t += s - m
+            self._inc_p += s * s - m * m
+            self._buf[:, self._head] = tup
+            self._head += 1
+            if self._head >= n:
+                self._head = 0
+                self._full = True
+            t = self.sample_count
+            self.sample_count += 1
+            if not self._full or t < self._suppress_until:
+                continue
+            inc = int(((self._inc_p << self._half_bits)
+                       - self._inc_t ** 2).sum())
+            out = int(((self._out_p << self._half_bits)
+                       - self._out_t ** 2).sum())
+            if out > self.threshold + inc:
+                frame = np.concatenate(
+                    [self._buf[:, self._head:], self._buf[:, : self._head]],
+                    axis=1)
+                self.events_detected += 1
+                if len(self._events) < self._queue_capacity:
+                    self._events.append((frame.copy(), t))
+                    events += 1
+                else:
+                    self.events_dropped += 1
+                self._reset_rings()
+                self._suppress_until = self.sample_count + n - 1
+        return events
+
+    def poll(self):
+        if not self._events:
+            return None
+        return self._events.pop(0)
+
+    def powers(self):
+        inc = (self._inc_p << self._half_bits) - self._inc_t ** 2
+        out = (self._out_p << self._half_bits) - self._out_t ** 2
+        return inc, out
+
+    def close(self):
+        pass
+
+
+def create_ingest_runtime(channels: int, frame_size: int = 1024,
+                          threshold: Optional[int] = None,
+                          queue_capacity: int = 64,
+                          prefer_native: bool = True):
+    """Factory: native runtime when buildable, NumPy fallback otherwise."""
+    if prefer_native and native_available():
+        return NativeIngestRuntime(
+            channels, frame_size, threshold, queue_capacity)
+    return PyIngestRuntime(channels, frame_size, threshold, queue_capacity)

@@ -1,0 +1,97 @@
+"""Viz layer: rendering shapes, palette parity, PNG round-trip."""
+
+import io
+import zlib
+
+import numpy as np
+
+from audio_triangulation_tpu.core.config import GridConfig
+from audio_triangulation_tpu.core import geometry
+from audio_triangulation_tpu.viz import png as png_mod
+from audio_triangulation_tpu.viz import render
+from audio_triangulation_tpu.viz.raster import Canvas, VGA16, WHITE
+from audio_triangulation_tpu.utils import golden
+
+GRID = GridConfig()
+MICS = geometry.reference_array()
+
+
+def test_canvas_primitives():
+    c = Canvas(64, 48)
+    c.fill_rect(10, 10, 5, 5, WHITE)
+    assert (c.rgb[10:15, 10:15] == 255).all()
+    c.line(0, 0, 63, 47, 4)
+    assert tuple(c.rgb[0, 0]) == tuple(VGA16[4])
+    assert tuple(c.rgb[47, 63]) == tuple(VGA16[4])
+    c.circle(32, 24, 10, 2)
+    assert tuple(c.rgb[24, 42]) == tuple(VGA16[2])
+
+
+def test_heatmap_levels_palette_matches_reference_colors(rng):
+    """Level image colors must map exactly like vga_draw_heatmap's
+    white/green/red/blue/black scheme."""
+    scores = rng.integers(0, 10**6, size=(101, 101)).astype(np.int64)
+    levels = golden.heatmap_colors(scores)
+    img = render.heatmap_rgb(levels, GRID, cell_px=1, axes=False)
+    # max cell is white
+    y, x = np.unravel_index(scores.argmax(), scores.shape)
+    assert tuple(img[y, x]) == (255, 255, 255)
+    # level 0 cells are black
+    yz, xz = np.nonzero(levels == 0)
+    assert (img[yz, xz] == 0).all()
+
+
+def test_heatmap_continuous_and_markers():
+    scores = np.linspace(0, 1, 101 * 101).reshape(101, 101)
+    img = render.heatmap_rgb(
+        scores, GRID, mode="continuous", mic_positions=MICS, cell_px=4)
+    assert img.shape == (404, 404, 3)
+    assert img.max() == 255
+
+
+def test_panels_shapes(rng):
+    frames = rng.normal(size=(3, 1024))
+    wf = render.waveform_panel(frames, np.array([0, 5, -3]))
+    assert wf.shape == (81, 160, 3)
+    corr = rng.normal(size=(3, 93))
+    cp = render.correlogram_panel(corr)
+    assert cp.shape == (81, 160, 3)
+
+
+def test_status_text_format():
+    s = render.status_text(
+        frame_powers=[100, 200, 300],
+        best_shifts=[1, -2, 3],
+        mic_positions=MICS,
+        pair_names=["AB", "AC", "BC"],
+    )
+    assert "Mic A" in s and "Shift AB:  +1" in s and "Mic Positions" in s
+
+
+def test_dashboard_composes(rng):
+    frames = rng.normal(size=(3, 1024))
+    corr = rng.normal(size=(3, 93))
+    scores = rng.integers(0, 10**6, size=101 * 101).astype(np.int64)
+    levels = golden.heatmap_colors(scores.reshape(101, 101))
+    img = render.dashboard(
+        frames=frames, correlograms=corr,
+        heat_levels_or_scores=levels, grid=GRID,
+        mic_positions=MICS, best_shifts=np.array([4, -6, 2]),
+        status=render.status_text(best_shifts=[4, -6, 2]),
+    )
+    assert img.shape == (480, 640, 3)
+    assert img.any()
+
+
+def test_png_roundtrip(rng):
+    rgb = rng.integers(0, 255, size=(20, 30, 3)).astype(np.uint8)
+    data = png_mod.png_bytes(rgb)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode IDAT and verify raw pixel bytes
+    idat_pos = data.find(b"IDAT")
+    size = int.from_bytes(data[idat_pos - 4: idat_pos], "big")
+    raw = zlib.decompress(data[idat_pos + 4: idat_pos + 4 + size])
+    rows = np.frombuffer(raw, np.uint8).reshape(20, 1 + 30 * 3)
+    assert (rows[:, 0] == 0).all()
+    np.testing.assert_array_equal(
+        rows[:, 1:].reshape(20, 30, 3), rgb)
