@@ -67,6 +67,10 @@ class PipelineConfig:
     # matmul precision for the 'mxu' engine: 'float32' or 'bfloat16'
     # (bf16 runs the DFT at 2x MXU rate with f32 accumulation)
     matmul_dtype: str = "float32"
+    # fused single-VMEM-pass Pallas GCC kernel (ops/pallas/gcc_kernel.py):
+    # 'auto' uses it on TPU when shapes fit VMEM; 'on'/'off' force it
+    fused_kernel: str = "auto"
+    fused_tile_b: int = 64
     # PHAT whitening of the cross-power spectrum (new capability; reference has
     # no whitening -- set False for reference parity).
     phat: bool = False

@@ -119,6 +119,9 @@ class Localizer:
                 srp_form=self.srp_form,
                 with_solver=self.with_solver,
                 with_heatmap=self.with_heatmap,
+                pairs_static=tuple(
+                    tuple(int(v) for v in row)
+                    for row in np.asarray(self.params.pairs)),
             )
         )
 
@@ -156,6 +159,50 @@ def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
     raise ValueError(f"unknown xcorr mode {cfg.xcorr_mode}")
 
 
+def _use_fused_kernel(cfg: PipelineConfig, n_mics: int, n: int) -> bool:
+    """Dispatch to the single-VMEM-pass Pallas GCC kernel when profitable."""
+    from ..ops.pallas import gcc_kernel
+
+    if cfg.fused_kernel == "off" or cfg.xcorr_mode != "mxu":
+        return False
+    if cfg.normalize_mode not in ("shift8", "none"):
+        return False  # full-range normalization is not folded into the kernel
+    if cfg.fused_kernel == "on":
+        return True
+    return (jax.default_backend() == "tpu"
+            and gcc_kernel.fused_gcc_fits_vmem(
+                n_mics, n, cfg, cfg.fused_tile_b))
+
+
+def _conditioned_correlograms(
+    params: LocalizerParams, frames: jnp.ndarray, cfg: PipelineConfig,
+    pairs_static: tuple | None = None,
+) -> jnp.ndarray:
+    """Raw frames [..., M, N] -> correlograms [..., P, L], choosing between
+    the fused Pallas kernel and the unfused condition->correlate path.
+
+    ``pairs_static`` (a tuple of (i, j)) enables the fused kernel, which
+    unrolls over pairs at trace time; without it the unfused path runs."""
+    m, n = frames.shape[-2:]
+    lead = frames.shape[:-2]
+    if pairs_static is not None and _use_fused_kernel(cfg, m, n):
+        from ..ops.pallas import gcc_kernel
+
+        b = int(np.prod(lead)) if lead else 1
+        tile = cfg.fused_tile_b
+        pad = (-b) % tile
+        flat = frames.reshape(b, m, n).astype(jnp.float32)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
+        corr = gcc_kernel.fused_gcc(
+            flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile)
+        corr = corr[:b]
+        return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
+    x = condition_frames(frames, params.window, cfg)
+    return correlate_frames(x, params, cfg)
+
+
 def localize_frames(
     params: LocalizerParams,
     frames: jnp.ndarray,
@@ -166,6 +213,7 @@ def localize_frames(
     srp_form: str,
     with_solver: bool = True,
     with_heatmap: bool = False,
+    pairs_static: tuple | None = None,
 ) -> dict:
     """Full pipeline on frames [..., M, N].  Returns a dict of:
 
@@ -179,8 +227,7 @@ def localize_frames(
     - 'heat_levels'  [..., G] uint8 (only if with_heatmap)
     """
     k = cfg.max_shift
-    x = condition_frames(frames, params.window, cfg)
-    corr = correlate_frames(x, params, cfg)
+    corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
 
     shifts = xcorr.best_lag(corr, k)
     tdoa_samples, peak_val = xcorr.subsample_peak(corr, k)

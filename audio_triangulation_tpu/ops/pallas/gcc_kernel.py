@@ -1,0 +1,150 @@
+"""Fused GCC Pallas kernel: the whole per-frame hot chain in one VMEM pass.
+
+The reference's per-event compute burst (``src/sample_compute.h:105-122``:
+DC-remove -> gain -> window -> cross-correlate) maps here to a single Pallas
+kernel over a tile of frames:
+
+    frames tile [TB, M, N]  --(VMEM)-->
+      DC-remove + gain + window            (VPU)
+      Re/Im DFT = x @ cos / x @ -sin       (MXU, weights resident in VMEM)
+      per-pair cross-power (+ PHAT)        (VPU)
+      correlogram = Re @ synC + Im @ synS  (MXU)
+    -> correlograms [TB, P, L_pad]
+
+Unlike the unfused ops.mxu_fft path, the [B, M, F] spectra and [B, P, F]
+cross-power never touch HBM — per frame only the 16 KB of PCM comes in and
+~3 KB of correlogram goes out.  The DFT/synthesis matrices stay resident in
+VMEM across the whole grid.
+
+Falls back gracefully: tests run it with ``interpret=True`` on CPU; the
+wrapper in ops.mxu_fft/models dispatches to it only when shapes fit VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import PipelineConfig
+from .. import mxu_fft
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
+                syns_ref, out_ref, *, pairs, phat, phat_eps, n, tile_b,
+                n_mics):
+    """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]."""
+    x = frames_ref[:].astype(jnp.float32).reshape(tile_b * n_mics, n)
+    # conditioning: DC removal + gain folded into the window vector
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    x = (x - mean) * window_ref[:]
+
+    re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32)
+    f = re.shape[-1]
+    re = re.reshape(tile_b, n_mics, f)
+    im = im.reshape(tile_b, n_mics, f)
+
+    rrs, jjs = [], []
+    for (i, j) in pairs:  # static unroll over the (small) pair list
+        rr = re[:, i, :] * re[:, j, :] + im[:, i, :] * im[:, j, :]
+        jj = re[:, i, :] * im[:, j, :] - im[:, i, :] * re[:, j, :]
+        if phat:
+            inv = 1.0 / (jnp.sqrt(rr * rr + jj * jj) + phat_eps)
+            rr = rr * inv
+            jj = jj * inv
+        rrs.append(rr)
+        jjs.append(jj)
+    rr = jnp.stack(rrs, axis=1).reshape(tile_b * len(pairs), f)
+    jj = jnp.stack(jjs, axis=1).reshape(tile_b * len(pairs), f)
+
+    corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(jj, syns_ref[:], preferred_element_type=jnp.float32))
+    out_ref[:] = corr.reshape(tile_b, len(pairs), -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "pairs_tuple", "tile_b", "interpret"))
+def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
+                    tile_b: int, interpret: bool):
+    b, m, n = frames.shape
+    pairs = pairs_tuple
+    p = len(pairs)
+    k = cfg.max_shift
+    l_pad = _round_up(2 * k + 1, 128)
+
+    cos, msin = mxu_fft.dft_matrices(n, cfg.fft_length, "float32")
+    sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
+    # pad lag axis to the 128-lane boundary
+    sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
+    syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])
+    gain = 256.0 if cfg.normalize_mode == "shift8" else 1.0
+    win = window.astype(jnp.float32) * gain
+
+    grid = (b // tile_b,)
+    kernel = functools.partial(
+        _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
+        n=n, tile_b=tile_b, n_mics=m)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, m, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # window
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # msin
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sync
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # syns
+        ],
+        out_specs=pl.BlockSpec((tile_b, p, l_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p, l_pad), jnp.float32),
+        interpret=interpret,
+    )(frames, win, jnp.asarray(cos), jnp.asarray(msin),
+      jnp.asarray(sync), jnp.asarray(syns))
+    return out[..., : 2 * k + 1]
+
+
+def fused_gcc(
+    frames: jnp.ndarray,
+    window: jnp.ndarray,
+    pairs: np.ndarray,
+    cfg: PipelineConfig,
+    *,
+    tile_b: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Conditioned correlograms [B, P, 2K+1] straight from raw frames
+    [B, M, N] (includes DC removal, gain and windowing).
+
+    B must be a multiple of tile_b (pad the batch if needed)."""
+    b = frames.shape[0]
+    if b % tile_b != 0:
+        raise ValueError(f"batch {b} not a multiple of tile_b {tile_b}")
+    pairs_tuple = tuple(tuple(int(v) for v in row) for row in np.asarray(pairs))
+    return _fused_gcc_call(
+        frames, window, cfg, pairs_tuple, tile_b, interpret)
+
+
+def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,
+                        tile_b: int = 64,
+                        vmem_budget: int = 14 * 1024 * 1024) -> bool:
+    """Conservative VMEM feasibility estimate for the fused kernel."""
+    f = cfg.fft_length // 2 + 1
+    p = n_mics * (n_mics - 1) // 2
+    l_pad = _round_up(cfg.num_lags, 128)
+    weights = 4 * (2 * n * f + 2 * f * l_pad + n)
+    acts = 4 * (tile_b * n_mics * n + 4 * tile_b * n_mics * f
+                + 2 * tile_b * p * f + tile_b * p * l_pad)
+    return weights + acts <= vmem_budget

@@ -84,6 +84,8 @@ def make_sharded_localize(loc: localizer_mod.Localizer, mesh,
 
     frames must have batch divisible by the data-axis size."""
     params = shard_params(loc.params, mesh, grid_parallel)
+    import numpy as np
+
     fn = functools.partial(
         localizer_mod.localize_frames,
         cfg=loc.pipeline,
@@ -92,6 +94,8 @@ def make_sharded_localize(loc: localizer_mod.Localizer, mesh,
         srp_form=loc.srp_form,
         with_solver=loc.with_solver,
         with_heatmap=loc.with_heatmap,
+        pairs_static=tuple(
+            tuple(int(v) for v in row) for row in np.asarray(loc.params.pairs)),
     )
     jitted = jax.jit(
         fn,

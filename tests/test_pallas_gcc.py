@@ -1,0 +1,60 @@
+"""Fused GCC Pallas kernel (interpret mode on CPU) vs the unfused MXU path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu.core.config import PipelineConfig
+from audio_triangulation_tpu.core import geometry
+from audio_triangulation_tpu.ops import mxu_fft
+from audio_triangulation_tpu.ops.pallas import gcc_kernel
+from audio_triangulation_tpu.ops import window as window_ops
+
+
+def _setup(rng, b=8, m=3, n=1024):
+    frames = rng.normal(size=(b, m, n)).astype(np.float32) * 50 + 128
+    win = window_ops.dpss_window(n)
+    pairs = geometry.mic_pairs(m)
+    return jnp.asarray(frames), jnp.asarray(win), pairs
+
+
+def _reference(frames, win, pairs, cfg):
+    x = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    x = x * 256.0 * win
+    return mxu_fft.xcorr_mxu(x, jnp.asarray(pairs), cfg)
+
+
+def test_fused_matches_unfused(rng):
+    cfg = PipelineConfig(fft_pad_mode="circular")
+    frames, win, pairs = _setup(rng)
+    got = np.asarray(gcc_kernel.fused_gcc(
+        frames, win, pairs, cfg, tile_b=4, interpret=True))
+    ref = np.asarray(_reference(frames, win, pairs, cfg))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_fused_phat(rng):
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True, phat_eps=1e-9)
+    frames, win, pairs = _setup(rng, b=4)
+    got = np.asarray(gcc_kernel.fused_gcc(
+        frames, win, pairs, cfg, tile_b=4, interpret=True))
+    ref = np.asarray(_reference(frames, win, pairs, cfg))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_linear_mode(rng):
+    cfg = PipelineConfig(fft_pad_mode="linear")
+    frames, win, pairs = _setup(rng, b=4, m=4)
+    got = np.asarray(gcc_kernel.fused_gcc(
+        frames, win, pairs, cfg, tile_b=2, interpret=True))
+    ref = np.asarray(_reference(frames, win, pairs, cfg))
+    scale = np.abs(ref).max()
+    assert got.shape == ref.shape == (4, 6, 93)
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_vmem_estimate():
+    cfg = PipelineConfig(fft_pad_mode="circular")
+    assert gcc_kernel.fused_gcc_fits_vmem(4, 1024, cfg, tile_b=64)
+    # 64 mics cannot fit the per-pair cross-power in VMEM
+    assert not gcc_kernel.fused_gcc_fits_vmem(64, 4096, cfg, tile_b=64)
