@@ -1,0 +1,242 @@
+"""Command-line entry point (the ``main.c`` equivalent).
+
+Where the firmware's main() wires acquisition -> pipeline -> display and
+spins a scheduler (``src/main.c:48-85``), this CLI wires the same stages for
+offline/streaming runs:
+
+- ``simulate``   synth scene -> batched localization -> dashboard PNG
+- ``stream``     synthetic stream -> native ingest runtime -> streaming
+                 localizer -> per-event reports (+ dashboard PNG)
+- ``bench``      throughput benchmark on the current backend
+- ``gen-window`` emit the Q15 DPSS window table as a C array
+                 (the window.ipynb offline tool, SURVEY.md L-offline)
+- ``calibrate``  array self-calibration demo on synthetic events
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_scene(args, mics):
+    from ..utils import synth
+
+    plane = np.asarray([args.x, args.y])
+    p = np.array([args.x, args.y, args.height])
+    source = p * (args.height / np.linalg.norm(p))
+    frames = synth.synth_scene(
+        source, mics, noise_rms=args.noise, seed=args.seed)
+    return plane, frames
+
+
+def _mic_array(args):
+    from ..core import geometry
+
+    if args.array == "reference":
+        return geometry.reference_array()
+    if args.array == "square":
+        return geometry.square_array(0.3)
+    if args.array == "circular":
+        return geometry.circular_array(args.mics, 0.15)
+    if args.array == "grid":
+        side = int(np.sqrt(args.mics))
+        return geometry.grid_array(side, side, 0.05)
+    raise SystemExit(f"unknown array {args.array}")
+
+
+def cmd_simulate(args):
+    import jax.numpy as jnp
+
+    from .. import Localizer, PipelineConfig
+    from ..viz import png, render
+
+    mics = _mic_array(args)
+    plane, frames = _build_scene(args, mics)
+    loc = Localizer.create(
+        mics, PipelineConfig(phat=args.phat), with_heatmap=True)
+    out = loc(jnp.asarray(frames, jnp.float32))
+
+    xy = np.asarray(out["xy"])[0]
+    print(f"true (plane): ({plane[0]:+.3f}, {plane[1]:+.3f}) m")
+    print(f"estimate    : ({xy[0]:+.3f}, {xy[1]:+.3f}) m   "
+          f"err {np.linalg.norm(xy - plane) * 100:.1f} cm")
+    print(f"TDOAs (samples): "
+          f"{np.round(np.asarray(out['tdoa_samples'])[0], 2)}")
+
+    if args.out:
+        pair_names = [f"{chr(65 + i)}{chr(65 + j)}"
+                      for i, j in np.asarray(loc.params.pairs)]
+        img = render.dashboard(
+            frames=frames[0],
+            correlograms=np.asarray(out["correlograms"])[0],
+            heat_levels_or_scores=np.asarray(out["heat_levels"])[0],
+            grid=loc.grid,
+            mic_positions=mics,
+            best_shifts=np.asarray(out["best_shift"])[0],
+            status=render.status_text(
+                best_shifts=np.asarray(out["best_shift"])[0],
+                mic_positions=mics, pair_names=pair_names),
+        )
+        png.write_png(args.out, img)
+        print(f"dashboard -> {args.out}")
+
+
+def cmd_stream(args):
+    import jax.numpy as jnp
+
+    from .. import PipelineConfig
+    from ..core.config import StreamConfig
+    from ..models.streaming import StreamingLocalizer
+    from ..runtime import native_rt
+    from ..utils import profiling, synth
+
+    mics = _mic_array(args)
+    plane, event_frames = _build_scene(args, mics)
+
+    rng = np.random.default_rng(args.seed)
+    t_len = args.duration_samples
+    streams = rng.integers(127, 130, size=(mics.shape[0], t_len)).astype(
+        np.float64)
+    n_events = max(1, t_len // 12000)
+    for e in range(n_events):
+        at = 3000 + e * 12000
+        streams[:, at: at + 1024] += 110.0 * event_frames[0]
+    streams = np.clip(np.round(streams), 0, 255).astype(np.int16)
+
+    rt = native_rt.create_ingest_runtime(mics.shape[0])
+    kind = type(rt).__name__
+    sl = StreamingLocalizer.create(
+        mics, stream=StreamConfig(chunk_size=args.chunk))
+    state = sl.init_state()
+    meter = profiling.ThroughputMeter()
+
+    for i in range(0, t_len - t_len % args.chunk, args.chunk):
+        chunk = streams[:, i: i + args.chunk]
+        rt.push(chunk.T)
+        state, out = sl(state, jnp.asarray(chunk, jnp.float32))
+        meter.add(frames=args.chunk)
+        if bool(out["event"]):
+            xy = np.asarray(out["xy_grid"])
+            print(f"event @ sample {int(out['trigger_abs'])}: "
+                  f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
+                  f"shifts={np.asarray(out['best_shift'])}")
+
+    print(f"[{kind}] native events: {rt.events_detected}, "
+          f"jax events: {int(state.event_count)}, "
+          f"ingest rate: {meter.frames_per_sec / 1e3:.0f}k samples/s")
+    rt.close()
+
+
+def cmd_bench(args):
+    sys.argv = ["bench.py"] + (["--verbose"] if args.verbose else [])
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "..",
+                              "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def cmd_gen_window(args):
+    from ..ops import window as window_ops
+
+    w = window_ops.dpss_window(args.length, args.nw)
+    q = window_ops.q15_quantize(w)
+    print(f"static const int32_t WINDOW_FUNCTION[{args.length}] = {{")
+    for i in range(0, args.length, 12):
+        row = ", ".join(f"0x{v & 0xFFFF:04x}" for v in q[i: i + 12])
+        print(f"    {row},")
+    print("};")
+
+
+def cmd_calibrate(args):
+    import jax.numpy as jnp
+
+    from ..models import calibration
+    from ..utils import synth
+
+    mics = _mic_array(args)
+    rng = np.random.default_rng(args.seed)
+    planes = rng.uniform(-1.0, 1.0, (args.events, 2))
+    sources = np.stack([
+        np.array([x, y, args.height])
+        * (args.height / np.linalg.norm([x, y, args.height]))
+        for x, y in planes])
+    frames = synth.synth_scene(sources, mics, noise_rms=args.noise,
+                               seed=args.seed)
+    batch = calibration.CalibBatch(
+        frames=jnp.asarray(frames, jnp.float32),
+        source_xy=jnp.asarray(planes, jnp.float32))
+
+    guess = mics + rng.normal(0, args.perturb, mics.shape).astype(np.float32)
+    calib = calibration.Calibrator.create(mics.shape[0])
+    params, opt_state = calib.init(guess)
+    t0 = time.time()
+    for step in range(args.steps):
+        params, opt_state, loss = calib.train_step(params, opt_state, batch)
+        if step % max(1, args.steps // 10) == 0:
+            print(f"step {step:4d}  loss {float(loss):.5f}")
+    err0 = np.abs(guess - mics).mean() * 1000
+    err1 = np.abs(np.asarray(params.mic_xy) - mics).mean() * 1000
+    print(f"geometry error: {err0:.2f} mm -> {err1:.2f} mm "
+          f"({time.time() - t0:.1f}s)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="audio_triangulation_tpu",
+        description="TPU-native acoustic source localization framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--array", default="reference",
+                       choices=["reference", "square", "circular", "grid"])
+        p.add_argument("--mics", type=int, default=8)
+        p.add_argument("--x", type=float, default=0.8)
+        p.add_argument("--y", type=float, default=0.5)
+        p.add_argument("--height", type=float, default=1.2)
+        p.add_argument("--noise", type=float, default=0.01)
+        p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("simulate", help="synthetic scene -> localization")
+    common(p)
+    p.add_argument("--phat", action="store_true")
+    p.add_argument("--out", default="dashboard.png")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("stream", help="streaming demo with native ingest")
+    common(p)
+    p.add_argument("--chunk", type=int, default=512)
+    p.add_argument("--duration-samples", type=int, default=50_000)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("gen-window", help="emit the Q15 DPSS window C table")
+    p.add_argument("--length", type=int, default=1024)
+    p.add_argument("--nw", type=float, default=2.0)
+    p.set_defaults(fn=cmd_gen_window)
+
+    p = sub.add_parser("calibrate", help="array self-calibration demo")
+    common(p)
+    p.add_argument("--events", type=int, default=48)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--perturb", type=float, default=0.01)
+    p.set_defaults(fn=cmd_calibrate)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
