@@ -1,0 +1,143 @@
+"""Far-field direction-of-arrival (DoA) model family.
+
+New capability beyond the reference (whose near-field sphere-cap grid IS its
+only spatial model, ``src/components/vga/vga_heatmap.h``): for arrays
+observing distant sources, steer over an azimuth circle instead of a planar
+grid.  Each azimuth a has expected pair TDOA ``tau_p(a) = (m_j - m_i) . u(a)
+/ c`` with u(a) the unit bearing; scoring reuses the SRP machinery (one-hot
+lag matmul on the MXU), and the peak is refined by parabolic interpolation
+plus a least-squares bearing solve.
+
+Flagship use: the 8-mic circular array SRP-PHAT configuration
+(BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import PipelineConfig
+from ..core import geometry
+from ..ops import solver as solver_ops, srp, window as window_ops, xcorr
+from . import localizer as localizer_mod
+
+
+def azimuth_lag_lut(
+    mic_positions: np.ndarray,
+    pairs: np.ndarray,
+    pipeline: PipelineConfig,
+    n_azimuths: int,
+) -> np.ndarray:
+    """Integer lag LUT [P, A] over an azimuth circle."""
+    ang = 2 * np.pi * np.arange(n_azimuths) / n_azimuths
+    u = np.stack([np.cos(ang), np.sin(ang)], axis=-1)  # [A, 2]
+    d = (mic_positions[pairs[:, 1]] - mic_positions[pairs[:, 0]])  # [P, 2]
+    # source at bearing u: wave arrives from u, so the mic closer along u
+    # hears it earlier; delay_j - delay_i = -(m_j - m_i).u / c
+    tau = -(d @ u.T) / pipeline.speed_of_sound_mps  # [P, A] seconds
+    v = tau * pipeline.sample_rate_hz
+    shifts = np.trunc(v + np.copysign(0.5, v)).astype(np.int32)
+    k = pipeline.max_shift
+    return np.clip(shifts, -k, k) + k
+
+
+@dataclasses.dataclass(frozen=True)
+class DoaEstimator:
+    """Jitted azimuth SRP estimator."""
+
+    pipeline: PipelineConfig
+    n_azimuths: int
+    params: localizer_mod.LocalizerParams
+    onehot_az: jnp.ndarray  # [P*L, A]
+
+    @classmethod
+    def create(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig = PipelineConfig(phat=True),
+        n_azimuths: int = 360,
+    ) -> "DoaEstimator":
+        mic_positions = np.asarray(mic_positions, np.float32)
+        pairs = geometry.mic_pairs(mic_positions.shape[0])
+        lut = azimuth_lag_lut(mic_positions, pairs, pipeline, n_azimuths)
+        num_lags = pipeline.num_lags
+        onehot = np.zeros((pairs.shape[0], num_lags, n_azimuths), np.float32)
+        pp = np.repeat(np.arange(pairs.shape[0]), n_azimuths)
+        onehot[pp, lut.ravel(), np.tile(np.arange(n_azimuths),
+                                        pairs.shape[0])] = 1.0
+        win = window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw)
+        params = localizer_mod.LocalizerParams(
+            mic_positions=jnp.asarray(mic_positions),
+            pairs=jnp.asarray(pairs),
+            window=jnp.asarray(win),
+            lut_flat=jnp.asarray(lut),
+            onehot=None,
+            score_bias=None,
+        )
+        return cls(
+            pipeline=pipeline, n_azimuths=n_azimuths, params=params,
+            onehot_az=jnp.asarray(
+                onehot.reshape(pairs.shape[0] * num_lags, n_azimuths)),
+        )
+
+    def __call__(self, frames: jnp.ndarray) -> dict:
+        return self._jitted(self.params, self.onehot_az, frames)
+
+    @functools.cached_property
+    def _jitted(self):
+        pairs_static = tuple(
+            tuple(int(v) for v in row) for row in np.asarray(self.params.pairs))
+        return jax.jit(functools.partial(
+            estimate_doa, cfg=self.pipeline, n_azimuths=self.n_azimuths,
+            pairs_static=pairs_static))
+
+
+def estimate_doa(
+    params: localizer_mod.LocalizerParams,
+    onehot_az: jnp.ndarray,
+    frames: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    n_azimuths: int,
+    pairs_static: tuple | None = None,
+) -> dict:
+    """frames [..., M, N] -> azimuth estimates.
+
+    Returns 'azimuth_deg' [...], 'scores' [..., A], 'bearing' [..., 2],
+    'tdoa_samples' [..., P]."""
+    k = cfg.max_shift
+    corr = localizer_mod._conditioned_correlograms(
+        params, frames, cfg, pairs_static)
+    shifts = xcorr.best_lag(corr, k)
+    corr_t = (xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
+              if cfg.taper_enabled else corr)
+    scores = srp.srp_scores_matmul(corr_t, onehot_az)  # [..., A]
+
+    # parabolic refinement on the (circular) azimuth axis
+    a = jnp.argmax(scores, axis=-1)
+    sm = jnp.take_along_axis(
+        scores, ((a - 1) % n_azimuths)[..., None], axis=-1)[..., 0]
+    s0 = jnp.take_along_axis(scores, a[..., None], axis=-1)[..., 0]
+    sp = jnp.take_along_axis(
+        scores, ((a + 1) % n_azimuths)[..., None], axis=-1)[..., 0]
+    den = sm - 2.0 * s0 + sp
+    delta = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sm - sp) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    az = (a + delta) * (360.0 / n_azimuths)
+
+    tdoa_samples, _ = xcorr.subsample_peak(corr, k)
+    bearing = solver_ops.farfield_bearing(
+        tdoa_samples / cfg.sample_rate_hz,
+        params.mic_positions, params.pairs, cfg.speed_of_sound_mps)
+    return {
+        "azimuth_deg": az % 360.0,
+        "scores": scores,
+        "bearing": bearing,
+        "tdoa_samples": tdoa_samples,
+        "best_shift": shifts,
+    }

@@ -159,6 +159,41 @@ def pad_scores_bias(num_cells: int, padded: int, dtype=np.float32) -> np.ndarray
     return b
 
 
+def top_k_peaks(
+    scores: jnp.ndarray,
+    cell_xy: jnp.ndarray,
+    k: int,
+    min_separation_m: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-source peak extraction (new capability; the reference heatmap
+    shows one argmax implicitly).
+
+    Greedy non-maximum suppression: k rounds of (argmax, suppress a
+    ``min_separation_m``-radius disc around it).  scores [..., G],
+    cell_xy [G, 2] meters.  Returns (peak_xy [..., k, 2], peak_score
+    [..., k]); later peaks may repeat suppressed-floor cells if fewer than k
+    distinct sources exist (rank by peak_score)."""
+    import jax
+
+    neg = jnp.asarray(-3e38, scores.dtype)
+    r2 = min_separation_m * min_separation_m
+
+    def round_fn(s, _):
+        idx = jnp.argmax(s, axis=-1)  # [...]
+        val = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        xy = cell_xy[idx]  # [..., 2]
+        d2 = jnp.sum(
+            (cell_xy - xy[..., None, :]) ** 2, axis=-1)  # [..., G]
+        s = jnp.where(d2 <= r2, neg, s)
+        return s, (xy, val)
+
+    _, (xys, vals) = jax.lax.scan(round_fn, scores, None, length=k)
+    # scan stacks on axis 0 -> move k next to the batch dims
+    xys = jnp.moveaxis(xys, 0, -2)
+    vals = jnp.moveaxis(vals, 0, -1)
+    return xys, vals
+
+
 def auto_srp_form(num_pairs: int, num_lags: int, num_cells: int,
                   onehot_budget_bytes: int = 256 * 1024 * 1024) -> str:
     """Pick 'matmul' when the one-hot steering matrix fits the budget,
