@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Benchmark matrix: all five BASELINE.json configurations on the current
+backend.  Prints one JSON line per config plus a summary line.
+
+  1. 2-mic GCC-PHAT, 1024-sample frames (TDOA only)
+  2. 3-mic planar triangulation, single frame (latency) + batched
+  3. 4-mic square array, streaming 50%-overlap frames, all pairs
+  4. 8-mic circular SRP-PHAT over a 64x64-ish spatial grid
+  5. 64-mic array, 4096-pt frames, 10k-frame batched inference (chunked)
+
+``bench.py`` remains the single headline metric; this is the coverage run.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed(fn, *args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import (
+        GridConfig, Localizer, PipelineConfig, geometry,
+    )
+    from audio_triangulation_tpu.models.doa import DoaEstimator
+    from audio_triangulation_tpu.ops import xcorr as xcorr_ops
+    from audio_triangulation_tpu.ops import mxu_fft
+    from audio_triangulation_tpu.utils import synth
+
+    results = []
+    dev = str(jax.devices()[0])
+
+    def report(name, frames_per_sec, batch, extra=None):
+        rec = {"config": name, "frames_per_sec": round(frames_per_sec, 1),
+               "batch": batch, "device": dev}
+        if extra:
+            rec.update(extra)
+        results.append(rec)
+        print(json.dumps(rec))
+
+    # ---- config 1: 2-mic GCC-PHAT TDOA ----
+    cfg1 = PipelineConfig(phat=True, fft_pad_mode="circular")
+    mics2 = np.array([[-0.1, 0.0], [0.1, 0.0]], np.float32)
+    sig = synth.chirp_burst(1024, 48_000.0)
+    b1 = 16384
+    pair = jnp.asarray([[0, 1]], jnp.int32)
+    f2 = np.stack([sig, synth.fractional_delay(sig, 7.3)])
+    frames2 = jax.device_put(
+        jnp.asarray(np.tile(f2.astype(np.float32), (b1, 1, 1))))
+
+    @jax.jit
+    def gcc2(x):
+        corr = mxu_fft.xcorr_mxu(x, pair, cfg1)
+        return xcorr_ops.subsample_peak(corr, cfg1.max_shift)[0]
+
+    dt = _timed(gcc2, frames2)
+    report("1_2mic_gcc_phat_1024", b1 / dt, b1)
+
+    # ---- config 2: 3-mic triangulation ----
+    mics3 = geometry.reference_array()
+    loc3 = Localizer.create(mics3, PipelineConfig(fft_pad_mode="circular"))
+    src = np.array([0.7, 0.4, 1.2])
+    src = src * 1.2 / np.linalg.norm(src)
+    one = synth.synth_scene(src, mics3, noise_rms=0.01, seed=1)
+    fr1 = jnp.asarray(one, jnp.float32)
+    run3 = jax.jit(lambda x: loc3._jitted(loc3.params, x)["xy"])
+    dt_lat = _timed(run3, fr1, iters=50, warmup=3)
+    b3 = 16384
+    frb = jnp.asarray(np.broadcast_to(one, (b3, 3, 1024)).copy(), jnp.float32)
+    dt = _timed(run3, frb)
+    report("2_3mic_triangulation", b3 / dt, b3,
+           {"single_frame_latency_us": round(dt_lat * 1e6, 1)})
+
+    # ---- config 3: 4-mic square, streaming 50%-overlap framing ----
+    mics4 = geometry.square_array(0.3)
+    loc4 = Localizer.create(
+        mics4, PipelineConfig(phat=True, fft_pad_mode="circular"))
+    t_len = 1024 * 2049  # -> 4096 overlapped frames of 1024 @ hop 512
+    stream = np.random.default_rng(0).normal(
+        0, 0.05, (4, t_len)).astype(np.float32)
+
+    @jax.jit
+    def overlap_localize(s):
+        # 50%-overlap framing as a strided gather, then the full pipeline
+        hop = 512
+        n_frames = (s.shape[-1] - 1024) // hop + 1
+        idx = (jnp.arange(n_frames)[:, None] * hop
+               + jnp.arange(1024)[None, :])
+        frames = s[:, idx]  # [M, F, N]
+        frames = jnp.moveaxis(frames, 0, 1)  # [F, M, N]
+        return loc4._jitted(loc4.params, frames)["xy"]
+
+    dt = _timed(overlap_localize, jnp.asarray(stream), iters=5)
+    n_frames = (t_len - 1024) // 512 + 1
+    report("3_4mic_streaming_overlap", n_frames / dt, n_frames)
+
+    # ---- config 4: 8-mic circular SRP-PHAT, 64x64 grid ----
+    mics8 = geometry.circular_array(8, 0.15)
+    grid64 = GridConfig(half_cells_x=32, half_cells_y=32, cells_per_m=24.0)
+    loc8 = Localizer.create(
+        mics8, PipelineConfig(phat=True, fft_pad_mode="circular"), grid64)
+    b8 = 8192
+    one8 = synth.synth_scene(src, mics8, noise_rms=0.01, seed=2)
+    fr8 = jnp.asarray(np.broadcast_to(one8, (b8, 8, 1024)).copy(), jnp.float32)
+    run8 = jax.jit(lambda x: loc8._jitted(loc8.params, x)["xy"])
+    dt = _timed(run8, fr8)
+    report("4_8mic_circular_srp_phat_65x65", b8 / dt, b8,
+           {"srp_form": loc8.srp_form})
+
+    # ---- config 5: 64-mic, 4096-pt frames, 10k frames chunked ----
+    mics64 = geometry.grid_array(8, 8, 0.05)
+    cfg64 = PipelineConfig(
+        frame_size_bits=12,
+        max_shift_samples=geometry.max_lag_for_array(
+            mics64, PipelineConfig()),
+        phat=True, fft_pad_mode="circular")
+    grid5 = GridConfig(half_cells_x=31, half_cells_y=31, cells_per_m=16.0)
+    loc64 = Localizer.create(mics64, cfg64, grid5)
+    chunk = 256
+    one64 = synth.synth_scene(src, mics64, n=4096, seed=3)
+    fr64 = jnp.asarray(
+        np.broadcast_to(one64, (chunk, 64, 4096)).copy(), jnp.float32)
+    run64 = jax.jit(lambda x: loc64._jitted(loc64.params, x)["xy"])
+    dt = _timed(run64, fr64, iters=5)
+    fps = chunk / dt
+    report("5_64mic_4096pt_batched", fps, chunk,
+           {"pairs": 2016, "time_for_10k_frames_s": round(10_000 / fps, 2),
+            "srp_form": loc64.srp_form})
+
+    with open("BENCH_CONFIGS.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"summary": "ok", "configs": len(results)}))
+
+
+if __name__ == "__main__":
+    main()
