@@ -71,6 +71,9 @@ class PipelineConfig:
     # 'auto' uses it on TPU when shapes fit VMEM; 'on'/'off' force it
     fused_kernel: str = "auto"
     fused_tile_b: int = 64
+    # block the pair axis of the GCC cross-power when P is large (e.g. 2016
+    # pairs for 64 mics would need tens of GB unblocked); None -> auto
+    pair_chunk: Optional[int] = None
     # PHAT whitening of the cross-power spectrum (new capability; reference has
     # no whitening -- set False for reference parity).
     phat: bool = False

@@ -150,6 +150,14 @@ def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
                      cfg: PipelineConfig) -> jnp.ndarray:
     """Conditioned frames [..., M, N] -> correlograms [..., P, L]."""
     if cfg.xcorr_mode == "mxu":
+        n_pairs = params.pairs.shape[0]
+        chunk = cfg.pair_chunk
+        if chunk is None and n_pairs > 256:
+            chunk = 128  # bound the [B, P, F] cross-power intermediate
+        if chunk is not None and n_pairs > chunk:
+            return mxu_fft.xcorr_mxu_pairblocked(
+                frames, params.pairs, cfg, matmul_dtype=cfg.matmul_dtype,
+                pair_chunk=chunk)
         return mxu_fft.xcorr_mxu(
             frames, params.pairs, cfg, matmul_dtype=cfg.matmul_dtype)
     if cfg.xcorr_mode == "fft":
@@ -242,7 +250,15 @@ def localize_frames(
     if srp_form == "matmul":
         scores = srp.srp_scores_matmul(corr_t, params.onehot)
     else:
-        scores = srp.srp_scores_gather(corr_t, params.lut_flat)
+        n_pairs = params.pairs.shape[0]
+        chunk = cfg.pair_chunk
+        if chunk is None and n_pairs > 256:
+            chunk = 128
+        if chunk is not None and n_pairs > chunk:
+            scores = srp.srp_scores_gather_blocked(
+                corr_t, params.lut_flat, chunk)
+        else:
+            scores = srp.srp_scores_gather(corr_t, params.lut_flat)
     if params.score_bias is not None:
         scores = scores + params.score_bias
 

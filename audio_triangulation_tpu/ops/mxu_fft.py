@@ -119,6 +119,47 @@ def lag_correlogram(rr: jnp.ndarray, jj: jnp.ndarray,
     return a + b
 
 
+def xcorr_mxu_pairblocked(
+    frames: jnp.ndarray,
+    pairs: jnp.ndarray,
+    cfg: PipelineConfig,
+    *,
+    matmul_dtype: str = "float32",
+    pair_chunk: int = 128,
+) -> jnp.ndarray:
+    """Large-array GCC: spectra computed once, then cross-power + lag
+    synthesis evaluated ``pair_chunk`` pairs at a time under ``lax.map``.
+
+    For arrays like 64 mics (2016 pairs) the full [B, P, F] cross-power
+    would need tens of GB of HBM; blocking the pair axis bounds the live
+    intermediate to [B, pair_chunk, F] while producing the same [B, P, L]
+    correlograms (tested against :func:`xcorr_mxu`)."""
+    n = frames.shape[-1]
+    cos, msin = dft_matrices(n, cfg.fft_length, matmul_dtype)
+    syn_c, syn_s = lag_synthesis_matrices(
+        cfg.fft_length, cfg.max_shift, matmul_dtype)
+    syn_c = jnp.asarray(syn_c)
+    syn_s = jnp.asarray(syn_s)
+    re, im = rdft(frames, jnp.asarray(cos), jnp.asarray(msin))  # [..., M, F]
+
+    p = pairs.shape[0]
+    pad = (-p) % pair_chunk
+    pairs_padded = jnp.concatenate(
+        [pairs, jnp.zeros((pad, 2), pairs.dtype)]) if pad else pairs
+    chunks = pairs_padded.reshape(-1, pair_chunk, 2)
+
+    def body(pc):
+        rr, jj = cross_power_reim(
+            re, im, pc, phat=cfg.phat, phat_eps=cfg.phat_eps)
+        return lag_correlogram(rr, jj, syn_c, syn_s)  # [..., chunk, L]
+
+    out = jax.lax.map(body, chunks)  # [n_chunks, ..., chunk, L]
+    out = jnp.moveaxis(out, 0, -3)  # [..., n_chunks, chunk, L]
+    lead = out.shape[:-3]
+    out = out.reshape(*lead, -1, out.shape[-1])
+    return out[..., :p, :]
+
+
 def xcorr_mxu(
     frames: jnp.ndarray,
     pairs: jnp.ndarray,

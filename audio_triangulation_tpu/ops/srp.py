@@ -50,6 +50,41 @@ def srp_scores_gather(
     return jnp.sum(gathered, axis=-2)
 
 
+def srp_scores_gather_blocked(
+    correlograms: jnp.ndarray, lut_flat: jnp.ndarray, pair_chunk: int = 128
+) -> jnp.ndarray:
+    """Pair-blocked gather scoring for large arrays: accumulates [..., G]
+    over ``pair_chunk``-sized slices of the pair axis so the [..., P, G]
+    gather intermediate never materializes (2016 pairs x a 63x63 grid would
+    need ~8 GB per batch of 256 otherwise)."""
+    import jax
+
+    p = correlograms.shape[-2]
+    pad = (-p) % pair_chunk
+    corr = correlograms
+    lut = lut_flat
+    if pad:
+        corr = jnp.concatenate(
+            [corr, jnp.zeros((*corr.shape[:-2], pad, corr.shape[-1]),
+                             corr.dtype)], axis=-2)
+        lut = jnp.concatenate(
+            [lut, jnp.zeros((pad, lut.shape[-1]), lut.dtype)], axis=0)
+    n_chunks = corr.shape[-2] // pair_chunk
+    corr_c = jnp.moveaxis(
+        corr.reshape(*corr.shape[:-2], n_chunks, pair_chunk,
+                     corr.shape[-1]), -3, 0)  # [C, ..., chunk, L]
+    lut_c = lut.reshape(n_chunks, pair_chunk, -1)
+
+    def body(acc, args):
+        c, l = args
+        return acc + srp_scores_gather(c, l), None
+
+    init = jnp.zeros((*correlograms.shape[:-2], lut.shape[-1]),
+                     correlograms.dtype)
+    out, _ = jax.lax.scan(body, init, (corr_c, lut_c))
+    return out
+
+
 def srp_scores_int(
     correlograms: jnp.ndarray, lut_flat: jnp.ndarray
 ) -> jnp.ndarray:

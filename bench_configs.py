@@ -93,15 +93,12 @@ def main():
     stream = np.random.default_rng(0).normal(
         0, 0.05, (4, t_len)).astype(np.float32)
 
+    from audio_triangulation_tpu.ops import framing
+
     @jax.jit
     def overlap_localize(s):
-        # 50%-overlap framing as a strided gather, then the full pipeline
-        hop = 512
-        n_frames = (s.shape[-1] - 1024) // hop + 1
-        idx = (jnp.arange(n_frames)[:, None] * hop
-               + jnp.arange(1024)[None, :])
-        frames = s[:, idx]  # [M, F, N]
-        frames = jnp.moveaxis(frames, 0, 1)  # [F, M, N]
+        # 50%-overlap framing via reshape-interleave, then the full pipeline
+        frames = framing.frame_multichannel(s, 1024, 512)  # [F, M, N]
         return loc4._jitted(loc4.params, frames)["xy"]
 
     dt = _timed(overlap_localize, jnp.asarray(stream), iters=5)

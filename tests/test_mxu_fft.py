@@ -72,3 +72,15 @@ def test_circular_mode_consistent(rng):
     ref = np.asarray(xcorr.xcorr_fft(frames, PAIRS, cfg))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(ours / scale, ref / scale, atol=3e-5)
+
+
+def test_pairblocked_matches_full(rng):
+    from audio_triangulation_tpu.core import geometry
+
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True)
+    frames = jnp.asarray(rng.normal(size=(2, 8, 512)).astype(np.float32))
+    pairs = jnp.asarray(geometry.mic_pairs(8))  # 28 pairs
+    full = np.asarray(mxu_fft.xcorr_mxu(frames, pairs, cfg))
+    blocked = np.asarray(mxu_fft.xcorr_mxu_pairblocked(
+        frames, pairs, cfg, pair_chunk=5))  # uneven chunking + padding
+    np.testing.assert_allclose(blocked, full, atol=1e-5)

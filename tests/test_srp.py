@@ -66,3 +66,13 @@ def test_grid_peak_quadratic_refinement():
 def test_auto_srp_form():
     assert srp.auto_srp_form(3, 93, 101 * 101) == "matmul"
     assert srp.auto_srp_form(2016, 129, 64 * 64) == "gather"
+
+
+def test_gather_blocked_matches_full(rng):
+    corr = jnp.asarray(
+        rng.normal(size=(3, 7, CFG.num_lags)).astype(np.float32))
+    lut7 = jnp.asarray(
+        rng.integers(0, CFG.num_lags, size=(7, 50)).astype(np.int32))
+    full = np.asarray(srp.srp_scores_gather(corr, lut7))
+    blocked = np.asarray(srp.srp_scores_gather_blocked(corr, lut7, 3))
+    np.testing.assert_allclose(blocked, full, rtol=1e-6, atol=1e-5)
