@@ -255,8 +255,8 @@ def localize_frames(
         if chunk is None and n_pairs > 256:
             chunk = 128
         if chunk is not None and n_pairs > chunk:
-            scores = srp.srp_scores_gather_blocked(
-                corr_t, params.lut_flat, chunk)
+            scores = srp.srp_scores_matmul_blocked(
+                corr_t, params.lut_flat, cfg.num_lags, chunk)
         else:
             scores = srp.srp_scores_gather(corr_t, params.lut_flat)
     if params.score_bias is not None:

@@ -91,6 +91,22 @@ def rdft(frames: jnp.ndarray, cos: jnp.ndarray, msin: jnp.ndarray):
     return re, im
 
 
+# N^2 matmul-DFT beats XLA's FFT for short frames; the FFT wins past this
+# (matmul cost grows ~N/log N faster; measured crossover ~2k on v5e).
+MATMUL_DFT_MAX_N = 2048
+
+
+def forward_spectra(frames: jnp.ndarray, fft_length: int,
+                    matmul_dtype: str = "float32"):
+    """(re, im) [..., F] via the faster of matmul-DFT / XLA rfft."""
+    n = frames.shape[-1]
+    if n <= MATMUL_DFT_MAX_N:
+        cos, msin = dft_matrices(n, fft_length, matmul_dtype)
+        return rdft(frames, jnp.asarray(cos), jnp.asarray(msin))
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=fft_length, axis=-1)
+    return jnp.real(spec), jnp.imag(spec)
+
+
 def cross_power_reim(
     re: jnp.ndarray, im: jnp.ndarray, pairs: jnp.ndarray,
     *, phat: bool = False, phat_eps: float = 1e-12,
@@ -135,12 +151,11 @@ def xcorr_mxu_pairblocked(
     intermediate to [B, pair_chunk, F] while producing the same [B, P, L]
     correlograms (tested against :func:`xcorr_mxu`)."""
     n = frames.shape[-1]
-    cos, msin = dft_matrices(n, cfg.fft_length, matmul_dtype)
     syn_c, syn_s = lag_synthesis_matrices(
         cfg.fft_length, cfg.max_shift, matmul_dtype)
     syn_c = jnp.asarray(syn_c)
     syn_s = jnp.asarray(syn_s)
-    re, im = rdft(frames, jnp.asarray(cos), jnp.asarray(msin))  # [..., M, F]
+    re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
 
     p = pairs.shape[0]
     pad = (-p) % pair_chunk
@@ -172,11 +187,9 @@ def xcorr_mxu(
     Numerically equivalent to ``xcorr.xcorr_fft`` (tested); with
     matmul_dtype='bfloat16' the DFT/synthesis matmuls run at 2x MXU rate with
     f32 accumulation."""
-    n = frames.shape[-1]
-    cos, msin = dft_matrices(n, cfg.fft_length, matmul_dtype)
     syn_c, syn_s = lag_synthesis_matrices(
         cfg.fft_length, cfg.max_shift, matmul_dtype)
-    re, im = rdft(frames, jnp.asarray(cos), jnp.asarray(msin))
+    re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
     rr, jj = cross_power_reim(
         re, im, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps)
     return lag_correlogram(rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s))
