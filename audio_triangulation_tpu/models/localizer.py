@@ -235,17 +235,40 @@ def localize_frames(
     - 'heat_levels'  [..., G] uint8 (only if with_heatmap)
     """
     k = cfg.max_shift
-    corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
-
-    shifts = xcorr.best_lag(corr, k)
-    tdoa_samples, peak_val = xcorr.subsample_peak(corr, k)
-    if not cfg.subsample_peak:
-        tdoa_samples = shifts.astype(corr.dtype)
-
-    corr_t = (
-        xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
-        if cfg.taper_enabled else corr
+    m, n = frames.shape[-2:]
+    lead = frames.shape[:-2]
+    fully_fused = (
+        pairs_static is not None and _use_fused_kernel(cfg, m, n)
+        and cfg.taper_enabled and cfg.subsample_peak
     )
+    if fully_fused:
+        # taper + argmax + parabolic peak run inside the Pallas kernel
+        from ..ops.pallas import gcc_kernel
+
+        b = int(np.prod(lead)) if lead else 1
+        tile = cfg.fused_tile_b
+        pad = (-b) % tile
+        flat = frames.reshape(b, m, n).astype(jnp.float32)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
+        corr_t, shifts, tdoa_samples, peak_val = gcc_kernel.fused_gcc_peaks(
+            flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile)
+        p = corr_t.shape[-2]
+        corr_t = corr_t[:b].reshape(*lead, p, corr_t.shape[-1])
+        shifts = shifts[:b].reshape(*lead, p)
+        tdoa_samples = tdoa_samples[:b].reshape(*lead, p)
+        peak_val = peak_val[:b].reshape(*lead, p)
+    else:
+        corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
+        shifts = xcorr.best_lag(corr, k)
+        tdoa_samples, peak_val = xcorr.subsample_peak(corr, k)
+        if not cfg.subsample_peak:
+            tdoa_samples = shifts.astype(corr.dtype)
+        corr_t = (
+            xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
+            if cfg.taper_enabled else corr
+        )
 
     if srp_form == "matmul":
         scores = srp.srp_scores_matmul(corr_t, params.onehot)

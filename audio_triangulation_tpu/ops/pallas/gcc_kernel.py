@@ -39,9 +39,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
-                syns_ref, out_ref, *, pairs, phat, phat_eps, n, tile_b,
-                n_mics):
-    """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]."""
+                syns_ref, out_ref, aux_ref, *, pairs, phat, phat_eps, n,
+                tile_b, n_mics, num_lags, taper_denom, with_peaks):
+    """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
+    (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
+    carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
+    peak value."""
     x = frames_ref[:].astype(jnp.float32).reshape(tile_b * n_mics, n)
     # conditioning: DC removal + gain folded into the window vector
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -68,19 +71,58 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
 
     corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32)
             + jnp.dot(jj, syns_ref[:], preferred_element_type=jnp.float32))
-    out_ref[:] = corr.reshape(tile_b, len(pairs), -1)
+    l_pad = corr.shape[-1]
+
+    if not with_peaks:
+        out_ref[:] = corr.reshape(tile_b, len(pairs), l_pad)
+        return
+
+    # ---- peak handling fused in-kernel (no gathers: one-hot reductions) ---
+    k = (num_lags - 1) // 2
+    rows = corr.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, l_pad), 1)
+    valid = lane < num_lags
+    neg = jnp.float32(-3e38)
+    masked = jnp.where(valid, corr, neg)
+    # argmax (first max wins, matching jnp.argmax / the reference's > scan)
+    v0 = jnp.max(masked, axis=-1, keepdims=True)
+    is_max = (masked == v0) & valid
+    big = jnp.where(is_max, lane, l_pad)
+    idx = jnp.min(big, axis=-1, keepdims=True)  # [rows, 1]
+    # neighbors via one-hot sums (gather-free)
+    cm = jnp.sum(jnp.where(lane == idx - 1, corr, 0.0), -1, keepdims=True)
+    cp = jnp.sum(jnp.where(lane == idx + 1, corr, 0.0), -1, keepdims=True)
+    den = cm - 2.0 * v0 + cp
+    interior = (idx >= 1) & (idx <= num_lags - 2)
+    delta = jnp.where(
+        (jnp.abs(den) > 1e-20) & interior, 0.5 * (cm - cp) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    shift = (idx - k).astype(jnp.float32)
+    tdoa = shift + delta
+
+    # Gaussian taper around the integer peak (correlations.c:26-33)
+    d = (lane - idx).astype(jnp.float32)
+    tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
+
+    out_ref[:] = tapered.reshape(tile_b, len(pairs), l_pad)
+    aux = jnp.where(lane == 0, shift, 0.0)
+    aux = aux + jnp.where(lane == 1, tdoa, 0.0)
+    aux = aux + jnp.where(lane == 2, v0, 0.0)
+    aux_ref[:] = aux.reshape(tile_b, len(pairs), l_pad)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "pairs_tuple", "tile_b", "interpret"))
+    static_argnames=("cfg", "pairs_tuple", "tile_b", "interpret",
+                     "with_peaks"))
 def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
-                    tile_b: int, interpret: bool):
+                    tile_b: int, interpret: bool, with_peaks: bool):
     b, m, n = frames.shape
     pairs = pairs_tuple
     p = len(pairs)
     k = cfg.max_shift
-    l_pad = _round_up(2 * k + 1, 128)
+    num_lags = 2 * k + 1
+    l_pad = _round_up(num_lags, 128)
 
     cos, msin = mxu_fft.dft_matrices(n, cfg.fft_length, "float32")
     sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
@@ -93,9 +135,16 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     grid = (b // tile_b,)
     kernel = functools.partial(
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
-        n=n, tile_b=tile_b, n_mics=m)
+        n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
+        taper_denom=cfg.taper_denom, with_peaks=with_peaks)
+    if not with_peaks:
+        def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
+            _k(*refs, None)
 
-    out = pl.pallas_call(
+    block = pl.BlockSpec((tile_b, p, l_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, p, l_pad), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -107,13 +156,19 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sync
             pl.BlockSpec(memory_space=pltpu.VMEM),  # syns
         ],
-        out_specs=pl.BlockSpec((tile_b, p, l_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p, l_pad), jnp.float32),
+        out_specs=(block, block) if with_peaks else block,
+        out_shape=(out_shape, out_shape) if with_peaks else out_shape,
         interpret=interpret,
     )(frames, win, jnp.asarray(cos), jnp.asarray(msin),
       jnp.asarray(sync), jnp.asarray(syns))
-    return out[..., : 2 * k + 1]
+
+    if not with_peaks:
+        return outs[..., :num_lags]
+    corr_t, aux = outs
+    return (corr_t[..., :num_lags],
+            aux[..., 0].astype(jnp.int32),  # integer best shift
+            aux[..., 1],  # sub-sample tdoa (lags)
+            aux[..., 2])  # peak value
 
 
 def fused_gcc(
@@ -125,8 +180,8 @@ def fused_gcc(
     tile_b: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Conditioned correlograms [B, P, 2K+1] straight from raw frames
-    [B, M, N] (includes DC removal, gain and windowing).
+    """Conditioned (untapered) correlograms [B, P, 2K+1] straight from raw
+    frames [B, M, N] (includes DC removal, gain and windowing).
 
     B must be a multiple of tile_b (pad the batch if needed)."""
     b = frames.shape[0]
@@ -134,7 +189,30 @@ def fused_gcc(
         raise ValueError(f"batch {b} not a multiple of tile_b {tile_b}")
     pairs_tuple = tuple(tuple(int(v) for v in row) for row in np.asarray(pairs))
     return _fused_gcc_call(
-        frames, window, cfg, pairs_tuple, tile_b, interpret)
+        frames, window, cfg, pairs_tuple, tile_b, interpret, False)
+
+
+def fused_gcc_peaks(
+    frames: jnp.ndarray,
+    window: jnp.ndarray,
+    pairs: np.ndarray,
+    cfg: PipelineConfig,
+    *,
+    tile_b: int = 64,
+    interpret: bool = False,
+):
+    """Full fused front half of the pipeline: raw frames [B, M, N] ->
+    (tapered correlograms [B, P, L], best shifts int32 [B, P],
+    sub-sample TDOAs [B, P] in lags, peak values [B, P]).
+
+    The taper, argmax and parabolic interpolation run inside the kernel on
+    VMEM-resident correlograms using gather-free one-hot reductions."""
+    b = frames.shape[0]
+    if b % tile_b != 0:
+        raise ValueError(f"batch {b} not a multiple of tile_b {tile_b}")
+    pairs_tuple = tuple(tuple(int(v) for v in row) for row in np.asarray(pairs))
+    return _fused_gcc_call(
+        frames, window, cfg, pairs_tuple, tile_b, interpret, True)
 
 
 def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,

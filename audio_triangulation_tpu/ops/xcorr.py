@@ -184,6 +184,7 @@ def subsample_peak(
     correlogram maximum, in samples."""
     n_lags = correlograms.shape[-1]
     p = jnp.argmax(correlograms, axis=-1)
+    peak = jnp.take_along_axis(correlograms, p[..., None], axis=-1)[..., 0]
     pc = jnp.clip(p, 1, n_lags - 2)
     cm = jnp.take_along_axis(correlograms, (pc - 1)[..., None], axis=-1)[..., 0]
     c0 = jnp.take_along_axis(correlograms, pc[..., None], axis=-1)[..., 0]
@@ -195,7 +196,7 @@ def subsample_peak(
     # only interpolate interior peaks
     delta = jnp.where((p >= 1) & (p <= n_lags - 2), delta, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
-    return (p - max_shift) + delta, c0
+    return (p - max_shift) + delta, peak
 
 
 # ----------------------------------------------------------------------

@@ -58,3 +58,27 @@ def test_vmem_estimate():
     assert gcc_kernel.fused_gcc_fits_vmem(4, 1024, cfg, tile_b=64)
     # 64 mics cannot fit the per-pair cross-power in VMEM
     assert not gcc_kernel.fused_gcc_fits_vmem(64, 4096, cfg, tile_b=64)
+
+
+def test_fused_peaks_matches_unfused_ops(rng):
+    from audio_triangulation_tpu.ops import xcorr as xcorr_ops
+
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True)
+    frames, win, pairs = _setup(rng, b=8)
+    corr = _reference(frames, win, pairs, cfg)
+    k = cfg.max_shift
+    exp_shifts = np.asarray(xcorr_ops.best_lag(corr, k))
+    exp_tdoa, exp_peak = xcorr_ops.subsample_peak(corr, k)
+    exp_tapered = np.asarray(
+        xcorr_ops.peak_taper(corr, k, cfg.taper_denom))
+
+    got_corr, got_shifts, got_tdoa, got_peak = gcc_kernel.fused_gcc_peaks(
+        frames, win, pairs, cfg, tile_b=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_shifts), exp_shifts)
+    np.testing.assert_allclose(np.asarray(got_tdoa), np.asarray(exp_tdoa),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_peak), np.asarray(exp_peak),
+                               rtol=1e-5, atol=1e-5)
+    scale = np.abs(exp_tapered).max()
+    np.testing.assert_allclose(
+        np.asarray(got_corr) / scale, exp_tapered / scale, atol=1e-5)
