@@ -169,7 +169,8 @@ class SolverConfig:
     """Closed-form / iterative TDOA solver (new capability; the reference's
     only solver is the grid search itself)."""
 
-    iterations: int = 8  # Gauss-Newton steps
+    iterations: int = 5  # Gauss-Newton steps (quadratic convergence from a
+    # grid-cell-accurate init; 3-4 suffice, 5 adds margin)
     damping: float = 1e-3  # Levenberg damping
     constrain_to_sphere: bool = True  # match the reference's sphere-cap model
 
