@@ -16,7 +16,7 @@ offline/streaming runs:
 from __future__ import annotations
 
 import argparse
-import json
+
 import sys
 import time
 

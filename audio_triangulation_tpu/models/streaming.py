@@ -26,14 +26,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..core.config import GridConfig, PipelineConfig, SolverConfig, StreamConfig
-from ..core import geometry
+
 from ..ops import detector, srp, xcorr
 from . import localizer as localizer_mod
 

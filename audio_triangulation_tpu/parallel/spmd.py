@@ -1,0 +1,112 @@
+"""Explicit-SPMD execution with shard_map and hand-placed collectives.
+
+`parallel.sharded` lets XLA derive collectives from sharding annotations (the
+default, compiler-driven path).  This module is the manually-scheduled
+alternative for when you want the collectives in the program text — the
+scaling-book progression: annotate first, shard_map when you need control.
+
+``localize_grid_spmd`` partitions the SRP grid over the ``model`` axis: every
+device scores only its grid shard (its slice of the steering matrix), finds
+its local argmax, and a cross-device argmax reduction (max + where + psum)
+selects the global winner — the explicit form of what XLA emits for the
+annotated path.  Frames ride the ``data`` axis untouched.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..core.config import GridConfig, PipelineConfig
+from ..models import localizer as localizer_mod
+from ..ops import srp
+from . import mesh as mesh_lib
+
+
+def make_spmd_grid_localizer(loc: localizer_mod.Localizer, mesh):
+    """Returns ``fn(frames) -> {'xy_grid', 'best_cell', 'best_score',
+    'tdoa_samples'}`` running under shard_map on the given mesh.
+
+    The steering one-hot is pre-split over the model axis (padded to divide
+    evenly); each device holds only its shard."""
+    assert loc.srp_form == "matmul", "spmd grid path uses the matmul form"
+    model_n = mesh.shape[mesh_lib.MODEL_AXIS]
+    onehot = np.asarray(loc.params.onehot)
+    g = onehot.shape[1]
+    onehot_p = srp.pad_grid_axis(onehot, model_n)
+    bias = srp.pad_scores_bias(g, onehot_p.shape[1])
+    g_shard = onehot_p.shape[1] // model_n
+
+    cfg = loc.pipeline
+    grid_cfg = loc.grid
+    params = loc.params
+    pairs_static = tuple(
+        tuple(int(v) for v in row) for row in np.asarray(params.pairs))
+
+    onehot_dev = jax.device_put(
+        jnp.asarray(onehot_p), mesh_lib.onehot_sharding(mesh))
+    bias_dev = jax.device_put(
+        jnp.asarray(bias),
+        jax.sharding.NamedSharding(mesh, P(mesh_lib.MODEL_AXIS)))
+
+    def per_device(frames_shard, onehot_shard, bias_shard):
+        """frames_shard [b/data, M, N]; onehot_shard [P*L, G/model]."""
+        corr = localizer_mod._conditioned_correlograms(
+            params, frames_shard, cfg, pairs_static)
+        from ..ops import xcorr as xcorr_ops
+
+        k = cfg.max_shift
+        shifts = xcorr_ops.best_lag(corr, k)
+        tdoa, _ = xcorr_ops.subsample_peak(corr, k)
+        corr_t = xcorr_ops.peak_taper(corr, k, cfg.taper_denom, shifts)
+
+        local_scores = srp.srp_scores_matmul(corr_t, onehot_shard)
+        local_scores = local_scores + bias_shard  # -inf on padding
+        local_max = jnp.max(local_scores, axis=-1)  # [b]
+        local_arg = jnp.argmax(local_scores, axis=-1).astype(jnp.int32)
+        # globalize the cell index: offset by this device's grid shard
+        my_shard = jax.lax.axis_index(mesh_lib.MODEL_AXIS)
+        local_arg = local_arg + my_shard * g_shard
+
+        # cross-device argmax: max-reduce the score, then select the index
+        global_max = jax.lax.pmax(local_max, mesh_lib.MODEL_AXIS)
+        is_winner = local_max == global_max
+        # exactly-one-winner guard: lowest shard id wins ties
+        winner_rank = jnp.where(is_winner, my_shard, model_n)
+        min_rank = jax.lax.pmin(winner_rank, mesh_lib.MODEL_AXIS)
+        contrib = jnp.where(winner_rank == min_rank, local_arg, 0)
+        global_arg = jax.lax.psum(contrib, mesh_lib.MODEL_AXIS)
+
+        h, w = grid_cfg.height, grid_cfg.width
+        row = global_arg // w
+        col = global_arg % w
+        x_m = (col.astype(jnp.float32) - grid_cfg.half_cells_x) \
+            / grid_cfg.cells_per_m
+        y_m = (grid_cfg.half_cells_y - row.astype(jnp.float32)) \
+            / grid_cfg.cells_per_m
+        xy = jnp.stack([x_m, y_m], axis=-1)
+        return xy, global_arg, global_max, tdoa
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(mesh_lib.DATA_AXIS, None, None),
+                  P(None, mesh_lib.MODEL_AXIS),
+                  P(mesh_lib.MODEL_AXIS)),
+        out_specs=(P(mesh_lib.DATA_AXIS, None), P(mesh_lib.DATA_AXIS),
+                   P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(frames):
+        xy, cell, score, tdoa = mapped(frames, onehot_dev, bias_dev)
+        return {"xy_grid": xy, "best_cell": cell, "best_score": score,
+                "tdoa_samples": tdoa}
+
+    return fn

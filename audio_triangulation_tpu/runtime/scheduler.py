@@ -15,9 +15,9 @@ back (PT_YIELD); ``yield sem.wait()`` blocks on a semaphore (PT_SEM_WAIT).
 from __future__ import annotations
 
 import time
-from collections import deque
+
 from dataclasses import dataclass, field
-from typing import Callable, Generator, Optional
+from typing import Generator, Optional
 
 
 class Semaphore:
