@@ -79,11 +79,18 @@ def measured_tdoas(
     beta: float = 2.0,
 ) -> jnp.ndarray:
     """Frames [B, M, N] -> differentiable TDOAs [B, P] (samples)."""
-    x = frames.astype(window.dtype)
-    x = conditioning.dc_remove(x)
-    x = x * jnp.exp(params.log_gain)[:, None]
-    x = window_ops.apply_window(x, window)
-    corr = xcorr.xcorr_fft(x, pairs, cfg)
+    # rematerialize the GCC chain on the backward pass: activations of the
+    # FFT/cross-power stack dominate memory at large batch, and recomputing
+    # them is cheap relative to storing [B, M, F] complex spectra
+    @jax.checkpoint
+    def gcc(frames_in, log_gain):
+        x = frames_in.astype(window.dtype)
+        x = conditioning.dc_remove(x)
+        x = x * jnp.exp(log_gain)[:, None]
+        x = window_ops.apply_window(x, window)
+        return xcorr.xcorr_fft(x, pairs, cfg)
+
+    corr = gcc(frames, params.log_gain)
     return soft_tdoa(corr, cfg.max_shift, beta)
 
 

@@ -112,6 +112,38 @@ class StreamingLocalizer:
             donate_argnums=(0,),
         )
 
+    # ------------------------------------------------------------------
+    # Batched multi-stream serving: S independent streams advance in one
+    # device program (states stacked on a leading axis).  This is the
+    # production-serving shape — thousands of concurrent arrays sharing one
+    # chip — and it vmaps the exact same pure step, so single-stream and
+    # batched behavior are identical by construction.
+
+    def init_states(self, n_streams: int) -> StreamState:
+        one = self.init_state()
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), one)
+
+    def step_many(self, states: StreamState, chunks: jnp.ndarray):
+        """states: leading-axis-stacked StreamState; chunks [S, M, C]."""
+        return self._jitted_batch(states, chunks)
+
+    @functools.cached_property
+    def _jitted_batch(self):
+        return jax.jit(
+            jax.vmap(
+                functools.partial(
+                    stream_step,
+                    params=self.params,
+                    cfg=self.pipeline,
+                    grid_cfg=self.grid,
+                    solver_cfg=self.solver,
+                    srp_form=self.srp_form,
+                )
+            ),
+            donate_argnums=(0,),
+        )
+
     def run(self, streams: np.ndarray):
         """Convenience: drive a whole [M, T] stream through chunked steps on
         host, returning the list of per-chunk outputs."""

@@ -79,3 +79,33 @@ def test_ema_accumulates_over_events():
     assert np.abs(ema).max() > 0
     xy = np.asarray(out["xy_grid"])
     assert np.linalg.norm(xy - plane) < 0.25, (xy, plane)
+
+
+def test_batched_streams_match_single():
+    """vmapped multi-stream stepping == per-stream stepping."""
+    sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=512))
+    planes_sources = [_place(0.8, 0.5), _place(-0.4, 0.7), _place(0.2, -0.9)]
+    streams = np.stack([
+        _quiet_stream_with_event(src, t_len=6144, event_at=2000 + 700 * i,
+                                 seed=10 + i)
+        for i, (_, src) in enumerate(planes_sources)
+    ])  # [S, M, T]
+
+    # batched
+    states = sl.init_states(3)
+    batched_events = []
+    for i in range(0, 6144, 512):
+        states, out = sl.step_many(
+            states, jnp.asarray(streams[:, :, i: i + 512], jnp.float32))
+        batched_events.append(np.asarray(out["trigger_abs"]))
+    batched_counts = np.asarray(states.event_count)
+
+    # single-stream references
+    for s in range(3):
+        st, outs = sl.run(streams[s])
+        assert int(st.event_count) == batched_counts[s]
+        single_triggers = [int(o["trigger_abs"]) for o in outs
+                           if o["triggered"]]
+        batched_triggers = [int(ev[s]) for ev in batched_events
+                            if ev[s] >= 0]
+        assert single_triggers == batched_triggers
