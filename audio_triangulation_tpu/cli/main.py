@@ -227,6 +227,14 @@ def main(argv=None):
     p.add_argument("--nw", type=float, default=2.0)
     p.set_defaults(fn=cmd_gen_window)
 
+    p = sub.add_parser("localize-wav",
+                       help="detect + localize events in a WAV file")
+    common(p)
+    p.add_argument("wav")
+    p.add_argument("--phat", action="store_true")
+    p.add_argument("--max-events", type=int, default=16)
+    p.set_defaults(fn=cmd_localize_wav)
+
     p = sub.add_parser("calibrate", help="array self-calibration demo")
     common(p)
     p.add_argument("--events", type=int, default=48)
@@ -240,3 +248,38 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def cmd_localize_wav(args):
+    """Localize events in a multi-channel WAV file (offline ingest path)."""
+    import jax.numpy as jnp
+
+    from .. import Localizer, PipelineConfig
+    from ..ops import detector
+    from ..utils import io as audio_io
+
+    samples, rate = audio_io.read_wav(args.wav)
+    mics = _mic_array(args)
+    if samples.shape[0] != mics.shape[0]:
+        raise SystemExit(
+            f"wav has {samples.shape[0]} channels, array has "
+            f"{mics.shape[0]} mics")
+    cfg = PipelineConfig(sample_rate_hz=rate, phat=args.phat)
+    loc = Localizer.create(mics, cfg)
+
+    x = jnp.asarray(samples.astype(np.int64))[None]
+    idxs, valid = detector.all_triggers_capped(
+        x, cfg, max_events=args.max_events)
+    idxs = np.asarray(idxs)[0][np.asarray(valid)[0]]
+    if len(idxs) == 0:
+        print("no events detected")
+        return
+    frames = detector.extract_frames_at(
+        jnp.asarray(samples.astype(np.float32))[None].repeat(len(idxs), 0),
+        jnp.asarray(idxs), cfg.frame_size)
+    out = loc(frames)
+    xy = np.asarray(out["xy"])
+    for i, t in enumerate(idxs):
+        print(f"event @ {t / rate:8.3f}s (sample {t}): "
+              f"xy=({xy[i, 0]:+.3f}, {xy[i, 1]:+.3f}) m  "
+              f"shifts={np.asarray(out['best_shift'])[i]}")

@@ -38,3 +38,42 @@ def test_calibrate_improves(capsys):
     a = float(lines[0].split(":")[1].split("mm")[0])
     b = float(lines[0].split("->")[1].split("mm")[0])
     assert b < a
+
+
+def test_localize_wav(tmp_path, capsys):
+    import numpy as np
+
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.utils import io as audio_io
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.reference_array()
+    rng = np.random.default_rng(3)
+    p = np.array([0.6, 0.5, 1.2]); src = p * (1.2 / np.linalg.norm(p))
+    fr = synth.synth_scene(src, mics, seed=3)[0]
+    streams = rng.integers(127, 130, size=(3, 10000)).astype(np.float64)
+    streams[:, 4000:5024] += 110.0 * fr
+    wav = str(tmp_path / "scene.wav")
+    audio_io.write_wav(
+        wav, np.clip(np.round(streams), 0, 255).astype(np.int16), 50_000)
+
+    cli.main(["localize-wav", wav])
+    out = capsys.readouterr().out
+    assert "event @" in out
+
+
+def test_torch_interop():
+    from audio_triangulation_tpu.utils import interop
+
+    if not interop.torch_available():
+        import pytest
+
+        pytest.skip("torch not installed")
+    import numpy as np
+    import torch
+
+    x = torch.randn(4, 8)
+    j = interop.from_torch(x)
+    np.testing.assert_allclose(np.asarray(j), x.numpy(), rtol=1e-6)
+    back = interop.to_torch(j)
+    np.testing.assert_allclose(back.numpy(), x.numpy(), rtol=1e-6)
