@@ -106,6 +106,12 @@ class Localizer:
 
     # ------------------------------------------------------------------
     def __call__(self, frames: jnp.ndarray) -> dict:
+        m = self.params.mic_positions.shape[0]
+        n = self.pipeline.frame_size
+        if frames.ndim < 2 or frames.shape[-2] != m or frames.shape[-1] != n:
+            raise ValueError(
+                f"frames must be [..., {m} mics, {n} samples]; "
+                f"got {frames.shape}")
         return self._jitted(self.params, frames)
 
     @functools.cached_property

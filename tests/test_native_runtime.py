@@ -94,3 +94,37 @@ def test_factory():
     rt = native_rt.create_ingest_runtime(4, frame_size=512)
     assert rt.frame_size == 512
     rt.close()
+
+
+def test_threaded_producer_consumer(rng):
+    """Concurrency correctness of the SPSC event queue: a producer thread
+    pushes while the main thread polls (the runtime's intended topology)."""
+    import threading
+
+    streams = np.concatenate(
+        [_stream_with_burst(rng, t_len=4000, burst_at=1500 + 300 * i)
+         for i in range(4)], axis=-1)
+    rt = native_rt.NativeIngestRuntime(3, queue_capacity=8)
+
+    def producer():
+        for i in range(0, streams.shape[1], 64):
+            rt.push(streams.T[i: i + 64])
+
+    th = threading.Thread(target=producer)
+    th.start()
+    events = []
+    while th.is_alive() or True:
+        ev = rt.poll()
+        if ev is not None:
+            events.append(ev)
+        elif not th.is_alive():
+            break
+    th.join()
+    assert len(events) == rt.events_detected - rt.events_dropped
+    assert len(events) >= 3
+    # stamps strictly increasing, frames intact
+    stamps = [e[1] for e in events]
+    assert stamps == sorted(stamps)
+    for frames, _ in events:
+        assert frames.shape == (3, 1024)
+    rt.close()
