@@ -71,6 +71,10 @@ class PipelineConfig:
     # 'auto' uses it on TPU when shapes fit VMEM; 'on'/'off' force it
     fused_kernel: str = "auto"
     fused_tile_b: int = 64
+    # SRP scoring matmul precision: the one-hot steering matrix is exact in
+    # bfloat16, so 'bfloat16' halves the scoring cost at ~4e-3 relative score
+    # error (argmax cell unchanged in tests; the GN solve refines regardless)
+    srp_dtype: str = "float32"
     # block the pair axis of the GCC cross-power when P is large (e.g. 2016
     # pairs for 64 mics would need tens of GB unblocked); None -> auto
     pair_chunk: Optional[int] = None

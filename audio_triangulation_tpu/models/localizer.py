@@ -128,6 +128,9 @@ class Localizer:
                 pairs_static=tuple(
                     tuple(int(v) for v in row)
                     for row in np.asarray(self.params.pairs)),
+                mics_static=tuple(
+                    tuple(float(v) for v in row)
+                    for row in np.asarray(self.params.mic_positions)),
             )
         )
 
@@ -228,6 +231,7 @@ def localize_frames(
     with_solver: bool = True,
     with_heatmap: bool = False,
     pairs_static: tuple | None = None,
+    mics_static: tuple | None = None,
 ) -> dict:
     """Full pipeline on frames [..., M, N].  Returns a dict of:
 
@@ -277,7 +281,7 @@ def localize_frames(
         )
 
     if srp_form == "matmul":
-        scores = srp.srp_scores_matmul(corr_t, params.onehot)
+        scores = srp.srp_scores_matmul(corr_t, params.onehot, cfg.srp_dtype)
     else:
         n_pairs = params.pairs.shape[0]
         chunk = cfg.pair_chunk
@@ -312,12 +316,28 @@ def localize_frames(
 
     if with_solver:
         tdoa_s = tdoa_samples / cfg.sample_rate_hz
-        xy, rms = solver_ops.solve_tdoa_batched(
-            tdoa_s, params.mic_positions, params.pairs,
-            speed_of_sound=cfg.speed_of_sound_mps,
-            height=grid_cfg.height_m,
-            init_xy=xy_grid, cfg=solver_cfg,
-        )
+        use_gn_kernel = (
+            mics_static is not None and pairs_static is not None
+            and jax.default_backend() == "tpu")
+        if use_gn_kernel:
+            from ..ops.pallas import gn_kernel
+
+            flat_tau = tdoa_s.reshape(-1, tdoa_s.shape[-1])
+            flat_init = xy_grid.reshape(-1, 2)
+            xy, rms = gn_kernel.solve_tdoa_pallas(
+                flat_tau, np.asarray(mics_static), np.asarray(pairs_static),
+                speed_of_sound=cfg.speed_of_sound_mps,
+                height=grid_cfg.height_m,
+                init_xy=flat_init, cfg=solver_cfg)
+            xy = xy.reshape(*tdoa_s.shape[:-1], 2)
+            rms = rms.reshape(tdoa_s.shape[:-1])
+        else:
+            xy, rms = solver_ops.solve_tdoa_batched(
+                tdoa_s, params.mic_positions, params.pairs,
+                speed_of_sound=cfg.speed_of_sound_mps,
+                height=grid_cfg.height_m,
+                init_xy=xy_grid, cfg=solver_cfg,
+            )
         out["xy"] = xy
         out["rms_m"] = rms
     else:

@@ -25,11 +25,18 @@ import jax.numpy as jnp
 
 
 def srp_scores_matmul(
-    correlograms: jnp.ndarray, onehot: jnp.ndarray
+    correlograms: jnp.ndarray, onehot: jnp.ndarray, dtype: str = "float32"
 ) -> jnp.ndarray:
-    """scores[..., G] from correlograms [..., P, L] and onehot [P*L, G]."""
+    """scores[..., G] from correlograms [..., P, L] and onehot [P*L, G].
+
+    dtype='bfloat16' runs the contraction at 2x MXU rate with f32
+    accumulation; the 0/1 steering matrix is exact in bf16, so only the
+    correlogram operand loses precision (~4e-3 relative)."""
     *lead, p, l = correlograms.shape
     flat = correlograms.reshape(*lead, p * l)
+    if dtype == "bfloat16":
+        flat = flat.astype(jnp.bfloat16)
+        onehot = onehot.astype(jnp.bfloat16)
     return jnp.matmul(flat, onehot, preferred_element_type=jnp.float32)
 
 

@@ -37,7 +37,7 @@ def main():
     mics = geometry.square_array(0.3)
     # circular GCC on DPSS-windowed frames: 0.003-sample TDOA accuracy
     # (tests/test_mxu_fft.py) at half the transform cost of 'linear'
-    cfg = PipelineConfig(phat=True, fft_pad_mode="circular")
+    cfg = PipelineConfig(phat=True, fft_pad_mode="circular", srp_dtype="bfloat16")
     loc = Localizer.create(mics, cfg, with_solver=not args.no_solver)
 
     # one synthetic event replicated over the batch (content doesn't affect

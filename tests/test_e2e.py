@@ -107,3 +107,21 @@ def test_time_domain_mode_matches_fft_mode():
         np.asarray(loc_t(frames)["tdoa_samples"]),
         atol=1e-3,
     )
+
+
+def test_bf16_srp_scoring_accuracy():
+    """bf16 SRP scoring: same argmax cell, xy within tolerance."""
+    loc32 = Localizer.create(MICS, PipelineConfig(phat=True))
+    loc16 = Localizer.create(
+        MICS, PipelineConfig(phat=True, srp_dtype="bfloat16"))
+    planes, sources = zip(*[
+        _place(0.9, 0.4), _place(-0.6, -0.8), _place(0.2, 1.0)])
+    frames = jnp.asarray(
+        synth.synth_scene(np.stack(sources), MICS, noise_rms=0.01, seed=3),
+        jnp.float32)
+    o32, o16 = loc32(frames), loc16(frames)
+    cells32 = np.argmax(np.asarray(o32["scores"]), -1)
+    cells16 = np.argmax(np.asarray(o16["scores"]), -1)
+    np.testing.assert_array_equal(cells32, cells16)
+    np.testing.assert_allclose(
+        np.asarray(o16["xy"]), np.asarray(o32["xy"]), atol=5e-3)
