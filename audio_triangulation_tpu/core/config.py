@@ -98,6 +98,10 @@ class PipelineConfig:
 
     # --- numerics ---
     dtype: str = "float32"  # compute dtype of the float path
+    # replace non-finite input samples with zeros before processing (failure
+    # containment for production ingest; the reference's analogue is its
+    # per-capture ring re-zeroing, sample_compute.h:55-57)
+    nan_guard: bool = False
 
     # ------------------------------------------------------------------
     @property

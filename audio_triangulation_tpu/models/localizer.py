@@ -148,6 +148,8 @@ def condition_frames(frames: jnp.ndarray, window: jnp.ndarray,
     """DC-remove -> gain -> window, the float analogue of
     sample_compute.h:105-117."""
     x = frames.astype(window.dtype)
+    if cfg.nan_guard:
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
     x = conditioning.dc_remove(x)
     x = conditioning.normalize(x, cfg.normalize_mode)
     if cfg.window_enabled:
@@ -259,6 +261,8 @@ def localize_frames(
         tile = cfg.fused_tile_b
         pad = (-b) % tile
         flat = frames.reshape(b, m, n).astype(jnp.float32)
+        if cfg.nan_guard:
+            flat = jnp.where(jnp.isfinite(flat), flat, 0.0)
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
@@ -318,7 +322,10 @@ def localize_frames(
         tdoa_s = tdoa_samples / cfg.sample_rate_hz
         use_gn_kernel = (
             mics_static is not None and pairs_static is not None
-            and jax.default_backend() == "tpu")
+            and jax.default_backend() == "tpu"
+            # the kernel unrolls statically over pairs; large arrays blow
+            # the VMEM stack and compile time — use the XLA solver there
+            and len(pairs_static) <= 64)
         if use_gn_kernel:
             from ..ops.pallas import gn_kernel
 

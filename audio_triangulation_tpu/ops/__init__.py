@@ -1,0 +1,12 @@
+"""Pure jittable ops: the DSP layer."""
+
+from . import (  # noqa: F401
+    conditioning,
+    detector,
+    framing,
+    mxu_fft,
+    solver,
+    srp,
+    window,
+    xcorr,
+)

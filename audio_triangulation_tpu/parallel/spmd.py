@@ -110,3 +110,85 @@ def make_spmd_grid_localizer(loc: localizer_mod.Localizer, mesh):
                 "tdoa_samples": tdoa}
 
     return fn
+
+
+def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
+    """2-D sharding for large arrays (SURVEY §7 hard part (e)): the PAIR axis
+    is partitioned over ``model`` while frames ride ``data``.
+
+    Each device DFTs its frame shard once, forms cross-power + correlograms
+    for only its pair shard, scores the full grid from those pairs (one-hot
+    built on the fly), and a ``psum`` over the model axis completes the sum
+    over pairs — SRP's pair sum is associative, so pair-sharding composes
+    exactly.  Use when P >> batch (e.g. 64 mics, 2016 pairs)."""
+    cfg = loc.pipeline
+    grid_cfg = loc.grid
+    params = loc.params
+    model_n = mesh.shape[mesh_lib.MODEL_AXIS]
+
+    pairs_np = np.asarray(params.pairs)
+    p = pairs_np.shape[0]
+    pad = (-p) % model_n
+    # padded pairs are (0, 0): their correlogram is mic0 auto-correlation,
+    # masked out of the score sum below
+    pairs_padded = np.concatenate(
+        [pairs_np, np.zeros((pad, 2), pairs_np.dtype)])
+    pair_valid = np.concatenate(
+        [np.ones(p, np.float32), np.zeros(pad, np.float32)])
+    lut_np = np.asarray(params.lut_flat)
+    lut_padded = np.concatenate(
+        [lut_np, np.zeros((pad, lut_np.shape[1]), lut_np.dtype)])
+
+    pairs_dev = jax.device_put(
+        jnp.asarray(pairs_padded),
+        jax.sharding.NamedSharding(mesh, P(mesh_lib.MODEL_AXIS, None)))
+    valid_dev = jax.device_put(
+        jnp.asarray(pair_valid),
+        jax.sharding.NamedSharding(mesh, P(mesh_lib.MODEL_AXIS)))
+    lut_dev = jax.device_put(
+        jnp.asarray(lut_padded),
+        jax.sharding.NamedSharding(mesh, P(mesh_lib.MODEL_AXIS, None)))
+
+    from ..ops import mxu_fft, srp as srp_ops, xcorr as xcorr_ops
+
+    def per_device(frames_shard, pairs_shard, valid_shard, lut_shard):
+        x = localizer_mod.condition_frames(frames_shard, params.window, cfg)
+        re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+        rr, jj = mxu_fft.cross_power_reim(
+            re, im, pairs_shard, phat=cfg.phat, phat_eps=cfg.phat_eps)
+        syn_c, syn_s = mxu_fft.lag_synthesis_matrices(
+            cfg.fft_length, cfg.max_shift, "float32")
+        corr = mxu_fft.lag_correlogram(
+            rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s))
+        k = cfg.max_shift
+        shifts = xcorr_ops.best_lag(corr, k)
+        corr_t = xcorr_ops.peak_taper(corr, k, cfg.taper_denom, shifts)
+        corr_t = corr_t * valid_shard[:, None]  # zero padded pairs
+
+        local_scores = srp_ops.srp_scores_matmul_blocked(
+            corr_t, lut_shard, cfg.num_lags,
+            pair_chunk=min(128, corr_t.shape[-2]))
+        scores = jax.lax.psum(local_scores, mesh_lib.MODEL_AXIS)
+        xy = srp_ops.grid_peak_xy(
+            scores, (grid_cfg.height, grid_cfg.width),
+            (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+            grid_cfg.cells_per_m)
+        return scores, xy
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(mesh_lib.DATA_AXIS, None, None),
+                  P(mesh_lib.MODEL_AXIS, None),
+                  P(mesh_lib.MODEL_AXIS),
+                  P(mesh_lib.MODEL_AXIS, None)),
+        out_specs=(P(mesh_lib.DATA_AXIS, None), P(mesh_lib.DATA_AXIS, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(frames):
+        scores, xy = mapped(frames, pairs_dev, valid_dev, lut_dev)
+        return {"scores": scores, "xy_grid": xy}
+
+    return fn

@@ -125,3 +125,14 @@ def test_bf16_srp_scoring_accuracy():
     np.testing.assert_array_equal(cells32, cells16)
     np.testing.assert_allclose(
         np.asarray(o16["xy"]), np.asarray(o32["xy"]), atol=5e-3)
+
+
+def test_nan_guard_contains_bad_input():
+    loc = Localizer.create(MICS, PipelineConfig(nan_guard=True))
+    plane, source = _place(0.5, 0.5)
+    frames = synth.synth_scene(source, MICS, noise_rms=0.01, seed=9)
+    frames[0, 1, 100:130] = np.nan  # a corrupted channel segment
+    out = loc(jnp.asarray(frames, jnp.float32))
+    assert np.isfinite(np.asarray(out["xy"])).all()
+    # and still roughly localizes (30 bad samples of 1024)
+    assert np.linalg.norm(np.asarray(out["xy"])[0] - plane) < 0.3

@@ -43,3 +43,38 @@ def test_spmd_grid_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out["xy_grid"]), np.asarray(ref["xy_grid"]),
         atol=1.0 / 24.0 + 1e-6)
+
+
+def test_spmd_pair_sharded_large_array():
+    """2-D sharding: pairs over model, frames over data (64-mic config)."""
+    from audio_triangulation_tpu import GridConfig
+
+    mics64 = geometry.grid_array(8, 8, 0.05)
+    cfg = PipelineConfig(
+        frame_size_bits=11,
+        max_shift_samples=geometry.max_lag_for_array(
+            mics64, PipelineConfig()),
+        phat=True, fft_pad_mode="circular")
+    grid = GridConfig(half_cells_x=15, half_cells_y=15, cells_per_m=12.0)
+    loc = Localizer.create(mics64, cfg, grid, srp_form="gather",
+                           with_solver=False)
+
+    p = np.array([0.5, 0.3, 1.2])
+    src = p * (1.2 / np.linalg.norm(p))
+    frames = np.repeat(
+        synth.synth_scene(src, mics64, n=cfg.frame_size, seed=51), 4, axis=0)
+    frames = jnp.asarray(frames, jnp.float32)
+
+    ref = loc(frames)
+
+    mesh = mesh_lib.make_mesh((2, 4))  # 4-way pair sharding
+    fn = spmd.make_spmd_pair_localizer(loc, mesh)
+    frames_sharded = jax.device_put(frames, mesh_lib.frames_sharding(mesh))
+    out = fn(frames_sharded)
+
+    s_ref = np.asarray(ref["scores"])
+    s_got = np.asarray(out["scores"])
+    scale = np.abs(s_ref).max()
+    np.testing.assert_allclose(s_got / scale, s_ref / scale, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["xy_grid"]), np.asarray(ref["xy_grid"]), atol=1e-5)
