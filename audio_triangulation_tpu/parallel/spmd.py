@@ -14,7 +14,7 @@ annotated path.  Frames ride the ``data`` axis untouched.
 
 from __future__ import annotations
 
-import functools
+
 
 import numpy as np
 import jax
@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..core.config import GridConfig, PipelineConfig
+
 from ..models import localizer as localizer_mod
 from ..ops import srp
 from . import mesh as mesh_lib

@@ -36,7 +36,7 @@ def main():
     from audio_triangulation_tpu import (
         GridConfig, Localizer, PipelineConfig, geometry,
     )
-    from audio_triangulation_tpu.models.doa import DoaEstimator
+    
     from audio_triangulation_tpu.ops import xcorr as xcorr_ops
     from audio_triangulation_tpu.ops import mxu_fft
     from audio_triangulation_tpu.utils import synth

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from audio_triangulation_tpu.core.config import PipelineConfig
 from audio_triangulation_tpu.ops import detector
-from audio_triangulation_tpu.utils import golden, synth
+from audio_triangulation_tpu.utils import golden
 
 CFG = PipelineConfig()
 

@@ -10,9 +10,7 @@ reference's equidistant model.  ``_place(x, y)`` returns both.
 import numpy as np
 import jax.numpy as jnp
 
-from audio_triangulation_tpu import (
-    GridConfig, Localizer, PipelineConfig, SolverConfig, geometry,
-)
+from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
 from audio_triangulation_tpu.ops import solver as solver_ops
 from audio_triangulation_tpu.utils import synth
 

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
+from audio_triangulation_tpu import Localizer, geometry
 from audio_triangulation_tpu.parallel import mesh as mesh_lib
 from audio_triangulation_tpu.parallel import sharded
 from audio_triangulation_tpu.utils import synth

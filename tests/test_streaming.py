@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from audio_triangulation_tpu.core.config import PipelineConfig, StreamConfig
+from audio_triangulation_tpu.core.config import StreamConfig
 from audio_triangulation_tpu.core import geometry
 from audio_triangulation_tpu.models.streaming import StreamingLocalizer
 from audio_triangulation_tpu.utils import synth
