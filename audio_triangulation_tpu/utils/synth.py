@@ -38,6 +38,26 @@ def click_burst(n: int, fs: float, center: float = 0.5,
     return (env * np.sin(2 * np.pi * f_ring * dt)).astype(dtype)
 
 
+def colored_burst(n: int, fs: float, cutoff_hz: float = 600.0,
+                  width: float = 0.2, seed: int = 0,
+                  dtype=np.float64) -> np.ndarray:
+    """Speech-like colored noise burst: Gaussian-enveloped noise with a
+    strong spectral tilt above ``cutoff_hz``.
+
+    This is the source class where GCC-PHAT earns its keep: plain
+    correlation of colored signals has broad, reverberation-biased peaks,
+    while whitening restores a sharp direct-path peak."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=n)
+    spec = np.fft.rfft(x)
+    f = np.fft.rfftfreq(n, 1 / fs)
+    spec = spec / (1.0 + (f / cutoff_hz) ** 2)
+    x = np.fft.irfft(spec, n)
+    env = np.exp(-0.5 * ((np.arange(n) / n - 0.5) / width) ** 2)
+    x = x * env
+    return (x / np.abs(x).max()).astype(dtype)
+
+
 def fractional_delay(signal: np.ndarray, delay_samples: np.ndarray,
                      axis: int = -1) -> np.ndarray:
     """Apply (possibly fractional) delays via FFT phase shift.
@@ -101,6 +121,53 @@ def to_adc_u8(frames: np.ndarray, *, dc: int = 128, scale: float = 120.0,
     if clip:
         x = np.clip(x, 0, 255)
     return x.astype(np.uint8)
+
+
+def synth_scene_reverb(
+    source_xyz: np.ndarray,
+    mic_positions: np.ndarray,
+    *,
+    n: int = 1024,
+    fs: float = 50_000.0,
+    speed_of_sound: float = 343.0,
+    signal: np.ndarray | None = None,
+    amplitude: float = 0.8,
+    noise_rms: float = 0.0,
+    n_echoes: int = 6,
+    echo_gain: float = 0.5,
+    room_scale: float = 3.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Reverberant scene: direct path + ``n_echoes`` image sources at random
+    farther positions with decaying gains (a cheap image-source model).
+
+    This is the regime where PHAT whitening earns its keep: plain
+    cross-correlation peaks get biased toward echo energy, while the
+    whitened correlogram keeps a sharp direct-path peak."""
+    rng = np.random.default_rng(seed)
+    out = synth_scene(
+        source_xyz, mic_positions, n=n, fs=fs,
+        speed_of_sound=speed_of_sound, signal=signal, amplitude=amplitude,
+        noise_rms=0.0, seed=seed)
+    src = np.atleast_2d(np.asarray(source_xyz, np.float64))
+    for e in range(n_echoes):
+        # image source: reflected to a random farther position
+        offset = rng.uniform(-room_scale, room_scale, src.shape)
+        offset[:, 2] = np.abs(offset[:, 2]) + 0.5
+        img = src + offset
+        g = amplitude * echo_gain * (0.7 ** e)
+        echo = synth_scene(
+            img, mic_positions, n=n, fs=fs,
+            speed_of_sound=speed_of_sound, signal=signal, amplitude=g,
+            noise_rms=0.0, seed=seed + 100 + e)
+        # physical arrival delay of the longer echo path (synth_scene centers
+        # each source's wavefront; echoes must arrive later than the direct)
+        extra = ((np.linalg.norm(img, axis=-1) - np.linalg.norm(src, axis=-1))
+                 / speed_of_sound * fs)  # [B] samples
+        out = out + fractional_delay(echo, np.abs(extra)[:, None])
+    if noise_rms > 0:
+        out = out + rng.normal(0.0, noise_rms, out.shape)
+    return out
 
 
 def embed_burst_in_stream(

@@ -88,3 +88,41 @@ def test_batched_shapes_and_pairs(rng):
     c_fwd = np.asarray(xcorr.xcorr_fft(frames, PAIRS2, CFG))
     c_rev = np.asarray(xcorr.xcorr_fft(frames, rev_pairs, CFG))
     np.testing.assert_allclose(c_fwd, c_rev[..., ::-1], rtol=1e-4, atol=1e-3)
+
+
+def test_phat_beats_plain_under_reverberation():
+    """PHAT's raison d'etre: in reverberant scenes the whitened correlogram
+    keeps a sharp direct-path peak while plain correlation gets biased by
+    echo energy.  (In additive-noise-only scenes plain GCC is better — see
+    BENCH_ACCURACY.json.)"""
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.ops import solver as solver_ops
+    import jax
+
+    mics = geometry.square_array(0.3)
+    pairs = jnp.asarray(geometry.mic_pairs(4))
+    mic3 = jnp.zeros((4, 3), jnp.float32).at[:, :2].set(jnp.asarray(mics))
+    rng = np.random.default_rng(11)
+    planes = rng.uniform(-1.0, 1.0, (24, 2))
+    sources = np.stack([
+        np.array([x, y, 1.2]) * (1.2 / np.linalg.norm([x, y, 1.2]))
+        for x, y in planes])
+    # colored (speech-like) source + echoes: the regime PHAT is built for
+    sig = synth.colored_burst(1024, 50_000.0, seed=5)
+    frames = synth.synth_scene_reverb(
+        sources, mics, signal=sig, noise_rms=0.02, n_echoes=8,
+        echo_gain=0.8, room_scale=2.0, seed=12)
+    true_tau = np.asarray(jax.vmap(
+        lambda q: solver_ops.predicted_tdoas(
+            q, mic3, pairs, 343.0, 1.2, True)
+    )(jnp.asarray(planes, jnp.float32))) * 50_000.0
+
+    errs = {}
+    for phat in (False, True):
+        cfg = PipelineConfig(phat=phat)
+        corr = xcorr.xcorr_fft(
+            jnp.asarray(frames, jnp.float32)
+            * jnp.asarray(np.hanning(1024), jnp.float32), pairs, cfg)
+        tdoa, _ = xcorr.subsample_peak(corr, cfg.max_shift)
+        errs[phat] = float(np.median(np.abs(np.asarray(tdoa) - true_tau)))
+    assert errs[True] < 0.5 < errs[False], errs
