@@ -158,6 +158,10 @@ class GridConfig:
     # 'sphere' : project every cell onto the radius-height_m sphere (reference)
     # 'plane'  : keep cells on the z = height_m plane (new capability)
     projection: str = "sphere"
+    # quadratic sub-cell refinement of the grid peak; 'auto' skips it when
+    # the Gauss-Newton solver runs (which supersedes it) — the refinement's
+    # six neighbor lookups cost real time at large batch
+    refine_peak: str = "auto"  # 'auto' | 'on' | 'off'
 
     @property
     def width(self) -> int:

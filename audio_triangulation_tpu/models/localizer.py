@@ -300,10 +300,13 @@ def localize_frames(
         scores = scores + params.score_bias
 
     grid_shape = (grid_cfg.height, grid_cfg.width)
+    refine = (grid_cfg.refine_peak == "on"
+              or (grid_cfg.refine_peak == "auto" and not with_solver))
     xy_grid = srp.grid_peak_xy(
         scores, grid_shape,
         (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
         grid_cfg.cells_per_m,
+        refine=refine,
     )
 
     out = {
