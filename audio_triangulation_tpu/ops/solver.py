@@ -171,6 +171,59 @@ def solve_tdoa_batched(
     return xy, rms
 
 
+def solve_tdoa_xyz(
+    tdoas: jnp.ndarray,
+    mic_positions: jnp.ndarray,
+    pairs: jnp.ndarray,
+    *,
+    speed_of_sound: float,
+    init_xyz: jnp.ndarray,
+    iterations: int = 8,
+    damping: float = 1e-3,
+    z_min: float = 0.05,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Free 3-D damped Gauss-Newton TDOA solve (batched).
+
+    Unlike :func:`solve_tdoa_batched` the source is unconstrained in
+    (x, y, z) — this resolves range/height from the fractional part of the
+    sub-sample TDOAs, fixing the one-cell radial bias inherent to integer-lag
+    SRP grids.  z is clamped to >= z_min each step (planar arrays cannot
+    distinguish +-z; keep the physical half-space).
+
+    tdoas: [B, P] seconds; init_xyz: [B, 3].  Returns (xyz [B, 3], rms [B]).
+    """
+    dt = init_xyz.dtype
+    m = mic_positions.shape[0]
+    mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
+        mic_positions.astype(dt))
+    c = jnp.asarray(speed_of_sound, dt)
+    pi, pj = pairs[:, 0], pairs[:, 1]
+    target = tdoas.astype(dt) * c
+    damp = jnp.asarray(damping, dt)
+
+    def residual_jac(xyz):
+        diff = xyz[..., None, :] - mic3  # [B, M, 3]
+        d = jnp.linalg.norm(diff, axis=-1)
+        u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
+        r = (jnp.take(d, pj, axis=-1) - jnp.take(d, pi, axis=-1)) - target
+        jac = jnp.take(u, pj, axis=-2) - jnp.take(u, pi, axis=-2)  # [B,P,3]
+        return r, jac
+
+    def gn_step(_, xyz):
+        r, jac = residual_jac(xyz)
+        a = jnp.einsum("...pi,...pj->...ij", jac, jac) \
+            + damp * jnp.eye(3, dtype=dt)
+        b = jnp.einsum("...pi,...p->...i", jac, r)
+        delta = jnp.linalg.solve(a, b[..., None])[..., 0]
+        xyz = xyz - delta
+        return xyz.at[..., 2].set(jnp.maximum(xyz[..., 2], z_min))
+
+    xyz = jax.lax.fori_loop(0, iterations, gn_step, init_xyz.astype(dt))
+    r, _ = residual_jac(xyz)
+    rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
+    return xyz, rms
+
+
 def farfield_bearing(
     tdoas: jnp.ndarray,
     mic_positions: jnp.ndarray,
