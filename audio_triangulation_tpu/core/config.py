@@ -136,6 +136,21 @@ class PipelineConfig:
         # the TPU FFT stays on its fast path.
         return _next_pow2(self.frame_size + self.max_shift)
 
+    def __post_init__(self):
+        _check = {
+            "normalize_mode": ("shift8", "full_range", "none"),
+            "xcorr_mode": ("mxu", "fft", "time"),
+            "matmul_dtype": ("float32", "bfloat16"),
+            "fused_kernel": ("auto", "on", "off"),
+            "srp_dtype": ("float32", "bfloat16"),
+            "fft_pad_mode": ("linear", "circular"),
+        }
+        for field, allowed in _check.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"{field}={v!r} not in {allowed}")
+
     def lag_axis(self):
         """Integer lags [-max_shift .. max_shift] as a Python range."""
         return range(-self.max_shift, self.max_shift + 1)
@@ -162,6 +177,12 @@ class GridConfig:
     # the Gauss-Newton solver runs (which supersedes it) — the refinement's
     # six neighbor lookups cost real time at large batch
     refine_peak: str = "auto"  # 'auto' | 'on' | 'off'
+
+    def __post_init__(self):
+        if self.projection not in ("sphere", "plane"):
+            raise ValueError(f"projection={self.projection!r}")
+        if self.refine_peak not in ("auto", "on", "off"):
+            raise ValueError(f"refine_peak={self.refine_peak!r}")
 
     @property
     def width(self) -> int:

@@ -89,3 +89,14 @@ def test_max_lag_for_array():
     k = geometry.max_lag_for_array(mics, PipelineConfig())
     # aperture 0.20 m -> 0.20/343*50000 ~= 29.2 -> 30 + margin
     assert 25 < k < 46
+
+
+def test_config_literal_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        PipelineConfig(xcorr_mode="fftt")
+    with pytest.raises(ValueError):
+        PipelineConfig(normalize_mode="shift9")
+    with pytest.raises(ValueError):
+        GridConfig(projection="cube")
