@@ -218,6 +218,23 @@ def _conditioned_correlograms(
             flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile)
         corr = corr[:b]
         return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
+    if (pairs_static is not None and len(pairs_static) > 256
+            and cfg.xcorr_mode == "mxu"
+            and jax.default_backend() == "tpu"):
+        # large-array chunked Pallas kernel: spectra tile stays in VMEM
+        # across pair chunks (2.1x over the XLA pair-blocked path)
+        from ..ops.pallas import gcc_large
+
+        b = int(np.prod(lead)) if lead else 1
+        tile = 4
+        pad = (-b) % tile
+        x = condition_frames(frames.reshape(b, m, n), params.window, cfg)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, m, n), x.dtype)], axis=0)
+        corr = gcc_large.xcorr_large(
+            x, np.asarray(pairs_static), cfg, tile_b=tile)[:b]
+        return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
     x = condition_frames(frames, params.window, cfg)
     return correlate_frames(x, params, cfg)
 

@@ -1,0 +1,36 @@
+"""Large-array chunked Pallas GCC kernel vs the XLA pair-blocked path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu.core.config import PipelineConfig
+from audio_triangulation_tpu.core import geometry
+from audio_triangulation_tpu.ops import mxu_fft
+from audio_triangulation_tpu.ops.pallas import gcc_large
+
+
+def test_large_kernel_matches_pairblocked(rng):
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True,
+                         max_shift_samples=30)
+    m = 8
+    frames = jnp.asarray(rng.normal(size=(4, m, 512)).astype(np.float32))
+    pairs = geometry.mic_pairs(m)  # 28 pairs -> padded to one chunk of 32
+    got = np.asarray(gcc_large.xcorr_large(
+        frames, pairs, cfg, tile_b=2, chunk=32, interpret=True))
+    ref = np.asarray(mxu_fft.xcorr_mxu_pairblocked(
+        frames, jnp.asarray(pairs), cfg, pair_chunk=16))
+    scale = np.abs(ref).max()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_large_kernel_multi_chunk(rng):
+    cfg = PipelineConfig(fft_pad_mode="circular", max_shift_samples=20)
+    m = 12  # 66 pairs -> 3 chunks of 24 (padded)
+    frames = jnp.asarray(rng.normal(size=(2, m, 256)).astype(np.float32))
+    pairs = geometry.mic_pairs(m)
+    got = np.asarray(gcc_large.xcorr_large(
+        frames, pairs, cfg, tile_b=2, chunk=24, interpret=True))
+    ref = np.asarray(mxu_fft.xcorr_mxu(frames, jnp.asarray(pairs), cfg))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
