@@ -127,7 +127,7 @@ def localize_volumetric(
 
     scores = srp.srp_scores_matmul(corr_t, onehot3d, cfg.srp_dtype)
     h, w = grid_cfg.height, grid_cfg.width
-    z_n = len(heights)
+
     idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
     zi = idx // (h * w)
     rem = idx % (h * w)
