@@ -26,6 +26,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic RNG: seeds derive from the test name, so tests
+    are order-independent (a session-scoped stream would make every test's
+    draws depend on which tests ran before it)."""
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0xFFFFFFFF
+    return np.random.default_rng(seed)
