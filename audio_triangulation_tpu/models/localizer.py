@@ -204,10 +204,13 @@ def _conditioned_correlograms(
     unrolls over pairs at trace time; without it the unfused path runs."""
     m, n = frames.shape[-2:]
     lead = frames.shape[:-2]
-    if pairs_static is not None and _use_fused_kernel(cfg, m, n):
+    b_total = int(np.prod(lead)) if lead else 1
+    if (pairs_static is not None and _use_fused_kernel(cfg, m, n)
+            # tiny batches pad up to a full tile — the unfused path wins there
+            and b_total * 2 >= cfg.fused_tile_b):
         from ..ops.pallas import gcc_kernel
 
-        b = int(np.prod(lead)) if lead else 1
+        b = b_total
         tile = cfg.fused_tile_b
         pad = (-b) % tile
         flat = frames.reshape(b, m, n).astype(jnp.float32)
@@ -269,6 +272,8 @@ def localize_frames(
     fully_fused = (
         pairs_static is not None and _use_fused_kernel(cfg, m, n)
         and cfg.taper_enabled and cfg.subsample_peak
+        # tiny batches pad up to a full tile — the unfused path wins there
+        and (int(np.prod(lead)) if lead else 1) * 2 >= cfg.fused_tile_b
     )
     if fully_fused:
         # taper + argmax + parabolic peak run inside the Pallas kernel
