@@ -383,6 +383,43 @@ def localize_frames(
 # Bit-exact integer pipeline (validation vs the golden model)
 # ----------------------------------------------------------------------
 
+def localize_stream(
+    loc: "Localizer",
+    stream: jnp.ndarray,
+    *,
+    max_events: int = 16,
+    refractory: int = 0,
+) -> dict:
+    """One-shot offline pipeline: a raw [M, T] stream -> detected events ->
+    batched localization, all device-side (one jitted program).
+
+    The batch analogue of the firmware's capture loop: detect every event
+    (vectorized variance trigger with refractory holdoff), extract the frame
+    ending at each trigger, run the full frame pipeline on the event batch.
+    Absent events are masked via 'valid'."""
+    from ..ops import detector as detector_ops
+
+    cfg = loc.pipeline
+    n = cfg.frame_size
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(s):
+        idxs, valid = detector_ops.all_triggers_capped(
+            s.astype(jnp.int64)[None], cfg, max_events=max_events,
+            refractory=refractory)
+        idxs, valid = idxs[0], valid[0]
+        frames = detector_ops.extract_frames_at(
+            jnp.broadcast_to(
+                s.astype(jnp.float32), (max_events,) + s.shape),
+            idxs, n)
+        out = loc._jitted(loc.params, frames)
+        out["trigger_idx"] = idxs
+        out["valid"] = valid
+        return out
+
+    return run(stream)
+
+
 def localize_frames_int(
     frames_u8: jnp.ndarray,
     pairs: jnp.ndarray,

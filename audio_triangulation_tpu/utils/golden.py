@@ -59,21 +59,32 @@ def window_table_q15(length: int = BUFFER_SIZE, nw: float = 2.0) -> np.ndarray:
 
 @dataclasses.dataclass
 class RollingBuffer:
+    """Parametric ring: the C supports any power-of-two BUFFER_SIZE_BITS
+    (buffer.h:5-6; the window indexing at buffer.c:8 strides the 1024-entry
+    table accordingly).  Defaults to the firmware's 1024."""
+
+    size_bits: int = BUFFER_SIZE_BITS
     head: int = 0
     incoming_power: int = 0
     incoming_total: int = 0
     outgoing_power: int = 0
     outgoing_total: int = 0
     is_full: bool = False
-    buffer: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.zeros(BUFFER_SIZE, dtype=np.int16)
-    )
+    buffer: np.ndarray = None
+
+    def __post_init__(self):
+        if self.buffer is None:
+            self.buffer = np.zeros(1 << self.size_bits, dtype=np.int16)
+
+    @property
+    def size(self) -> int:
+        return 1 << self.size_bits
 
     def push(self, sample: int) -> None:
         sample = np.int16(sample)
-        middle_index = self.head - BUFFER_HALF
+        middle_index = self.head - (self.size >> 1)
         if middle_index < 0:
-            middle_index += BUFFER_SIZE
+            middle_index += self.size
         middle = int(self.buffer[middle_index])
         old = int(self.buffer[self.head])
 
@@ -84,25 +95,26 @@ class RollingBuffer:
 
         self.buffer[self.head] = sample
         self.head += 1
-        if self.head >= BUFFER_SIZE:
+        if self.head >= self.size:
             self.head = 0
             self.is_full = True
 
     def get_incoming_power(self) -> int:
-        return ((self.incoming_power << BUFFER_HALF_SIZE_BITS)
+        return ((self.incoming_power << (self.size_bits - 1))
                 - self.incoming_total * self.incoming_total)
 
     def get_outgoing_power(self) -> int:
-        return ((self.outgoing_power << BUFFER_HALF_SIZE_BITS)
+        return ((self.outgoing_power << (self.size_bits - 1))
                 - self.outgoing_total * self.outgoing_total)
 
     def write_out(self) -> tuple[np.ndarray, int]:
-        """Unroll oldest->newest, remove DC (total >> 10), return (frame, power)."""
+        """Unroll oldest->newest, remove DC (total >> bits), return
+        (frame, power)."""
         frame = np.concatenate(
             [self.buffer[self.head:], self.buffer[: self.head]]
         ).astype(np.int64)
         total = int(frame.sum())
-        offset = total >> BUFFER_SIZE_BITS  # C arithmetic shift (floor)
+        offset = total >> self.size_bits  # C arithmetic shift (floor)
         frame = (frame - offset).astype(np.int16)
         power = int((frame.astype(np.int64) ** 2).sum())
         return frame, power

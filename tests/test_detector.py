@@ -98,3 +98,41 @@ def test_trigger_position_semantics(rng):
     t = int(idx[0])
     assert bool(found[0])
     assert burst_at + burst_len < t < burst_at + burst_len + CFG.frame_size
+
+
+def test_parametric_frame_size_matches_golden(rng):
+    """The reference supports any BUFFER_SIZE_BITS (buffer.h:5-6); our
+    detector and conditioning must bit-match the golden ring at other sizes."""
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu.ops import conditioning
+    from audio_triangulation_tpu.ops import window as window_ops
+
+    for bits in (8, 9, 11):
+        n = 1 << bits
+        cfg = PipelineConfig(frame_size_bits=bits)
+        stream = rng.integers(0, 256, size=3 * n).astype(np.int64)
+        inc, out = detector.half_window_powers(
+            jnp.asarray(stream)[None], n)
+        inc, out = np.asarray(inc)[0], np.asarray(out)[0]
+        rb = golden.RollingBuffer(size_bits=bits)
+        for t in range(stream.shape[0]):
+            rb.push(int(stream[t]))
+            if rb.is_full:
+                assert inc[t] == rb.get_incoming_power(), (bits, t)
+                assert out[t] == rb.get_outgoing_power(), (bits, t)
+
+        # write-out + conditioning parity at this size
+        frame, power = rb.write_out()
+        start = stream.shape[0] - n
+        ours = np.asarray(conditioning.dc_remove_int(
+            jnp.asarray(stream[start:].astype(np.int16))[None], bits))[0]
+        np.testing.assert_array_equal(ours, frame)
+
+        # Q15 window strides the 1024 table (buffer.c:8 semantics)
+        table = golden.window_table_q15()
+        ref_w = golden.apply_window(frame, table)
+        got_w = np.asarray(window_ops.apply_window_q15(
+            jnp.asarray(frame)[None],
+            jnp.asarray(table[np.arange(n) * (1024 // n)])))[0]
+        np.testing.assert_array_equal(got_w, ref_w)

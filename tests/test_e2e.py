@@ -134,3 +134,28 @@ def test_nan_guard_contains_bad_input():
     assert np.isfinite(np.asarray(out["xy"])).all()
     # and still roughly localizes (30 bad samples of 1024)
     assert np.linalg.norm(np.asarray(out["xy"])[0] - plane) < 0.3
+
+
+def test_localize_stream_one_shot():
+    """Device-side stream -> events -> positions in one program."""
+    from audio_triangulation_tpu.models.localizer import localize_stream
+
+    rng = np.random.default_rng(71)
+    loc = Localizer.create(MICS)
+    stream = rng.integers(127, 130, size=(3, 20000)).astype(np.float64)
+    planes = []
+    for i, at in enumerate((3000, 9000, 15000)):
+        plane, source = _place(0.4 - 0.3 * i, 0.5)
+        planes.append(plane)
+        fr = synth.synth_scene(source, MICS, noise_rms=0.0, seed=70 + i)[0]
+        stream[:, at: at + 1024] += 110.0 * fr
+    stream = np.clip(np.round(stream), 0, 255)
+
+    out = localize_stream(loc, jnp.asarray(stream), max_events=8)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 3
+    xy = np.asarray(out["xy"])[valid]
+    idxs = np.asarray(out["trigger_idx"])[valid]
+    assert (np.diff(idxs) >= 1024).all()
+    for i, plane in enumerate(planes):
+        assert np.linalg.norm(xy[i] - plane) < 0.25, (i, xy[i], plane)
