@@ -114,6 +114,12 @@ def cmd_stream(args):
         mics, stream=StreamConfig(chunk_size=args.chunk))
     state = sl.init_state()
     meter = profiling.ThroughputMeter()
+    live = None
+    if args.live:
+        from ..ops import srp as srp_ops
+        from ..viz import terminal
+
+        live = terminal.LiveView()
 
     for i in range(0, t_len - t_len % args.chunk, args.chunk):
         chunk = streams[:, i: i + args.chunk]
@@ -122,9 +128,24 @@ def cmd_stream(args):
         meter.add(frames=args.chunk)
         if bool(out["event"]):
             xy = np.asarray(out["xy_grid"])
-            print(f"event @ sample {int(out['trigger_abs'])}: "
-                  f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
-                  f"shifts={np.asarray(out['best_shift'])}")
+            if live is None:
+                print(f"event @ sample {int(out['trigger_abs'])}: "
+                      f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
+                      f"shifts={np.asarray(out['best_shift'])}")
+        if live is not None and int(state.event_count) > 0:
+            if sl.srp_form == "matmul":
+                scores = srp_ops.srp_scores_matmul(
+                    state.ema_corr[None], sl.params.onehot)[0]
+            else:
+                scores = srp_ops.srp_scores_gather(
+                    state.ema_corr[None], sl.params.lut_flat)[0]
+            levels = np.asarray(srp_ops.quantize_heatmap(scores[None]))[0]
+            art = terminal.heatmap_ansi(
+                levels, sl.grid.width, sl.grid.height, max_cols=48)
+            xy = np.asarray(out["xy_grid"])
+            live.update(
+                f"t={i / 50000.0:6.2f}s  events={int(state.event_count)}  "
+                f"xy=({xy[0]:+.2f}, {xy[1]:+.2f}) m\n{art}")
 
     print(f"[{kind}] native events: {rt.events_detected}, "
           f"jax events: {int(state.event_count)}, "
@@ -216,6 +237,8 @@ def main(argv=None):
     common(p)
     p.add_argument("--chunk", type=int, default=512)
     p.add_argument("--duration-samples", type=int, default=50_000)
+    p.add_argument("--live", action="store_true",
+                   help="in-place ANSI heatmap (the live VGA analogue)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

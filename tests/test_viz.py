@@ -95,3 +95,28 @@ def test_png_roundtrip(rng):
     assert (rows[:, 0] == 0).all()
     np.testing.assert_array_equal(
         rows[:, 1:].reshape(20, 30, 3), rgb)
+
+
+def test_terminal_heatmap_ansi(rng):
+    from audio_triangulation_tpu.viz import terminal
+
+    levels = rng.integers(0, 5, size=101 * 101).astype(np.uint8)
+    art = terminal.heatmap_ansi(levels, 101, 101, max_cols=32)
+    assert "\x1b[38;5;" in art and art.endswith("\x1b[0m")
+    # continuous mode
+    scores = rng.normal(size=101 * 101)
+    art2 = terminal.heatmap_ansi(scores, 101, 101, mode="ramp", max_cols=16)
+    assert art2.count("\n") > 5
+
+
+def test_live_view_rewrites(capsys):
+    import io
+
+    from audio_triangulation_tpu.viz import terminal
+
+    buf = io.StringIO()
+    lv = terminal.LiveView(out=buf)
+    lv.update("line1\nline2")
+    lv.update("next")
+    s = buf.getvalue()
+    assert "line1" in s and "\x1b[2F" in s
