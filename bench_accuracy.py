@@ -64,6 +64,27 @@ def main():
             results.append(rec)
             print(json.dumps(rec))
 
+    # --- 8-bit ADC front end (the firmware's input format) ---
+    frames = synth.synth_scene(sources, mics, noise_rms=0.01, seed=99)
+    u8 = synth.to_adc_u8(frames)
+    loc = Localizer.create(
+        mics, PipelineConfig(fft_pad_mode="circular"))
+    out = loc(jnp.asarray(u8, jnp.float32))
+    tdoa_err = np.abs(np.asarray(out["tdoa_samples"]) - true_tau)
+    xy_err = np.linalg.norm(np.asarray(out["xy"]) - planes, axis=-1)
+    rec = {
+        "snr_db": "8bit_adc",
+        "phat": False,
+        "tdoa_err_median_samples": round(float(np.median(tdoa_err)), 4),
+        "tdoa_err_p90_samples": round(
+            float(np.percentile(tdoa_err, 90)), 4),
+        "xy_err_median_cm": round(float(np.median(xy_err)) * 100, 2),
+        "xy_err_p90_cm": round(float(np.percentile(xy_err, 90)) * 100, 2),
+        "scenes": n_scenes,
+    }
+    results.append(rec)
+    print(json.dumps(rec))
+
     with open("BENCH_ACCURACY.json", "w") as f:
         json.dump(results, f, indent=1)
 
