@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""TPU hardware smoke checks.
+
+The test suite runs on a virtual CPU mesh (tests/conftest.py); this script
+validates the TPU-specific code paths on the real chip — the fused Pallas
+kernels against their XLA references, end-to-end accuracy, and the streaming
+step — and prints one PASS/FAIL line each.  Run manually or from CI with a
+TPU attached: ``python tools/tpu_smoke.py``.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import (
+        GridConfig, Localizer, PipelineConfig, geometry,
+    )
+    from audio_triangulation_tpu.models import localizer as L
+    from audio_triangulation_tpu.ops import mxu_fft, solver as solver_ops
+    from audio_triangulation_tpu.ops import window as window_ops, xcorr
+    from audio_triangulation_tpu.ops.pallas import gcc_kernel, gcc_large, gn_kernel
+    from audio_triangulation_tpu.utils import synth
+
+    assert jax.default_backend() == "tpu", (
+        f"not on TPU: {jax.default_backend()}")
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+        if not ok:
+            failures.append(name)
+
+    rng = np.random.default_rng(0)
+    cfg = PipelineConfig(phat=True, fft_pad_mode="circular")
+    mics = geometry.square_array(0.3)
+    pairs = geometry.mic_pairs(4)
+    win = jnp.asarray(window_ops.dpss_window(1024))
+    frames = jnp.asarray(
+        rng.normal(120, 10, (256, 4, 1024)).astype(np.float32))
+
+    # 1. fused GCC kernel vs unfused MXU path
+    got = np.asarray(gcc_kernel.fused_gcc(frames, win, pairs, cfg, tile_b=64))
+    x = (frames - jnp.mean(frames, -1, keepdims=True)) * 256.0 * win
+    ref = np.asarray(mxu_fft.xcorr_mxu(x, jnp.asarray(pairs), cfg))
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    check("fused_gcc == mxu", err < 1e-5, f"rel={err:.2e}")
+
+    # 2. fused peaks kernel vs unfused ops
+    corr_t, shifts, tdoa, peak = gcc_kernel.fused_gcc_peaks(
+        frames, win, pairs, cfg, tile_b=64)
+    ref_shifts = np.asarray(xcorr.best_lag(jnp.asarray(ref), cfg.max_shift))
+    check("fused peaks argmax", np.array_equal(np.asarray(shifts), ref_shifts))
+
+    # 3. GN Pallas kernel vs XLA solver (geometry-consistent TDOAs — with
+    # random inconsistent ones GN wanders between equivalent minima and the
+    # comparison is ill-posed)
+    mic3 = jnp.zeros((4, 3), jnp.float32).at[:, :2].set(jnp.asarray(mics))
+    true_xy = jnp.asarray(rng.uniform(-1, 1, (256, 2)).astype(np.float32))
+    taus = jax.vmap(lambda q: solver_ops.predicted_tdoas(
+        q, mic3, jnp.asarray(pairs), 343.0, 1.2, True))(true_xy)
+    init = true_xy * 0.9 + 0.02
+    xy_k, _ = gn_kernel.solve_tdoa_pallas(
+        taus, mics, pairs, speed_of_sound=343.0, height=1.2, init_xy=init)
+    xy_x, _ = solver_ops.solve_tdoa_batched(
+        taus, jnp.asarray(mics), jnp.asarray(pairs),
+        speed_of_sound=343.0, height=1.2, init_xy=init)
+    err = np.abs(np.asarray(xy_k) - np.asarray(xy_x)).max()
+    check("gn kernel == xla solver", err < 1e-3, f"max={err:.2e}")
+
+    # 4. large-array kernel vs XLA pair-blocked (reduced size for speed)
+    mics12 = geometry.circular_array(12, 0.2)
+    pairs12 = geometry.mic_pairs(12)
+    cfg12 = PipelineConfig(
+        fft_pad_mode="circular", phat=True,
+        max_shift_samples=geometry.max_lag_for_array(
+            mics12, PipelineConfig()))
+    fr12 = jnp.asarray(rng.normal(0, 0.1, (16, 12, 1024)).astype(np.float32))
+    got = np.asarray(gcc_large.xcorr_large(
+        fr12, pairs12, cfg12, tile_b=4, chunk=32))
+    ref = np.asarray(mxu_fft.xcorr_mxu_pairblocked(
+        fr12, jnp.asarray(pairs12), cfg12, pair_chunk=16))
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    check("gcc_large == pairblocked", err < 1e-5, f"rel={err:.2e}")
+
+    # 5. end-to-end accuracy on hardware
+    loc = Localizer.create(mics, cfg)
+    plane = np.array([0.6, -0.4])
+    src = np.array([*plane, 1.2])
+    src = src * 1.2 / np.linalg.norm(src)
+    ev = synth.synth_scene(src, mics, noise_rms=0.01, seed=1)
+    out = loc(jnp.asarray(ev, jnp.float32))
+    err = float(np.linalg.norm(np.asarray(out["xy"])[0] - plane))
+    check("e2e localization", err < 0.05, f"err={err * 100:.2f}cm")
+
+    # 6. streaming step on hardware
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+
+    sl = StreamingLocalizer.create(
+        geometry.reference_array(), stream=StreamConfig(chunk_size=512))
+    stream = rng.integers(127, 130, (3, 6000)).astype(np.float64)
+    fr3 = synth.synth_scene(src, geometry.reference_array(), seed=2)[0]
+    stream[:, 2000:3024] += 110.0 * fr3
+    state, outs = sl.run(np.clip(np.round(stream), 0, 255))
+    check("streaming event", int(state.event_count) >= 1,
+          f"events={int(state.event_count)}")
+
+    print(f"\n{'ALL PASS' if not failures else f'FAILURES: {failures}'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
