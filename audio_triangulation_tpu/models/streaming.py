@@ -48,8 +48,11 @@ class StreamState:
     best_shift: jnp.ndarray  # [P] int32 current best shifts
     time_s: jnp.ndarray  # scalar: stream clock (seconds)
     last_event_s: jnp.ndarray  # scalar: time of last accepted event
-    valid_from: jnp.ndarray  # scalar int32: suppress triggers before this abs sample
-    abs_sample: jnp.ndarray  # scalar int64: absolute sample counter
+    # countdown of fresh samples during which triggering stays suppressed
+    # (post-event ring-refill; overflow-free unlike an absolute watermark)
+    suppress: jnp.ndarray  # scalar int32
+    abs_sample: jnp.ndarray  # scalar int32 absolute sample counter (wraps
+    # after ~2^31 samples ~= 12 h @ 50 kHz; used only for event reporting)
     event_count: jnp.ndarray  # scalar int32
 
 
@@ -90,7 +93,7 @@ class StreamingLocalizer:
             best_shift=jnp.zeros((p,), jnp.int32),
             time_s=jnp.zeros((), jnp.float32),
             last_event_s=jnp.zeros((), jnp.float32),
-            valid_from=jnp.asarray(n - 1, jnp.int32),
+            suppress=jnp.asarray(n - 1, jnp.int32),
             abs_sample=jnp.zeros((), jnp.int32),
             event_count=jnp.zeros((), jnp.int32),
         )
@@ -177,12 +180,14 @@ def stream_step(
 
     window = jnp.concatenate([state.context, chunk], axis=-1)  # [M, N-1+C]
 
-    # detector over the windowed view; absolute position of window[.., t]
+    # detector over the windowed view; w indexes window positions, and the
+    # fresh (this-chunk) positions start at w = n - 1 (chunk sample 0)
     mask = detector.trigger_mask(window[None], cfg)[0]  # [N-1+C]
-    t_abs = (state.abs_sample - (n - 1)) + jnp.arange(mask.shape[-1])
-    in_chunk = t_abs >= state.abs_sample  # only fresh positions
-    valid = t_abs >= state.valid_from
-    mask = mask & in_chunk & valid
+    w = jnp.arange(mask.shape[-1])
+    chunk_pos = w - (n - 1)  # chunk-relative sample index of position w
+    in_chunk = chunk_pos >= 0
+    armed = chunk_pos >= state.suppress  # post-event refill countdown
+    mask = mask & in_chunk & armed
 
     found = jnp.any(mask)
     t_rel = jnp.argmax(mask)  # index into window
@@ -227,15 +232,20 @@ def stream_step(
         time_s=state.time_s + c_len / fs,
         last_event_s=jnp.where(accept, trigger_time, state.last_event_s),
         # post-event: reference re-inits rings -> need a full fresh frame
-        valid_from=jnp.where(
-            found, (t_abs[t_rel] + n).astype(jnp.int32), state.valid_from),
+        # (countdown is relative, so arbitrarily long streams never overflow)
+        suppress=jnp.where(
+            found,
+            (t_rel - (n - 1)) + n - c_len,
+            jnp.maximum(state.suppress - c_len, 0),
+        ).astype(jnp.int32),
         abs_sample=state.abs_sample + c_len,
         event_count=state.event_count + accept.astype(jnp.int32),
     )
     out = {
         "event": accept,
         "triggered": found,
-        "trigger_abs": jnp.where(found, t_abs[t_rel], -1),
+        "trigger_abs": jnp.where(
+            found, state.abs_sample + (t_rel - (n - 1)), -1),
         "best_shift": best,
         "tdoa_samples": xcorr.subsample_peak(ema_corr, cfg.max_shift)[0],
         "xy_grid": xy_grid,
