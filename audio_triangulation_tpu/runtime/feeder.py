@@ -31,6 +31,7 @@ class DoubleBufferedFeeder:
         self._device = device or jax.devices()[0]
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error = None
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
@@ -38,6 +39,8 @@ class DoubleBufferedFeeder:
         try:
             for b in self._it:
                 self._q.put(jax.device_put(b, self._device))
+        except BaseException as e:  # surfaced to the consumer, not swallowed
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -45,6 +48,8 @@ class DoubleBufferedFeeder:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._error is not None:
+                    raise self._error
                 return
             yield item
 

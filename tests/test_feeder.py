@@ -38,3 +38,18 @@ def test_event_pump_batches(rng):
     assert arr.shape == (4, 3, 1024)
     assert valid.sum() == rt.events_detected
     rt.close()
+
+
+def test_feeder_propagates_producer_errors():
+    import pytest
+
+    def bad_gen():
+        yield np.zeros((2, 2), np.float32)
+        raise RuntimeError("producer died")
+
+    feeder = DoubleBufferedFeeder(bad_gen())
+    it = iter(feeder)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer died"):
+        for _ in it:
+            pass
