@@ -408,10 +408,11 @@ def localize_stream(
             s.astype(jnp.int64)[None], cfg, max_events=max_events,
             refractory=refractory)
         idxs, valid = idxs[0], valid[0]
-        frames = detector_ops.extract_frames_at(
-            jnp.broadcast_to(
-                s.astype(jnp.float32), (max_events,) + s.shape),
-            idxs, n)
+        s32 = s.astype(jnp.float32)
+        frames = jax.vmap(
+            lambda t: jax.lax.dynamic_slice_in_dim(
+                s32, jnp.maximum(t - (n - 1), 0), n, axis=-1)
+        )(idxs)  # [E, M, N] without broadcasting the stream per slot
         out = loc._jitted(loc.params, frames)
         out["trigger_idx"] = idxs
         out["valid"] = valid
