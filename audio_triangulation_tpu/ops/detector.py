@@ -43,7 +43,14 @@ def half_window_powers(
     (the reference's is_full gate masks them, see ``trigger_mask``).
 
     Integer inputs use the reference's exact int64 arithmetic:
-    power = (sum_sq << (bits-1)) - sum^2  (rolling_buffer.c:73-85)."""
+    power = (sum_sq << (bits-1)) - sum^2  (rolling_buffer.c:73-85).
+
+    Numerical note: the float path computes prefix sums in the input dtype;
+    float32 cumsums lose integer precision beyond ~2^24 accumulated
+    magnitude, so for LONG offline streams pass integer samples (the int64
+    path, exact) — as ADC sample streams naturally are.  The streaming
+    model's windows are only ~frame_size + chunk long, well inside float32
+    range."""
     half = frame_size // 2
     is_int = jnp.issubdtype(streams.dtype, jnp.integer)
     x = streams.astype(jnp.int64 if is_int else streams.dtype)
