@@ -178,19 +178,21 @@ def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
     raise ValueError(f"unknown xcorr mode {cfg.xcorr_mode}")
 
 
-def _use_fused_kernel(cfg: PipelineConfig, n_mics: int, n: int) -> bool:
-    """Dispatch to the single-VMEM-pass Pallas GCC kernel when profitable."""
+def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
+    """Batch tile for the single-VMEM-pass Pallas GCC kernel, or None when
+    the unfused path should run.  Tries smaller tiles when the preferred one
+    doesn't fit VMEM (e.g. 8-mic arrays: 28 pairs of cross-power)."""
     from ..ops.pallas import gcc_kernel
 
     if cfg.fused_kernel == "off" or cfg.xcorr_mode != "mxu":
-        return False
+        return None
     if cfg.normalize_mode not in ("shift8", "none"):
-        return False  # full-range normalization is not folded into the kernel
+        return None  # full-range normalization is not folded into the kernel
     if cfg.fused_kernel == "on":
-        return True
-    return (jax.default_backend() == "tpu"
-            and gcc_kernel.fused_gcc_fits_vmem(
-                n_mics, n, cfg, cfg.fused_tile_b))
+        return cfg.fused_tile_b
+    if jax.default_backend() != "tpu":
+        return None
+    return gcc_kernel.pick_tile_b(n_mics, n, cfg, cfg.fused_tile_b)
 
 
 def _conditioned_correlograms(
@@ -205,13 +207,13 @@ def _conditioned_correlograms(
     m, n = frames.shape[-2:]
     lead = frames.shape[:-2]
     b_total = int(np.prod(lead)) if lead else 1
-    if (pairs_static is not None and _use_fused_kernel(cfg, m, n)
+    tile = _fused_tile(cfg, m, n) if pairs_static is not None else None
+    if (tile is not None
             # tiny batches pad up to a full tile — the unfused path wins there
-            and b_total * 2 >= cfg.fused_tile_b):
+            and b_total * 2 >= tile):
         from ..ops.pallas import gcc_kernel
 
         b = b_total
-        tile = cfg.fused_tile_b
         pad = (-b) % tile
         flat = frames.reshape(b, m, n).astype(jnp.float32)
         if pad:
@@ -269,18 +271,19 @@ def localize_frames(
     k = cfg.max_shift
     m, n = frames.shape[-2:]
     lead = frames.shape[:-2]
+    b_total = int(np.prod(lead)) if lead else 1
+    tile = _fused_tile(cfg, m, n) if pairs_static is not None else None
     fully_fused = (
-        pairs_static is not None and _use_fused_kernel(cfg, m, n)
+        tile is not None
         and cfg.taper_enabled and cfg.subsample_peak
         # tiny batches pad up to a full tile — the unfused path wins there
-        and (int(np.prod(lead)) if lead else 1) * 2 >= cfg.fused_tile_b
+        and b_total * 2 >= tile
     )
     if fully_fused:
         # taper + argmax + parabolic peak run inside the Pallas kernel
         from ..ops.pallas import gcc_kernel
 
-        b = int(np.prod(lead)) if lead else 1
-        tile = cfg.fused_tile_b
+        b = b_total
         pad = (-b) % tile
         flat = frames.reshape(b, m, n).astype(jnp.float32)
         if cfg.nan_guard:

@@ -226,3 +226,15 @@ def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,
     acts = 4 * (tile_b * n_mics * n + 4 * tile_b * n_mics * f
                 + 2 * tile_b * p * f + tile_b * p * l_pad)
     return weights + acts <= vmem_budget
+
+
+def pick_tile_b(n_mics: int, n: int, cfg: PipelineConfig,
+                preferred: int = 64) -> int | None:
+    """Largest batch tile (preferred, then halves down to 8) that fits VMEM;
+    None when even the smallest doesn't (use the unfused/large-array path)."""
+    tb = preferred
+    while tb >= 8:
+        if fused_gcc_fits_vmem(n_mics, n, cfg, tb):
+            return tb
+        tb //= 2
+    return None
