@@ -291,17 +291,20 @@ def localize_frames(
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
-        corr_t, shifts, tdoa_samples, peak_val = gcc_kernel.fused_gcc_peaks(
+        (corr_t, shifts, tdoa_samples, peak_val,
+         psr) = gcc_kernel.fused_gcc_peaks(
             flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile)
         p = corr_t.shape[-2]
         corr_t = corr_t[:b].reshape(*lead, p, corr_t.shape[-1])
         shifts = shifts[:b].reshape(*lead, p)
         tdoa_samples = tdoa_samples[:b].reshape(*lead, p)
         peak_val = peak_val[:b].reshape(*lead, p)
+        psr = psr[:b].reshape(*lead, p)
     else:
         corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
         shifts = xcorr.best_lag(corr, k)
         tdoa_samples, peak_val = xcorr.subsample_peak(corr, k)
+        psr = xcorr.peak_confidence(corr, k)  # raw, pre-taper
         if not cfg.subsample_peak:
             tdoa_samples = shifts.astype(corr.dtype)
         corr_t = (
@@ -341,6 +344,9 @@ def localize_frames(
         "scores": scores,
         "xy_grid": xy_grid,
         "peak_value": peak_val,
+        # weakest-pair peak-to-sidelobe ratio of the RAW correlograms:
+        # a per-frame detection confidence (~1 = noise, >2 = confident)
+        "confidence": jnp.min(psr, axis=-1),
     }
 
     if with_heatmap:

@@ -104,10 +104,17 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
     d = (lane - idx).astype(jnp.float32)
     tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
 
+    # peak-to-sidelobe confidence on the RAW correlogram (before tapering,
+    # which would manufacture a dominant peak even for noise)
+    outside = (jnp.abs(lane - idx) > 3) & valid
+    side = jnp.max(jnp.where(outside, corr, neg), axis=-1, keepdims=True)
+    psr = jnp.abs(v0) / jnp.maximum(jnp.abs(side), 1e-20)
+
     out_ref[:] = tapered.reshape(tile_b, len(pairs), l_pad)
     aux = jnp.where(lane == 0, shift, 0.0)
     aux = aux + jnp.where(lane == 1, tdoa, 0.0)
     aux = aux + jnp.where(lane == 2, v0, 0.0)
+    aux = aux + jnp.where(lane == 3, psr, 0.0)
     aux_ref[:] = aux.reshape(tile_b, len(pairs), l_pad)
 
 
@@ -168,7 +175,8 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     return (corr_t[..., :num_lags],
             aux[..., 0].astype(jnp.int32),  # integer best shift
             aux[..., 1],  # sub-sample tdoa (lags)
-            aux[..., 2])  # peak value
+            aux[..., 2],  # peak value
+            aux[..., 3])  # peak-to-sidelobe ratio (raw correlogram)
 
 
 def fused_gcc(

@@ -199,6 +199,27 @@ def subsample_peak(
     return (p - max_shift) + delta, peak
 
 
+def peak_confidence(
+    correlograms: jnp.ndarray, max_shift: int, guard: int = 3
+) -> jnp.ndarray:
+    """Peak-to-sidelobe ratio [..., ] per correlogram: peak / max outside a
+    +-guard window around it (new capability; the reference's only quality
+    gate is the shift-sum heuristic, sample_compute.h:124-134).
+
+    ~1 means no dominant peak (noise).  Unwhitened correlograms of real
+    events score >2; PHAT-whitened ones have elevated sidelobes, so their
+    scale is compressed (~1.3+ indicates a detection)."""
+    n_lags = correlograms.shape[-1]
+    p = jnp.argmax(correlograms, axis=-1)
+    peak = jnp.take_along_axis(correlograms, p[..., None], axis=-1)[..., 0]
+    lags = jnp.arange(n_lags)
+    outside = jnp.abs(lags - p[..., None]) > guard
+    side = jnp.max(
+        jnp.where(outside, correlograms, -jnp.inf), axis=-1)
+    eps = 1e-20
+    return jnp.abs(peak) / jnp.maximum(jnp.abs(side), eps)
+
+
 # ----------------------------------------------------------------------
 # Temporal smoothing
 # ----------------------------------------------------------------------

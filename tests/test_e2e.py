@@ -159,3 +159,18 @@ def test_localize_stream_one_shot():
     assert (np.diff(idxs) >= 1024).all()
     for i, plane in enumerate(planes):
         assert np.linalg.norm(xy[i] - plane) < 0.25, (i, xy[i], plane)
+
+
+def test_confidence_separates_signal_from_noise():
+    rng = np.random.default_rng(91)
+    loc = Localizer.create(MICS, PipelineConfig(phat=True))
+    _, source = _place(0.5, 0.5)
+    good = synth.synth_scene(source, MICS, noise_rms=0.01, seed=92)
+    noise = rng.normal(0, 0.1, (1, 3, 1024))
+    out_g = loc(jnp.asarray(good, jnp.float32))
+    out_n = loc(jnp.asarray(noise, jnp.float32))
+    cg = float(out_g["confidence"][0])
+    cn = float(out_n["confidence"][0])
+    # whitened correlograms have elevated sidelobes, so the PSR scale is
+    # compressed; ~1.0 = noise, >1.3 = detection
+    assert cg > 1.3 > cn, (cg, cn)

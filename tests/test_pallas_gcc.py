@@ -72,7 +72,8 @@ def test_fused_peaks_matches_unfused_ops(rng):
     exp_tapered = np.asarray(
         xcorr_ops.peak_taper(corr, k, cfg.taper_denom))
 
-    got_corr, got_shifts, got_tdoa, got_peak = gcc_kernel.fused_gcc_peaks(
+    (got_corr, got_shifts, got_tdoa, got_peak,
+     got_psr) = gcc_kernel.fused_gcc_peaks(
         frames, win, pairs, cfg, tile_b=4, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_shifts), exp_shifts)
     np.testing.assert_allclose(np.asarray(got_tdoa), np.asarray(exp_tdoa),
@@ -82,3 +83,5 @@ def test_fused_peaks_matches_unfused_ops(rng):
     scale = np.abs(exp_tapered).max()
     np.testing.assert_allclose(
         np.asarray(got_corr) / scale, exp_tapered / scale, atol=1e-5)
+    exp_psr = np.asarray(xcorr_ops.peak_confidence(corr, k))
+    np.testing.assert_allclose(np.asarray(got_psr), exp_psr, rtol=1e-4)
