@@ -1,0 +1,51 @@
+"""Advanced features tour: DoA, volumetric 3-D, multi-source, large arrays,
+frequency-domain SRP, confidence.  Run: python examples/advanced.py
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu import GridConfig, Localizer, PipelineConfig, geometry
+from audio_triangulation_tpu.models.doa import DoaEstimator
+from audio_triangulation_tpu.models.volumetric import VolumetricLocalizer
+from audio_triangulation_tpu.ops import srp
+from audio_triangulation_tpu.utils import synth
+
+# --- far-field direction of arrival (8-mic circular) -------------------
+mics8 = geometry.circular_array(8, 0.15)
+doa = DoaEstimator.create(mics8)
+az_true = 117.0
+src = 50.0 * np.array([np.cos(np.deg2rad(az_true)),
+                       np.sin(np.deg2rad(az_true)), 0.0])
+frames = synth.synth_scene(src, mics8, noise_rms=0.01, seed=0)
+out = doa(jnp.asarray(frames, jnp.float32))
+print(f"DoA: true {az_true:.1f} deg -> est {float(out['azimuth_deg'][0]):.1f}")
+
+# --- volumetric 3-D localization ----------------------------------------
+mics_big = geometry.circular_array(8, 0.5)
+vl = VolumetricLocalizer.create(
+    mics_big, heights=(0.4, 0.6, 0.8, 1.0, 1.2), pipeline=PipelineConfig())
+src3 = np.array([0.3, 0.2, 0.8])
+frames = synth.synth_scene(src3, mics_big, noise_rms=0.005, seed=1)
+out = vl(jnp.asarray(frames, jnp.float32))
+print(f"3-D: true {src3} -> est {np.round(np.asarray(out['xyz'])[0], 3)}")
+
+# --- two simultaneous sources ------------------------------------------
+loc = Localizer.create(mics8, PipelineConfig(phat=True))
+h = 1.2
+s1 = np.array([0.9, 0.3, h]) * (h / np.linalg.norm([0.9, 0.3, h]))
+s2 = np.array([-0.7, -0.6, h]) * (h / np.linalg.norm([-0.7, -0.6, h]))
+sig2 = synth.chirp_burst(1024, 50_000.0, f0=2000, f1=9000, center=0.45)
+mixed = (synth.synth_scene(s1, mics8, seed=2)
+         + synth.synth_scene(s2, mics8, signal=sig2, seed=3))
+out = loc(jnp.asarray(mixed, jnp.float32))
+g = loc.grid
+xs = (np.arange(g.width) - g.half_cells_x) / g.cells_per_m
+ys = (g.half_cells_y - np.arange(g.height)) / g.cells_per_m
+gx, gy = np.meshgrid(xs, ys)
+plane_xy = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32))
+peaks, scores = srp.top_k_peaks(out["scores"], plane_xy, k=2,
+                                min_separation_m=0.4)
+print(f"multi-source: {np.round(np.asarray(peaks)[0], 2)} "
+      f"(true: [0.9 0.3], [-0.7 -0.6])")
+print(f"confidence: {float(out['confidence'][0]):.2f}")
