@@ -166,6 +166,28 @@ def cmd_bench(args):
     mod.main()
 
 
+def cmd_doa(args):
+    """Far-field direction-of-arrival demo (azimuth SRP on a circular array)."""
+    import jax.numpy as jnp
+
+    from ..core import geometry
+    from ..models.doa import DoaEstimator
+    from ..utils import synth
+
+    mics = geometry.circular_array(args.mics, 0.15)
+    est = DoaEstimator.create(mics)
+    ang = np.deg2rad(args.azimuth)
+    src = 50.0 * np.array([np.cos(ang), np.sin(ang), 0.0])
+    frames = synth.synth_scene(src, mics, noise_rms=args.noise,
+                               seed=args.seed)
+    out = est(jnp.asarray(frames, jnp.float32))
+    got = float(out["azimuth_deg"][0])
+    u = np.asarray(out["bearing"])[0]
+    print(f"true azimuth : {args.azimuth:7.2f} deg")
+    print(f"SRP estimate : {got:7.2f} deg")
+    print(f"LS bearing   : {np.rad2deg(np.arctan2(u[1], u[0])) % 360:7.2f} deg")
+
+
 def cmd_gen_window(args):
     from ..ops import window as window_ops
 
@@ -244,6 +266,13 @@ def main(argv=None):
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("doa", help="far-field direction-of-arrival demo")
+    p.add_argument("--mics", type=int, default=8)
+    p.add_argument("--azimuth", type=float, default=222.5)
+    p.add_argument("--noise", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_doa)
 
     p = sub.add_parser("gen-window", help="emit the Q15 DPSS window C table")
     p.add_argument("--length", type=int, default=1024)

@@ -77,3 +77,11 @@ def test_torch_interop():
     np.testing.assert_allclose(np.asarray(j), x.numpy(), rtol=1e-6)
     back = interop.to_torch(j)
     np.testing.assert_allclose(back.numpy(), x.numpy(), rtol=1e-6)
+
+
+def test_doa_command(capsys):
+    cli.main(["doa", "--azimuth", "84.0"])
+    out = capsys.readouterr().out
+    est = float([l for l in out.splitlines() if "SRP estimate" in l][0]
+                .split(":")[1].split("deg")[0])
+    assert abs(est - 84.0) < 4.0

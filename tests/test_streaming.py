@@ -109,3 +109,47 @@ def test_batched_streams_match_single():
         batched_triggers = [int(ev[s]) for ev in batched_events
                             if ev[s] >= 0]
         assert single_triggers == batched_triggers
+
+
+def test_ema_dt_bookkeeping_matches_manual():
+    """The stream's EMA must use the REAL inter-event time (trigger-to-
+    trigger, correlations.c:40-43), not the chunk cadence.  Verified against
+    a hand-computed float EMA over events at known sample positions."""
+    import jax
+
+    from audio_triangulation_tpu.models import localizer as L
+    from audio_triangulation_tpu.ops import xcorr
+
+    sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=500))
+    plane, source = _place(0.6, 0.4)
+    event_pos = [2500, 7000, 13000]
+    t_len = 16000
+    rng = np.random.default_rng(55)
+    streams = rng.integers(127, 130, size=(3, t_len)).astype(np.float64)
+    for i, at in enumerate(event_pos):
+        fr = synth.synth_scene(source, MICS, noise_rms=0.0, seed=50 + i)[0]
+        streams[:, at: at + 1024] += 110.0 * fr
+    streams = np.clip(np.round(streams), 0, 255)
+
+    state, outs = sl.run(streams)
+    triggers = [int(o["trigger_abs"]) for o in outs if o["triggered"]]
+    assert len(triggers) == 3
+
+    # manual float EMA with the same triggers
+    fs = 50_000.0
+    ema = np.zeros((3, 93), np.float32)
+    last_t = 0.0
+    for trig in triggers:
+        start = trig - 1023
+        frame = jnp.asarray(streams[:, start: start + 1024],
+                            jnp.float32)[None]
+        x = L.condition_frames(frame, sl.params.window, sl.pipeline)
+        corr = L.correlate_frames(x, sl.params, sl.pipeline)[0]
+        shifts = xcorr.best_lag(corr, 46)
+        corr_t = np.asarray(xcorr.peak_taper(corr, 46, 36.0, shifts))
+        t_ev = (trig + 1) / fs
+        decay = 1.0 - np.exp(-(t_ev - last_t) / 0.5)
+        ema = ema + (corr_t - ema) * np.float32(decay)
+        last_t = t_ev
+    np.testing.assert_allclose(
+        np.asarray(state.ema_corr), ema, rtol=2e-4, atol=2e-2)
