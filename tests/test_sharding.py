@@ -142,3 +142,16 @@ def test_unsupervised_em_calibration_8mic():
     err0 = np.abs(guess - mics8).mean()
     err1 = np.abs(mic_est - mics8).mean()
     assert err1 < err0 * 0.85, (err0, err1)
+
+
+def test_hybrid_mesh_single_host():
+    from audio_triangulation_tpu.parallel import distributed
+
+    # no coordinator env -> no-op
+    distributed.initialize()
+    m = distributed.make_hybrid_mesh(model_parallel=2)
+    assert m.shape == {"data": 4, "model": 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        distributed.make_hybrid_mesh(model_parallel=3)
