@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import numpy as np
+
 import jax
 
 from . import mesh as mesh_lib

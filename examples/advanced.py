@@ -5,7 +5,7 @@ frequency-domain SRP, confidence.  Run: python examples/advanced.py
 import numpy as np
 import jax.numpy as jnp
 
-from audio_triangulation_tpu import GridConfig, Localizer, PipelineConfig, geometry
+from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
 from audio_triangulation_tpu.models.doa import DoaEstimator
 from audio_triangulation_tpu.models.volumetric import VolumetricLocalizer
 from audio_triangulation_tpu.ops import srp

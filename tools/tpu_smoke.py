@@ -20,10 +20,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from audio_triangulation_tpu import (
-        GridConfig, Localizer, PipelineConfig, geometry,
-    )
-    from audio_triangulation_tpu.models import localizer as L
+    from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
     from audio_triangulation_tpu.ops import mxu_fft, solver as solver_ops
     from audio_triangulation_tpu.ops import window as window_ops, xcorr
     from audio_triangulation_tpu.ops.pallas import gcc_kernel, gcc_large, gn_kernel
