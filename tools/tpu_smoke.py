@@ -51,7 +51,7 @@ def main():
     check("fused_gcc == mxu", err < 1e-5, f"rel={err:.2e}")
 
     # 2. fused peaks kernel vs unfused ops
-    corr_t, shifts, tdoa, peak = gcc_kernel.fused_gcc_peaks(
+    corr_t, shifts, tdoa, peak, psr = gcc_kernel.fused_gcc_peaks(
         frames, win, pairs, cfg, tile_b=64)
     ref_shifts = np.asarray(xcorr.best_lag(jnp.asarray(ref), cfg.max_shift))
     check("fused peaks argmax", np.array_equal(np.asarray(shifts), ref_shifts))
