@@ -146,3 +146,17 @@ def test_full_event_burst_matches_golden(rng):
     ref_levels = golden.heatmap_colors(ref_scores)
     np.testing.assert_array_equal(
         np.asarray(out["heat_levels"])[0].reshape(101, 101), ref_levels)
+
+
+def test_normalize_none_and_window_disabled(rng):
+    """Config branches: normalize 'none' and window off pass frames through."""
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu.models.localizer import condition_frames
+
+    cfg = PipelineConfig(normalize_mode="none", window_enabled=False)
+    frames = rng.normal(size=(2, 3, 1024)).astype(np.float32)
+    win = jnp.ones((1024,), jnp.float32)
+    out = np.asarray(condition_frames(jnp.asarray(frames), win, cfg))
+    ref = frames - frames.mean(-1, keepdims=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)

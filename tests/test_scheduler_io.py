@@ -75,3 +75,32 @@ def test_wav_float_written_as_int16(tmp_path, rng):
     audio_io.write_wav(p, x, 16_000)
     y, _ = audio_io.read_wav(p)
     np.testing.assert_allclose(y / 32767.0, x, atol=1e-4)
+
+
+def test_wav_24bit_and_32bit_paths(tmp_path, rng):
+    """Hand-written 24/32-bit WAVs decode through the narrowing paths."""
+    import struct
+    import wave
+
+    # 24-bit: write raw frames manually
+    x = rng.integers(-2**23, 2**23 - 1, size=(1, 64)).astype(np.int32)
+    p = str(tmp_path / "t24.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(48000)
+        raw = b"".join(
+            struct.pack("<i", int(v))[:3] for v in x[0])
+        w.writeframes(raw)
+    y, rate = audio_io.read_wav(p)
+    np.testing.assert_array_equal(y[0], (x[0] >> 8).astype(np.int16))
+
+    # 32-bit
+    p32 = str(tmp_path / "t32.wav")
+    with wave.open(p32, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(48000)
+        w.writeframes((x[0] << 8).astype(np.int32).tobytes())
+    y32, _ = audio_io.read_wav(p32)
+    np.testing.assert_array_equal(y32[0], ((x[0] << 8) >> 16).astype(np.int16))
