@@ -77,4 +77,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon TPU tunnel can be transiently unavailable (observed: a stale
+    # process holding the single-tenant chip); one retry protects the
+    # round's headline artifact
+    try:
+        main()
+    except Exception:
+        import sys
+        import time as _time
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench: transient failure, retrying in 30 s", file=sys.stderr)
+        _time.sleep(30)
+        main()
