@@ -211,7 +211,14 @@ class SolverConfig:
 @dataclasses.dataclass(frozen=True)
 class StreamConfig:
     """Streaming ingest / event-detection configuration
-    (reference sample_compute.h:45-150, rolling_buffer.c)."""
+    (reference sample_compute.h:45-150, rolling_buffer.c).
+
+    The streaming step takes at most one event per chunk (like the
+    reference's one capture per loop iteration).  With chunk_size <
+    frame_size this loses nothing — the post-event ring refill outlasts the
+    chunk; for chunk_size > frame_size use the offline
+    ``localize_stream``/``all_triggers_capped`` path, which extracts every
+    event."""
 
     chunk_size: int = 256  # samples consumed per stream step
     max_events_per_chunk: int = 1  # events extracted per step (masked)
