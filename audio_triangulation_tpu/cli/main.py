@@ -113,6 +113,16 @@ def cmd_stream(args):
     sl = StreamingLocalizer.create(
         mics, stream=StreamConfig(chunk_size=args.chunk))
     state = sl.init_state()
+    if args.checkpoint:
+        import os
+
+        from ..utils import checkpoint as ckpt
+
+        if os.path.exists(args.checkpoint) or os.path.exists(
+                args.checkpoint + ".npz"):
+            state = ckpt.restore(args.checkpoint, state)
+            print(f"resumed from {args.checkpoint} "
+                  f"(events so far: {int(state.event_count)})")
     meter = profiling.ThroughputMeter()
     live = None
     if args.live:
@@ -150,6 +160,11 @@ def cmd_stream(args):
     print(f"[{kind}] native events: {rt.events_detected}, "
           f"jax events: {int(state.event_count)}, "
           f"ingest rate: {meter.frames_per_sec / 1e3:.0f}k samples/s")
+    if args.checkpoint:
+        from ..utils import checkpoint as ckpt
+
+        path = ckpt.save(args.checkpoint, state, use_orbax=False)
+        print(f"state -> {path}")
     rt.close()
 
 
@@ -261,6 +276,8 @@ def main(argv=None):
     p.add_argument("--duration-samples", type=int, default=50_000)
     p.add_argument("--live", action="store_true",
                    help="in-place ANSI heatmap (the live VGA analogue)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save/resume the stream state (EMA correlograms etc.)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

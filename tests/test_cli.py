@@ -85,3 +85,15 @@ def test_doa_command(capsys):
     est = float([l for l in out.splitlines() if "SRP estimate" in l][0]
                 .split(":")[1].split("deg")[0])
     assert abs(est - 84.0) < 4.0
+
+
+def test_stream_checkpoint_resume(tmp_path, capsys):
+    ck = str(tmp_path / "stream_state")
+    cli.main(["stream", "--duration-samples", "12000", "--chunk", "512",
+              "--checkpoint", ck])
+    first = capsys.readouterr().out
+    assert "state ->" in first
+    cli.main(["stream", "--duration-samples", "12000", "--chunk", "512",
+              "--checkpoint", ck, "--seed", "1"])
+    second = capsys.readouterr().out
+    assert "resumed from" in second

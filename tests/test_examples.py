@@ -1,0 +1,30 @@
+"""The examples must keep running (they are documentation)."""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_example(name):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"exec(open(r'{os.path.join(ROOT, 'examples', name)}').read())"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=ROOT, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_quickstart_example():
+    out = _run_example("quickstart.py")
+    assert "estimated" in out and "calibration" in out
+
+
+def test_advanced_example():
+    out = _run_example("advanced.py")
+    assert "DoA" in out and "3-D" in out and "multi-source" in out

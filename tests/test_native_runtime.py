@@ -128,3 +128,35 @@ def test_threaded_producer_consumer(rng):
     for frames, _ in events:
         assert frames.shape == (3, 1024)
     rt.close()
+
+
+def test_fuzz_native_vs_python(rng):
+    """Randomized streams and chunkings: the C++ and NumPy runtimes must
+    agree exactly on every event."""
+    for trial in range(4):
+        t_len = int(rng.integers(3000, 9000))
+        streams = rng.integers(120, 140, size=(3, t_len)).astype(np.int16)
+        # random loud segments
+        for _ in range(int(rng.integers(0, 3))):
+            at = int(rng.integers(0, t_len - 500))
+            ln = int(rng.integers(200, 500))
+            streams[:, at: at + ln] = np.clip(
+                streams[:, at: at + ln]
+                + rng.integers(-120, 120, size=(3, ln)), 0, 255)
+        rt_n = native_rt.NativeIngestRuntime(3)
+        rt_p = native_rt.PyIngestRuntime(3)
+        i = 0
+        while i < t_len:
+            step = int(rng.integers(1, 700))
+            rt_n.push(streams.T[i: i + step])
+            rt_p.push(streams.T[i: i + step])
+            i += step
+        assert rt_n.events_detected == rt_p.events_detected, trial
+        while True:
+            a, b = rt_n.poll(), rt_p.poll()
+            assert (a is None) == (b is None)
+            if a is None:
+                break
+            np.testing.assert_array_equal(a[0], b[0])
+            assert a[1] == b[1]
+        rt_n.close()
