@@ -213,6 +213,16 @@ def cmd_gen_window(args):
         row = ", ".join(f"0x{v & 0xFFFF:04x}" for v in q[i: i + 12])
         print(f"    {row},")
     print("};")
+    if args.plot:
+        from ..viz import png as png_mod
+        from ..viz.raster import Canvas, GREEN
+
+        c = Canvas(480, 160)
+        xs = (np.arange(args.length) * (479 / (args.length - 1))).astype(int)
+        ys = (150 - w * 140).astype(int)
+        c.polyline(xs, ys, GREEN)
+        png_mod.write_png(args.plot, c.rgb)
+        print(f"window plot -> {args.plot}")
 
 
 def cmd_calibrate(args):
@@ -294,6 +304,9 @@ def main(argv=None):
     p = sub.add_parser("gen-window", help="emit the Q15 DPSS window C table")
     p.add_argument("--length", type=int, default=1024)
     p.add_argument("--nw", type=float, default=2.0)
+    p.add_argument("--plot", default=None,
+                   help="also render the window curve to this PNG "
+                        "(the window.ipynb plot)")
     p.set_defaults(fn=cmd_gen_window)
 
     p = sub.add_parser("localize-wav",

@@ -97,3 +97,11 @@ def test_stream_checkpoint_resume(tmp_path, capsys):
               "--checkpoint", ck, "--seed", "1"])
     second = capsys.readouterr().out
     assert "resumed from" in second
+
+
+def test_gen_window_plot(tmp_path, capsys):
+    out = str(tmp_path / "win.png")
+    cli.main(["gen-window", "--length", "128", "--plot", out])
+    capsys.readouterr()
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
