@@ -296,10 +296,10 @@ def heatmap_colors(scores: np.ndarray) -> np.ndarray:
 class GoldenPipeline:
     """Sequential reference pipeline over 8-bit sample streams.
 
-    ``step_streams`` consumes per-mic sample streams exactly like the 50 kHz
-    protothread loop: push each sample, check the variance trigger once all
-    rings are full, and on trigger run write-out -> <<8 -> window -> xcorr ->
-    shift gate -> EMA.
+    ``detect_index`` consumes per-mic sample streams exactly like the 50 kHz
+    protothread loop (push each sample, check the variance trigger once all
+    rings are full); ``process_event`` then runs the capture burst:
+    write-out -> <<8 -> window -> xcorr -> shift gate -> EMA.
     """
 
     window: np.ndarray = dataclasses.field(default_factory=window_table_q15)

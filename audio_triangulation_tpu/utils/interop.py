@@ -41,4 +41,5 @@ def to_torch(array: jnp.ndarray):
     try:
         return torch.from_dlpack(jax.device_get(array))
     except Exception:
-        return torch.from_numpy(np.asarray(array))
+        # copy: jax buffers are immutable and torch warns on non-writable
+        return torch.from_numpy(np.array(array, copy=True))
