@@ -137,7 +137,9 @@ def cmd_stream(args):
         state, out = sl(state, jnp.asarray(chunk, jnp.float32))
         meter.add(frames=args.chunk)
         if bool(out["event"]):
-            xy = np.asarray(out["xy_grid"])
+            # GN-refined position when the streaming solver is on,
+            # else the SRP grid peak
+            xy = np.asarray(out.get("xy", out["xy_grid"]))
             if live is None:
                 print(f"event @ sample {int(out['trigger_abs'])}: "
                       f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
@@ -152,7 +154,7 @@ def cmd_stream(args):
             levels = np.asarray(srp_ops.quantize_heatmap(scores[None]))[0]
             art = terminal.heatmap_ansi(
                 levels, sl.grid.width, sl.grid.height, max_cols=48)
-            xy = np.asarray(out["xy_grid"])
+            xy = np.asarray(out.get("xy", out["xy_grid"]))
             live.update(
                 f"t={i / 50000.0:6.2f}s  events={int(state.event_count)}  "
                 f"xy=({xy[0]:+.2f}, {xy[1]:+.2f}) m\n{art}")
@@ -328,9 +330,6 @@ def main(argv=None):
     args.fn(args)
 
 
-if __name__ == "__main__":
-    main()
-
 
 def cmd_localize_wav(args):
     """Localize events in a multi-channel WAV file (offline ingest path)."""
@@ -365,3 +364,6 @@ def cmd_localize_wav(args):
         print(f"event @ {t / rate:8.3f}s (sample {t}): "
               f"xy=({xy[i, 0]:+.3f}, {xy[i, 1]:+.3f}) m  "
               f"shifts={np.asarray(out['best_shift'])[i]}")
+
+if __name__ == "__main__":
+    main()

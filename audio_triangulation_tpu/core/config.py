@@ -58,6 +58,10 @@ class PipelineConfig:
     normalize_mode: str = "shift8"
     window_nw: float = 2.0  # DPSS time-halfbandwidth (window.ipynb cell 2)
     window_enabled: bool = True
+    # 'direct'  : dpss(frame_size) -- mathematically correct at any size
+    # 'strided' : stride the fixed 1024-entry table the way buffer.c:8 does
+    #             (firmware-exact for frame_size < 1024; identical at 1024)
+    window_mode: str = "direct"
 
     # --- correlation engine ---
     # 'mxu'  : GCC as MXU matmuls (DFT + 93-lag synthesis; fastest on TPU)
@@ -213,16 +217,16 @@ class StreamConfig:
     """Streaming ingest / event-detection configuration
     (reference sample_compute.h:45-150, rolling_buffer.c).
 
-    The streaming step takes at most one event per chunk (like the
-    reference's one capture per loop iteration).  With chunk_size <
-    frame_size this loses nothing — the post-event ring refill outlasts the
-    chunk; for chunk_size > frame_size use the offline
-    ``localize_stream``/``all_triggers_capped`` path, which extracts every
-    event."""
+    The streaming step extracts up to ``max_events_per_chunk`` triggers per
+    chunk (masked, statically unrolled), each followed by the reference's
+    full-frame refill holdoff (sample_compute.h:55-57 re-inits the rings)
+    plus ``refractory_samples``.  With chunk_size < frame_size the default
+    of 1 loses nothing — the refill outlasts the chunk; raise it when
+    chunk_size spans multiple frame refills."""
 
     chunk_size: int = 256  # samples consumed per stream step
     max_events_per_chunk: int = 1  # events extracted per step (masked)
-    refractory_samples: int = 0  # post-trigger holdoff
+    refractory_samples: int = 0  # extra post-trigger holdoff
 
 
 @dataclasses.dataclass(frozen=True)

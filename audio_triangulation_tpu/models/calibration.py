@@ -191,7 +191,7 @@ class Calibrator:
                **kwargs) -> "Calibrator":
         pairs = jnp.asarray(geometry.mic_pairs(n_mics))
         win = jnp.asarray(
-            window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw))
+            window_ops.window_for(pipeline))
         return cls(pipeline=pipeline, pairs=pairs, window=win, **kwargs)
 
     @functools.cached_property

@@ -70,7 +70,7 @@ class DoaEstimator:
         pp = np.repeat(np.arange(pairs.shape[0]), n_azimuths)
         onehot[pp, lut.ravel(), np.tile(np.arange(n_azimuths),
                                         pairs.shape[0])] = 1.0
-        win = window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw)
+        win = window_ops.window_for(pipeline)
         params = localizer_mod.LocalizerParams(
             mic_positions=jnp.asarray(mic_positions),
             pairs=jnp.asarray(pairs),

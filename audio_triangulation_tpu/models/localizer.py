@@ -89,7 +89,7 @@ class Localizer:
             onehot = jnp.asarray(
                 geometry.lag_onehot(lut, pipeline.num_lags), dtype=dtype
             )
-        win = window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw)
+        win = window_ops.window_for(pipeline)
         params = LocalizerParams(
             mic_positions=jnp.asarray(mic_positions),
             pairs=jnp.asarray(pairs),
@@ -216,11 +216,14 @@ def _conditioned_correlograms(
         b = b_total
         pad = (-b) % tile
         flat = frames.reshape(b, m, n).astype(jnp.float32)
+        if cfg.nan_guard:
+            flat = jnp.where(jnp.isfinite(flat), flat, 0.0)
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
         corr = gcc_kernel.fused_gcc(
-            flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile)
+            flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile,
+            interpret=jax.default_backend() != "tpu")
         corr = corr[:b]
         return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
     if (pairs_static is not None and len(pairs_static) > 256
@@ -293,7 +296,8 @@ def localize_frames(
                 [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
         (corr_t, shifts, tdoa_samples, peak_val,
          psr) = gcc_kernel.fused_gcc_peaks(
-            flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile)
+            flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile,
+            interpret=jax.default_backend() != "tpu")
         p = corr_t.shape[-2]
         corr_t = corr_t[:b].reshape(*lead, p, corr_t.shape[-1])
         shifts = shifts[:b].reshape(*lead, p)
@@ -383,7 +387,7 @@ def localize_frames(
         out["rms_m"] = rms
     else:
         out["xy"] = xy_grid
-        out["rms_m"] = jnp.zeros(tdoa_samples.shape[:-1], corr.dtype)
+        out["rms_m"] = jnp.zeros(tdoa_samples.shape[:-1], corr_t.dtype)
 
     return out
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..core.config import GridConfig, PipelineConfig, SolverConfig, StreamConfig
 
-from ..ops import detector, srp, xcorr
+from ..ops import detector, solver as solver_ops, srp, xcorr
 from . import localizer as localizer_mod
 
 
@@ -66,6 +66,9 @@ class StreamingLocalizer:
     stream: StreamConfig
     params: localizer_mod.LocalizerParams
     srp_form: str
+    # Gauss-Newton refine of the smoothed peak each step (the batch path's
+    # flagship 'xy' for streaming consumers)
+    with_solver: bool = True
 
     @classmethod
     def create(
@@ -75,12 +78,14 @@ class StreamingLocalizer:
         grid: GridConfig = GridConfig(),
         solver: SolverConfig = SolverConfig(),
         stream: StreamConfig = StreamConfig(),
+        with_solver: bool = True,
         **kwargs,
     ) -> "StreamingLocalizer":
         base = localizer_mod.Localizer.create(
             mic_positions, pipeline, grid, solver, **kwargs)
         return cls(pipeline=pipeline, grid=grid, solver=solver, stream=stream,
-                   params=base.params, srp_form=base.srp_form)
+                   params=base.params, srp_form=base.srp_form,
+                   with_solver=with_solver)
 
     # ------------------------------------------------------------------
     def init_state(self) -> StreamState:
@@ -111,6 +116,9 @@ class StreamingLocalizer:
                 grid_cfg=self.grid,
                 solver_cfg=self.solver,
                 srp_form=self.srp_form,
+                max_events=self.stream.max_events_per_chunk,
+                refractory=self.stream.refractory_samples,
+                with_solver=self.with_solver,
             ),
             donate_argnums=(0,),
         )
@@ -142,6 +150,9 @@ class StreamingLocalizer:
                     grid_cfg=self.grid,
                     solver_cfg=self.solver,
                     srp_form=self.srp_form,
+                    max_events=self.stream.max_events_per_chunk,
+                    refractory=self.stream.refractory_samples,
+                    with_solver=self.with_solver,
                 )
             ),
             donate_argnums=(0,),
@@ -171,8 +182,17 @@ def stream_step(
     grid_cfg: GridConfig,
     solver_cfg: SolverConfig,
     srp_form: str,
+    max_events: int = 1,
+    refractory: int = 0,
+    with_solver: bool = False,
 ):
-    """One streaming step: returns (new_state, outputs dict)."""
+    """One streaming step: returns (new_state, outputs dict).
+
+    Extracts up to ``max_events`` triggers per chunk (each followed by the
+    reference's full-frame refill holdoff plus ``refractory`` extra samples,
+    sample_compute.h:55-57) and EMA-merges every accepted event in stream
+    order.  ``with_solver`` adds a Gauss-Newton refine of the smoothed
+    correlogram peak (the batch path's flagship ``xy``) to the outputs."""
     n = cfg.frame_size
     c_len = chunk.shape[-1]
     chunk = chunk.astype(jnp.float32)
@@ -182,37 +202,58 @@ def stream_step(
 
     # detector over the windowed view; w indexes window positions, and the
     # fresh (this-chunk) positions start at w = n - 1 (chunk sample 0)
-    mask = detector.trigger_mask(window[None], cfg)[0]  # [N-1+C]
-    w = jnp.arange(mask.shape[-1])
+    mask0 = detector.trigger_mask(window[None], cfg)[0]  # [N-1+C]
+    w = jnp.arange(mask0.shape[-1])
     chunk_pos = w - (n - 1)  # chunk-relative sample index of position w
-    in_chunk = chunk_pos >= 0
-    armed = chunk_pos >= state.suppress  # post-event refill countdown
-    mask = mask & in_chunk & armed
+    mask0 = mask0 & (chunk_pos >= 0)
 
-    found = jnp.any(mask)
-    t_rel = jnp.argmax(mask)  # index into window
-    # frame = N samples ending at trigger
-    start = jnp.maximum(t_rel - (n - 1), 0)
-    frame = jax.lax.dynamic_slice_in_dim(window, start, n, axis=-1)  # [M, N]
+    # --- sequential trigger extraction with post-event holdoff ------------
+    # ``arm`` is the chunk-relative position from which triggering is armed;
+    # it starts at the carried countdown and jumps past each event's frame
+    # refill (the reference's ring re-init) plus the configured refractory.
+    holdoff = n + refractory
+    founds, t_rels = [], []
+    arm = state.suppress
+    for _ in range(max_events):
+        m_k = mask0 & (chunk_pos >= arm)
+        f_k = jnp.any(m_k)
+        t_k = jnp.argmax(m_k)  # index into window
+        founds.append(f_k)
+        t_rels.append(t_k)
+        arm = jnp.where(f_k, (t_k - (n - 1)) + holdoff, arm)
+    founds = jnp.stack(founds)  # [K]
+    t_rels = jnp.stack(t_rels)  # [K]
 
-    # --- correlation burst (computed every step, masked into state) ---
-    x = localizer_mod.condition_frames(frame[None], params.window, cfg)
-    corr = localizer_mod.correlate_frames(x, params, cfg)[0]  # [P, L]
-    shifts = xcorr.best_lag(corr, cfg.max_shift)  # [P]
+    # --- correlation bursts (computed every step, masked into state) ------
+    starts = jnp.maximum(t_rels - (n - 1), 0)
+    frames = jax.vmap(
+        lambda s_: jax.lax.dynamic_slice_in_dim(window, s_, n, axis=-1)
+    )(starts)  # [K, M, N]
+    x = localizer_mod.condition_frames(frames, params.window, cfg)
+    corr = localizer_mod.correlate_frames(x, params, cfg)  # [K, P, L]
+    shifts = xcorr.best_lag(corr, cfg.max_shift)  # [K, P]
     corr_t = (xcorr.peak_taper(corr, cfg.max_shift, cfg.taper_denom, shifts)
               if cfg.taper_enabled else corr)
 
-    gate = jnp.sum(shifts.astype(jnp.int32) ** 2) > cfg.shift_gate
-    accept = found & gate
+    gates = jnp.sum(shifts.astype(jnp.int32) ** 2, axis=-1) > cfg.shift_gate
+    accepts = founds & gates  # [K]
 
-    # EMA with real dt since last accepted event (correlations.c:40-43)
-    trigger_time = state.time_s + (t_rel - (n - 1) + 1).astype(jnp.float32) / fs
-    dt = jnp.maximum(trigger_time - state.last_event_s, 0.0)
-    decay = xcorr.ema_decay(dt, cfg.ema_tau_s)
-    ema_new = xcorr.ema_update(state.ema_corr, corr_t, decay)
-    ema_corr = jnp.where(accept, ema_new, state.ema_corr)
+    # EMA with real dt since last accepted event (correlations.c:40-43),
+    # applied in stream order (dt chains through accepted events)
+    trig_times = state.time_s + (
+        t_rels - (n - 1) + 1).astype(jnp.float32) / fs  # [K]
+    ema_corr = state.ema_corr
+    last_event = state.last_event_s
+    for k in range(max_events):
+        dt = jnp.maximum(trig_times[k] - last_event, 0.0)
+        decay = xcorr.ema_decay(dt, cfg.ema_tau_s)
+        ema_new = xcorr.ema_update(ema_corr, corr_t[k], decay)
+        ema_corr = jnp.where(accepts[k], ema_new, ema_corr)
+        last_event = jnp.where(accepts[k], trig_times[k], last_event)
+    any_accept = jnp.any(accepts)
     best = jnp.where(
-        accept, xcorr.best_lag(ema_corr, cfg.max_shift), state.best_shift)
+        any_accept, xcorr.best_lag(ema_corr, cfg.max_shift),
+        state.best_shift)
 
     # --- localization from the smoothed correlograms ---
     if srp_form == "matmul":
@@ -225,30 +266,42 @@ def stream_step(
         grid_cfg.cells_per_m,
     )[0]
 
+    found_any = jnp.any(founds)
     new_state = StreamState(
         context=window[:, -(n - 1):],
         ema_corr=ema_corr,
         best_shift=best,
         time_s=state.time_s + c_len / fs,
-        last_event_s=jnp.where(accept, trigger_time, state.last_event_s),
+        last_event_s=last_event,
         # post-event: reference re-inits rings -> need a full fresh frame
         # (countdown is relative, so arbitrarily long streams never overflow)
-        suppress=jnp.where(
-            found,
-            (t_rel - (n - 1)) + n - c_len,
-            jnp.maximum(state.suppress - c_len, 0),
-        ).astype(jnp.int32),
+        suppress=jnp.maximum(arm - c_len, 0).astype(jnp.int32),
         abs_sample=state.abs_sample + c_len,
-        event_count=state.event_count + accept.astype(jnp.int32),
+        event_count=state.event_count + jnp.sum(accepts.astype(jnp.int32)),
     )
+    event_abs = jnp.where(founds, state.abs_sample + (t_rels - (n - 1)), -1)
+    tdoa_samples = xcorr.subsample_peak(ema_corr, cfg.max_shift)[0]
     out = {
-        "event": accept,
-        "triggered": found,
-        "trigger_abs": jnp.where(
-            found, state.abs_sample + (t_rel - (n - 1)), -1),
+        "event": accepts[0] if max_events == 1 else any_accept,
+        "triggered": found_any,
+        "trigger_abs": event_abs[0],
+        # per-slot event reporting (multi-event capability)
+        "events": accepts,  # [K] accepted-event mask
+        "events_found": founds,  # [K] raw trigger mask (pre shift-gate)
+        "event_trigger_abs": event_abs,  # [K]
+        "event_shifts": shifts,  # [K, P] per-event integer lags
         "best_shift": best,
-        "tdoa_samples": xcorr.subsample_peak(ema_corr, cfg.max_shift)[0],
+        "tdoa_samples": tdoa_samples,
         "xy_grid": xy_grid,
         "event_count": new_state.event_count,
     }
+    if with_solver:
+        tdoa_s = tdoa_samples[None] / fs  # [1, P] seconds
+        xy, rms = solver_ops.solve_tdoa_batched(
+            tdoa_s, params.mic_positions, params.pairs,
+            speed_of_sound=cfg.speed_of_sound_mps,
+            height=grid_cfg.height_m,
+            init_xy=xy_grid[None], cfg=solver_cfg)
+        out["xy"] = xy[0]
+        out["rms_m"] = rms[0]
     return new_state, out

@@ -77,7 +77,7 @@ class VolumetricLocalizer:
         pp = np.repeat(np.arange(p), flat.shape[1])
         onehot[pp, flat.ravel(),
                np.tile(np.arange(flat.shape[1]), p)] = 1.0
-        win = window_ops.dpss_window(pipeline.frame_size, pipeline.window_nw)
+        win = window_ops.window_for(pipeline)
         params = localizer_mod.LocalizerParams(
             mic_positions=jnp.asarray(mic_positions),
             pairs=jnp.asarray(pairs),

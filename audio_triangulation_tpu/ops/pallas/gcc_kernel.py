@@ -137,7 +137,11 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
     syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])
     gain = 256.0 if cfg.normalize_mode == "shift8" else 1.0
-    win = window.astype(jnp.float32) * gain
+    win = window.astype(jnp.float32)
+    if not cfg.window_enabled:
+        # parity with the unfused path: conditioning skips the window
+        win = jnp.ones_like(win)
+    win = win * gain
 
     grid = (b // tile_b,)
     kernel = functools.partial(

@@ -104,7 +104,7 @@ def localize_freq(
 
     from . import window as window_ops
 
-    win = jnp.asarray(window_ops.dpss_window(cfg.frame_size, cfg.window_nw))
+    win = jnp.asarray(window_ops.window_for(cfg))
     params = localizer_mod.LocalizerParams(
         mic_positions=jnp.asarray(mic_positions),
         pairs=jnp.asarray(pairs),

@@ -76,18 +76,36 @@ def main():
     }))
 
 
+def _is_transient_tunnel_error(exc: BaseException) -> bool:
+    """Only the known axon-tunnel failure signatures qualify for a retry
+    (a stale process holding the single-tenant chip / tunnel hiccup);
+    anything else — import errors, shape bugs — re-raises immediately."""
+    msg = f"{type(exc).__name__}: {exc}"
+    needles = (
+        "is not in the list of known backends",  # stale holder of the chip
+        "Unable to initialize backend",
+        "DEADLINE_EXCEEDED",
+        "UNAVAILABLE",
+        "failed to connect",
+        "Connection reset",
+        "Socket closed",
+    )
+    return isinstance(exc, (RuntimeError, OSError, ConnectionError)) and any(
+        n in msg for n in needles)
+
+
 if __name__ == "__main__":
-    # the axon TPU tunnel can be transiently unavailable (observed: a stale
-    # process holding the single-tenant chip); one retry protects the
-    # round's headline artifact
     try:
         main()
-    except Exception:
+    except Exception as e:
         import sys
         import time as _time
         import traceback
 
+        if not _is_transient_tunnel_error(e):
+            raise
         traceback.print_exc(file=sys.stderr)
-        print("bench: transient failure, retrying in 30 s", file=sys.stderr)
+        print("bench: transient tunnel failure, retrying in 30 s",
+              file=sys.stderr)
         _time.sleep(30)
         main()
