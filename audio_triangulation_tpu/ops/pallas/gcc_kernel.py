@@ -40,11 +40,20 @@ def _round_up(x: int, m: int) -> int:
 
 def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 syns_ref, out_ref, aux_ref, *, pairs, phat, phat_eps, n,
-                tile_b, n_mics, num_lags, taper_denom, with_peaks):
+                tile_b, n_mics, num_lags, taper_denom, with_peaks,
+                nyq_fold, inv_fft_len):
     """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
     (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
     carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
-    peak value."""
+    peak value.
+
+    With ``nyq_fold`` the DFT matrices carry only F-1 = fft_length/2 bins —
+    a full 128-lane multiple, so Mosaic wastes no MXU columns / VPU lanes on
+    padding (513 would pad to 640) — and the Nyquist bin is reconstructed
+    exactly on the VPU: at f = L/2 the DFT row is cos(pi n) = (-1)^n with
+    sin = 0, so Im X = 0, the pair cross-power is the real product, and the
+    lag-synthesis row is cos(pi lag)/L = alternating +-1/L — a rank-1
+    broadcast add."""
     x = frames_ref[:].astype(jnp.float32).reshape(tile_b * n_mics, n)
     # conditioning: DC removal + gain folded into the window vector
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -53,10 +62,27 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
     re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
     im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32)
     f = re.shape[-1]
+    if nyq_fold:
+        # Nyquist-bin Re via alternating sum (Im is exactly 0 there);
+        # keep lane dim = 1 throughout (Mosaic can't cast lane widths)
+        alt_n = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % 2 == 0,
+            jnp.float32(1.0), jnp.float32(-1.0))
+        re_nyq = jnp.sum(x * alt_n, axis=-1, keepdims=True)  # [TB*M, 1]
+        re_nyq = re_nyq.reshape(tile_b, n_mics, 1)
     re = re.reshape(tile_b, n_mics, f)
     im = im.reshape(tile_b, n_mics, f)
 
-    rrs, jjs = [], []
+    k_half = (num_lags - 1) // 2
+    if nyq_fold:
+        l_pad = sync_ref.shape[-1]
+        # synthesis row at Nyquist: cos(pi (lane - K)) / L  (Hermitian w = 1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
+        alt_l = jnp.where((lane_i - k_half) % 2 == 0,
+                          jnp.float32(inv_fft_len),
+                          jnp.float32(-inv_fft_len))
+
+    rrs, jjs, nyq_corrs = [], [], []
     for (i, j) in pairs:  # static unroll over the (small) pair list
         rr = re[:, i, :] * re[:, j, :] + im[:, i, :] * im[:, j, :]
         jj = re[:, i, :] * im[:, j, :] - im[:, i, :] * re[:, j, :]
@@ -66,12 +92,20 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
             jj = jj * inv
         rrs.append(rr)
         jjs.append(jj)
+        if nyq_fold:
+            rrn = re_nyq[:, i, :] * re_nyq[:, j, :]  # [TB, 1]; jj_nyq == 0
+            if phat:
+                rrn = rrn / (jnp.abs(rrn) + phat_eps)
+            nyq_corrs.append(rrn * alt_l)  # [TB, l_pad]
     rr = jnp.stack(rrs, axis=1).reshape(tile_b * len(pairs), f)
     jj = jnp.stack(jjs, axis=1).reshape(tile_b * len(pairs), f)
 
     corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32)
             + jnp.dot(jj, syns_ref[:], preferred_element_type=jnp.float32))
     l_pad = corr.shape[-1]
+    if nyq_fold:
+        corr = corr + jnp.stack(nyq_corrs, axis=1).reshape(
+            tile_b * len(pairs), l_pad)
 
     if not with_peaks:
         out_ref[:] = corr.reshape(tile_b, len(pairs), l_pad)
@@ -133,6 +167,13 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
 
     cos, msin = mxu_fft.dft_matrices(n, cfg.fft_length, "float32")
     sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
+    # Nyquist fold: drop the last spectral column/row (F = L/2+1 -> L/2, a
+    # 128 multiple, so no Mosaic lane padding) and reconstruct the bin
+    # exactly inside the kernel (see _gcc_kernel docstring)
+    nyq_fold = cfg.fft_length % 2 == 0
+    if nyq_fold:
+        cos, msin = cos[:, :-1], msin[:, :-1]
+        sync, syns = sync[:-1], syns[:-1]
     # pad lag axis to the 128-lane boundary
     sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
     syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])
@@ -147,7 +188,8 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     kernel = functools.partial(
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
-        taper_denom=cfg.taper_denom, with_peaks=with_peaks)
+        taper_denom=cfg.taper_denom, with_peaks=with_peaks,
+        nyq_fold=nyq_fold, inv_fft_len=1.0 / cfg.fft_length)
     if not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
             _k(*refs, None)
