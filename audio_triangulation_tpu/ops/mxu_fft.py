@@ -92,8 +92,10 @@ def rdft(frames: jnp.ndarray, cos: jnp.ndarray, msin: jnp.ndarray):
 
 
 # N^2 matmul-DFT beats XLA's FFT for short frames; the FFT wins past this
-# (matmul cost grows ~N/log N faster; measured crossover ~2k on v5e).
-MATMUL_DFT_MAX_N = 2048
+# (matmul cost grows ~N/log N faster).  Measured on the v5e chip: at
+# N = 4096 the two DFT matmuls take ~3.1 ms for [256, 64] frames vs ~9 ms
+# of rfft fusions, so the crossover sits above 4096 there.
+MATMUL_DFT_MAX_N = 4096
 
 
 def forward_spectra(frames: jnp.ndarray, fft_length: int,

@@ -8,12 +8,17 @@ loop as a Pallas grid dimension instead:
 
     grid = (batch_tiles, pair_chunks)
     per step: spectra tile [TB, M, F] (revisited across chunks, stays in
-    VMEM) + this chunk's pair indices (scalar-prefetched into SMEM) ->
-    cross-power rows in VMEM scratch -> one synthesis matmul -> correlogram
-    block [TB, chunk, L_pad]
+    VMEM) + this chunk's one-hot mic-selection matrices [chunk, M] ->
+    per-pair spectra via selection MATMULS -> cross-power (+PHAT) on big
+    contiguous tiles -> one synthesis matmul -> correlogram block
+    [TB, chunk, L_pad]
 
-Pair indices are data (not trace constants), so one compiled kernel serves
-every chunk; the static inner loop is over the chunk size only.
+The selection matmuls replace a per-pair dynamic-index loop (the round-1
+design): extracting ``re[:, i]``/``re[:, j]`` with runtime indices forced 64
+tiny [tile_b, F] VPU ops per step and ran at ~17% VPU utilization; one-hot
+selection rides the MXU and leaves the VPU full [chunk, F] tiles
+(measured ~1.8x on the whole kernel).  Selection matrices are data (built
+from the pair list on host), so one compiled kernel serves every chunk.
 """
 
 from __future__ import annotations
@@ -34,39 +39,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(pairs_ref,  # this chunk's pair indices [1, chunk, 2] in SMEM
+def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
             re_ref, im_ref, sync_ref, syns_ref, out_ref,
             rr_ref, jj_ref, *, tile_b, chunk, phat, phat_eps):
-    for k in range(chunk):  # static unroll over the chunk
-        i = pairs_ref[0, k, 0]
-        j = pairs_ref[0, k, 1]
-        ri = re_ref[:, i, :]
-        ii = im_ref[:, i, :]
-        rj = re_ref[:, j, :]
-        ij = im_ref[:, j, :]
-        rr = ri * rj + ii * ij
+    ei = ei_ref[0]  # [chunk, M]
+    ej = ej_ref[0]
+    for b in range(tile_b):  # static unroll over the small batch tile
+        re_b = re_ref[b]  # [M, F]
+        im_b = im_ref[b]
+        ri = jnp.dot(ei, re_b, preferred_element_type=jnp.float32)
+        ii = jnp.dot(ei, im_b, preferred_element_type=jnp.float32)
+        rj = jnp.dot(ej, re_b, preferred_element_type=jnp.float32)
+        ij = jnp.dot(ej, im_b, preferred_element_type=jnp.float32)
+        rr = ri * rj + ii * ij  # [chunk, F]
         jj = ri * ij - ii * rj
         if phat:
             inv = 1.0 / (jnp.sqrt(rr * rr + jj * jj) + phat_eps)
             rr = rr * inv
             jj = jj * inv
-        rr_ref[k * tile_b:(k + 1) * tile_b, :] = rr
-        jj_ref[k * tile_b:(k + 1) * tile_b, :] = jj
+        rr_ref[b * chunk:(b + 1) * chunk, :] = rr
+        jj_ref[b * chunk:(b + 1) * chunk, :] = jj
 
     corr = (jnp.dot(rr_ref[:], sync_ref[:],
                     preferred_element_type=jnp.float32)
             + jnp.dot(jj_ref[:], syns_ref[:],
                       preferred_element_type=jnp.float32))
-    out_ref[:] = corr.reshape(chunk, tile_b, -1).swapaxes(0, 1)
+    out_ref[:] = corr.reshape(tile_b, chunk, -1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "tile_b", "chunk", "interpret"))
-def _call(re, im, pairs_chunked, cfg: PipelineConfig, tile_b, chunk,
+def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
           interpret):
     b, m, f = re.shape
-    n_chunks = pairs_chunked.shape[0]
+    n_chunks = sel_i.shape[0]
     k = cfg.max_shift
     l_pad = _round_up(2 * k + 1, 128)
     sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
@@ -77,8 +84,10 @@ def _call(re, im, pairs_chunked, cfg: PipelineConfig, tile_b, chunk,
         num_scalar_prefetch=0,
         grid=(b // tile_b, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, chunk, 2), lambda bi, ci: (ci, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, m), lambda bi, ci: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, m), lambda bi, ci: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, m, f), lambda bi, ci: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, m, f), lambda bi, ci: (bi, 0, 0),
@@ -102,9 +111,28 @@ def _call(re, im, pairs_chunked, cfg: PipelineConfig, tile_b, chunk,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, n_chunks * chunk, l_pad), jnp.float32),
+        # larger tiles need more than the default 16 MB scoped-VMEM budget;
+        # v5e has headroom well past it (the compiler rejects true overflows)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pairs_chunked, re, im, jnp.asarray(sync), jnp.asarray(syns))
+    )(sel_i, sel_j, re, im, jnp.asarray(sync), jnp.asarray(syns))
     return out[..., : 2 * k + 1]
+
+
+def _selection_matrices(pairs: np.ndarray, n_mics: int, chunk: int):
+    """One-hot [n_chunks, chunk, M] float32 matrices selecting each pair's
+    (i, j) mic rows; padded pairs select mic 0 (their correlograms are
+    sliced off by the caller)."""
+    p = pairs.shape[0]
+    pad = (-p) % chunk
+    pairs_p = np.concatenate(
+        [np.asarray(pairs, np.int64),
+         np.zeros((pad, 2), np.int64)]) if pad else np.asarray(pairs, np.int64)
+    eye = np.eye(n_mics, dtype=np.float32)
+    sel_i = eye[pairs_p[:, 0]].reshape(-1, chunk, n_mics)
+    sel_j = eye[pairs_p[:, 1]].reshape(-1, chunk, n_mics)
+    return sel_i, sel_j
 
 
 def xcorr_large(
@@ -123,11 +151,9 @@ def xcorr_large(
     if b % tile_b != 0:
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
     re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
+    m = frames.shape[1]
     p = pairs.shape[0]
-    pad = (-p) % chunk
-    pairs_p = np.concatenate(
-        [np.asarray(pairs, np.int32),
-         np.zeros((pad, 2), np.int32)]) if pad else np.asarray(pairs, np.int32)
-    pairs_chunked = jnp.asarray(pairs_p.reshape(-1, chunk, 2))
-    out = _call(re, im, pairs_chunked, cfg, tile_b, chunk, interpret)
+    sel_i, sel_j = _selection_matrices(np.asarray(pairs), m, chunk)
+    out = _call(re, im, jnp.asarray(sel_i), jnp.asarray(sel_j), cfg, tile_b,
+                chunk, interpret)
     return out[:, :p, :]

@@ -119,14 +119,24 @@ class Canvas:
             self.rgb[y0:y1, x0:x1] = img[y0 - y: y1 - y, x0 - x: x1 - x]
 
     def text(self, s: str, x: int, y: int, color, size: int = 10) -> None:
-        """Status text via PIL when available (vga_text/drawChar parity);
-        silently skipped otherwise — text is observability, not data."""
-        try:
-            from PIL import Image, ImageDraw
-        except ImportError:  # pragma: no cover
-            return
-        img = Image.fromarray(self.rgb)
-        draw = ImageDraw.Draw(img)
-        col = tuple(int(v) for v in self._color(color))
-        draw.text((x, y), s, fill=col)
-        self.rgb[:] = np.asarray(img)
+        """Status text from the embedded 5x7 bitmap font (the analogue of
+        vga_text.h / drawChar rendering from the firmware's font ROM) —
+        dependency-free, never a silent no-op.  ``size`` maps to an integer
+        pixel scale (10 -> 1x, like the firmware's textsize=1)."""
+        from . import font5x7
+
+        scale = max(1, int(size) // 10)
+        for line_no, line in enumerate(s.split("\n")):
+            mask = font5x7.render_text(line, scale)
+            if mask.size == 0:
+                continue
+            h, w = mask.shape
+            ty = y + line_no * (font5x7.GLYPH_H + 2) * scale
+            x0, y0 = max(0, x), max(0, ty)
+            x1 = min(self.width, x + w)
+            y1 = min(self.height, ty + h)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            sub = mask[y0 - ty: y1 - ty, x0 - x: x1 - x]
+            region = self.rgb[y0:y1, x0:x1]
+            region[sub] = self._color(color)

@@ -120,3 +120,58 @@ def test_live_view_rewrites(capsys):
     lv.update("next")
     s = buf.getvalue()
     assert "line1" in s and "\x1b[2F" in s
+
+
+# ----------------------------------------------------------------------
+# Embedded 5x7 font (round-1 gap: Canvas.text silently no-oped without PIL)
+
+
+def test_font_glyphs_well_formed():
+    from audio_triangulation_tpu.viz import font5x7
+
+    # every printable ASCII char has a compiled [7, 5] bitmap
+    for code in range(32, 127):
+        g = font5x7.glyph(chr(code))
+        assert g.shape == (7, 5)
+        if chr(code) != " ":
+            assert g.any(), chr(code)
+    # a few structural checks: '-' is a single middle row, '|' a column
+    dash = font5x7.glyph("-")
+    assert dash[3].all() and dash.sum() == 5
+    pipe = font5x7.glyph("|")
+    assert pipe[:, 2].all() and pipe.sum() == 7
+
+
+def test_canvas_text_renders_pixels():
+    from audio_triangulation_tpu.viz.raster import Canvas
+
+    c = Canvas(120, 20, background=(0, 0, 0))
+    c.text("XY=0.5", 2, 2, 15)
+    lit = (c.rgb != 0).any(axis=-1)
+    assert lit.sum() > 40  # real glyph pixels, not a no-op
+    # pixels confined to the text box (7 rows starting at y=2)
+    ys, xs = lit.nonzero()
+    assert ys.min() >= 2 and ys.max() <= 8
+    # scaled text scales the footprint
+    c2 = Canvas(120, 40)
+    c2.text("A", 0, 0, 15, size=20)
+    lit2 = (c2.rgb != 0).any(axis=-1)
+    assert lit2[:14, :10].sum() == 4 * font_glyph_pixel_count("A")
+
+
+def font_glyph_pixel_count(ch):
+    from audio_triangulation_tpu.viz import font5x7
+
+    return int(font5x7.glyph(ch).sum())
+
+
+def test_canvas_text_multiline_and_clipping():
+    from audio_triangulation_tpu.viz.raster import Canvas
+
+    c = Canvas(30, 30)
+    c.text("AB\nCD", 0, 0, 15)
+    lit = (c.rgb != 0).any(axis=-1)
+    assert lit[:7].any() and lit[9:16].any()
+    # clipped draws must not raise or wrap
+    c.text("CLIPPED", -3, 28, 15)
+    c.text("OFF", 40, 40, 15)
