@@ -86,6 +86,59 @@ def cmd_simulate(args):
         print(f"dashboard -> {args.out}")
 
 
+def cmd_stream_live(args):
+    """Live ingest: a transport source (fifo/socket/alsa) feeds the native
+    detector; each event frame gets the full localization burst.
+
+    This is the reference's architecture end-to-end: autonomous acquisition
+    (dma_sampler analogue, here a native reader thread) + per-event compute
+    burst (sample_compute.h:105-139)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from .. import Localizer, PipelineConfig
+    from ..runtime import native_rt, transport
+
+    mics = _mic_array(args)
+    cfg = PipelineConfig()
+    loc = Localizer.create(mics, cfg)
+    rt = native_rt.create_ingest_runtime(mics.shape[0], cfg.frame_size)
+    src = transport.open_source(rt, args.source)
+    if args.source.startswith(("listen://", "socket-listen://")):
+        print(f"listening on 127.0.0.1:{src.wait_port()}", flush=True)
+    print(f"[{type(rt).__name__}] source {args.source} attached", flush=True)
+
+    deadline = (time.time() + args.max_seconds
+                if args.max_seconds else None)
+    events = 0
+    try:
+        while True:
+            ev = rt.poll()
+            if ev is None:
+                if not src.running:
+                    if rt.poll() is None:
+                        break
+                    continue
+                if deadline and time.time() > deadline:
+                    break
+                time.sleep(0.002)
+                continue
+            frame, stamp = ev
+            out = loc(jnp.asarray(frame, jnp.float32)[None])
+            xy = np.asarray(out["xy"])[0]
+            events += 1
+            print(f"event @ sample {stamp}: xy=({xy[0]:+.3f}, {xy[1]:+.3f}) "
+                  f"m  shifts={np.asarray(out['best_shift'])[0]}",
+                  flush=True)
+    finally:
+        src.stop()
+        print(f"source closed: {src.tuples_pushed} tuples in, "
+              f"{rt.events_detected} events detected, {events} localized",
+              flush=True)
+        rt.close()
+
+
 def cmd_stream(args):
     import jax.numpy as jnp
 
@@ -94,6 +147,10 @@ def cmd_stream(args):
     from ..models.streaming import StreamingLocalizer
     from ..runtime import native_rt
     from ..utils import profiling, synth
+
+    if args.source:
+        cmd_stream_live(args)
+        return
 
     mics = _mic_array(args)
     plane, event_frames = _build_scene(args, mics)
@@ -290,6 +347,13 @@ def main(argv=None):
                    help="in-place ANSI heatmap (the live VGA analogue)")
     p.add_argument("--checkpoint", default=None,
                    help="save/resume the stream state (EMA correlograms etc.)")
+    p.add_argument("--source", default=None,
+                   help="live transport source: fifo:///path, "
+                        "socket://host:port, listen://:port, alsa://device "
+                        "(interleaved int16 tuples); omit for the synthetic "
+                        "demo stream")
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="stop a live source after this many idle seconds")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

@@ -21,9 +21,21 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <new>
+#include <string>
+#include <thread>
 #include <vector>
+
+#include <arpa/inet.h>
+#include <fcntl.h>
+#include <netdb.h>
+#include <netinet/in.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
 
 namespace {
 
@@ -221,6 +233,188 @@ void atrt_powers(void* h, long long* incoming_out, long long* outgoing_out) {
     incoming_out[m] = rt->rings[m].incoming_power(half_bits);
     outgoing_out[m] = rt->rings[m].outgoing_power(half_bits);
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Live transport sources: a native reader thread feeding atrt_push from a
+// real byte stream (interleaved little-endian int16 tuples).  The TPU-host
+// analogue of the reference's autonomous chained-DMA acquisition
+// (src/components/dma_sampler.c:8-56): once started, samples flow into the
+// detector with no Python in the loop; only event frames surface (atrt_poll).
+// Kinds: 0 = FIFO/file path, 1 = TCP connect "host:port",
+//        2 = TCP listen ":port" (accept one peer; port 0 picks a free one).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Source {
+  Runtime* rt = nullptr;
+  int kind = 0;
+  std::string address;
+  std::thread thread;
+  std::atomic<bool> stop{false};
+  std::atomic<bool> running{false};
+  std::atomic<long long> bytes{0};
+  std::atomic<long long> tuples{0};
+  std::atomic<int> bound_port{0};  // for listen sources (port 0 -> chosen)
+  std::atomic<int> listen_fd{-1};
+
+  void run();
+};
+
+int open_fifo(const std::string& path) {
+  // O_NONBLOCK so open() doesn't hang waiting for a writer; the read loop
+  // polls with a timeout instead.
+  return open(path.c_str(), O_RDONLY | O_NONBLOCK);
+}
+
+int open_tcp_connect(const std::string& addr) {
+  const size_t colon = addr.rfind(':');
+  if (colon == std::string::npos) return -1;
+  const std::string host = addr.substr(0, colon);
+  const std::string port = addr.substr(colon + 1);
+  addrinfo hints{};
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  addrinfo* res = nullptr;
+  if (getaddrinfo(host.empty() ? "127.0.0.1" : host.c_str(), port.c_str(),
+                  &hints, &res) != 0)
+    return -1;
+  int fd = -1;
+  for (addrinfo* ai = res; ai; ai = ai->ai_next) {
+    fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+    if (fd < 0) continue;
+    if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+    close(fd);
+    fd = -1;
+  }
+  freeaddrinfo(res);
+  return fd;
+}
+
+int open_tcp_listen(Source* src, const std::string& addr) {
+  const size_t colon = addr.rfind(':');
+  const int port = colon == std::string::npos
+                       ? atoi(addr.c_str())
+                       : atoi(addr.substr(colon + 1).c_str());
+  int lfd = socket(AF_INET, SOCK_STREAM, 0);
+  if (lfd < 0) return -1;
+  int one = 1;
+  setsockopt(lfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in sa{};
+  sa.sin_family = AF_INET;
+  sa.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  sa.sin_port = htons((uint16_t)port);
+  if (bind(lfd, (sockaddr*)&sa, sizeof(sa)) != 0 || listen(lfd, 1) != 0) {
+    close(lfd);
+    return -1;
+  }
+  socklen_t len = sizeof(sa);
+  getsockname(lfd, (sockaddr*)&sa, &len);
+  src->bound_port.store(ntohs(sa.sin_port));
+  src->listen_fd.store(lfd);
+  // accept with a poll loop so stop() works while waiting for the peer
+  while (!src->stop.load()) {
+    pollfd p{lfd, POLLIN, 0};
+    const int r = poll(&p, 1, 100);
+    if (r > 0 && (p.revents & POLLIN)) {
+      const int fd = accept(lfd, nullptr, nullptr);
+      close(lfd);
+      src->listen_fd.store(-1);
+      return fd;
+    }
+  }
+  close(lfd);
+  src->listen_fd.store(-1);
+  return -1;
+}
+
+void Source::run() {
+  int fd = -1;
+  if (kind == 0)
+    fd = open_fifo(address);
+  else if (kind == 1)
+    fd = open_tcp_connect(address);
+  else if (kind == 2)
+    fd = open_tcp_listen(this, address);
+  if (fd < 0) {
+    running.store(false);
+    return;
+  }
+  const int c = rt->channels;
+  const size_t tuple_bytes = (size_t)c * sizeof(int16_t);
+  std::vector<uint8_t> buf(tuple_bytes * 4096);
+  size_t carry = 0;  // bytes of an incomplete tuple carried between reads
+  while (!stop.load()) {
+    pollfd p{fd, POLLIN, 0};
+    const int r = poll(&p, 1, 100);
+    if (r <= 0) continue;
+    if (p.revents & (POLLERR | POLLNVAL)) break;
+    const ssize_t n = read(fd, buf.data() + carry, buf.size() - carry);
+    if (n == 0) {
+      if (kind != 0) break;    // socket EOF
+      if (p.revents & POLLHUP)  // FIFO: all writers gone
+        break;
+      continue;
+    }
+    if (n < 0) {
+      if (errno == EAGAIN || errno == EINTR) continue;
+      break;
+    }
+    bytes.fetch_add(n);
+    const size_t avail = carry + (size_t)n;
+    const size_t n_tuples = avail / tuple_bytes;
+    if (n_tuples) {
+      atrt_push(rt, reinterpret_cast<const int16_t*>(buf.data()),
+                (int)n_tuples);
+      tuples.fetch_add((long long)n_tuples);
+      const size_t used = n_tuples * tuple_bytes;
+      carry = avail - used;
+      if (carry) std::memmove(buf.data(), buf.data() + used, carry);
+    } else {
+      carry = avail;
+    }
+  }
+  close(fd);
+  running.store(false);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* atrt_source_start(void* h, int kind, const char* address) {
+  auto* src = new (std::nothrow) Source();
+  if (!src) return nullptr;
+  src->rt = static_cast<Runtime*>(h);
+  src->kind = kind;
+  src->address = address ? address : "";
+  src->running.store(true);
+  src->thread = std::thread([src] { src->run(); });
+  return src;
+}
+
+// For listen sources: the bound port (valid once > 0).
+int atrt_source_port(void* s) {
+  return static_cast<Source*>(s)->bound_port.load();
+}
+int atrt_source_running(void* s) {
+  return static_cast<Source*>(s)->running.load() ? 1 : 0;
+}
+long long atrt_source_bytes(void* s) {
+  return static_cast<Source*>(s)->bytes.load();
+}
+long long atrt_source_tuples(void* s) {
+  return static_cast<Source*>(s)->tuples.load();
+}
+
+void atrt_source_stop(void* s) {
+  auto* src = static_cast<Source*>(s);
+  src->stop.store(true);
+  if (src->thread.joinable()) src->thread.join();
+  delete src;
 }
 
 }  // extern "C"

@@ -57,6 +57,18 @@ def _load_library():
         lib.atrt_powers.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_longlong)]
+        lib.atrt_source_start.restype = ctypes.c_void_p
+        lib.atrt_source_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+        lib.atrt_source_stop.argtypes = [ctypes.c_void_p]
+        for name in ("atrt_source_port", "atrt_source_running"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p]
+        for name in ("atrt_source_bytes", "atrt_source_tuples"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_longlong
+            fn.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -127,6 +139,26 @@ class NativeIngestRuntime:
     def events_dropped(self) -> int:
         return self._lib.atrt_events_dropped(self._h)
 
+    # --- live transport sources (native reader thread -> atrt_push) ------
+    SOURCE_KINDS = {"fifo": 0, "pipe": 0, "file": 0,
+                    "tcp": 1, "socket": 1, "listen": 2, "socket-listen": 2}
+
+    def start_source(self, url: str) -> "NativeSource":
+        """Start a native reader thread feeding this runtime from a byte
+        stream of interleaved little-endian int16 tuples.
+
+        ``url``: fifo:///path | tcp://host:port (connect) |
+        listen://:port (accept one peer; port 0 picks a free one; aliases:
+        socket:// = tcp://, pipe/file = fifo)."""
+        scheme, _, rest = url.partition("://")
+        if scheme not in self.SOURCE_KINDS:
+            raise ValueError(f"unsupported source scheme {scheme!r}")
+        kind = self.SOURCE_KINDS[scheme]
+        h = self._lib.atrt_source_start(self._h, kind, rest.encode())
+        if not h:
+            raise RuntimeError(f"atrt_source_start failed for {url}")
+        return NativeSource(self._lib, h)
+
     def close(self):
         if self._h:
             self._lib.atrt_destroy(self._h)
@@ -135,6 +167,70 @@ class NativeIngestRuntime:
     def __del__(self):
         try:
             self.close()
+        except Exception:
+            pass
+
+
+class NativeSource:
+    """Handle to a native transport reader thread (see start_source)."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+        # final counter values, captured when the handle is freed so the
+        # properties stay valid after stop()
+        self._final = {"port": 0, "running": False, "bytes": 0, "tuples": 0}
+
+    @property
+    def port(self) -> int:
+        """Bound port of a listen:// source (0 until bound)."""
+        if not self._h:
+            return self._final["port"]
+        return self._lib.atrt_source_port(self._h)
+
+    def wait_port(self, timeout_s: float = 5.0) -> int:
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            p = self.port
+            if p:
+                return p
+            time.sleep(0.005)
+        raise TimeoutError("listen source never bound")
+
+    @property
+    def running(self) -> bool:
+        if not self._h:
+            return False
+        return bool(self._lib.atrt_source_running(self._h))
+
+    @property
+    def bytes_read(self) -> int:
+        if not self._h:
+            return self._final["bytes"]
+        return self._lib.atrt_source_bytes(self._h)
+
+    @property
+    def tuples_pushed(self) -> int:
+        if not self._h:
+            return self._final["tuples"]
+        return self._lib.atrt_source_tuples(self._h)
+
+    def stop(self):
+        if self._h:
+            self._final = {
+                "port": self._lib.atrt_source_port(self._h),
+                "running": False,
+                "bytes": self._lib.atrt_source_bytes(self._h),
+                "tuples": self._lib.atrt_source_tuples(self._h),
+            }
+            self._lib.atrt_source_stop(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.stop()
         except Exception:
             pass
 

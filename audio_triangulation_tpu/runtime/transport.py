@@ -1,0 +1,188 @@
+"""Live audio transports: byte streams -> the ingest runtime.
+
+The reference acquires audio autonomously in hardware (chained-DMA ADC,
+``src/components/dma_sampler.c:8-56``).  The TPU-host analogue is a reader
+thread feeding ``atrt_push`` from a real transport; with the native runtime
+(``native_rt.NativeIngestRuntime``) the whole path — read, frame assembly,
+detection — runs in C++ with no Python in the loop, and only event frames
+surface via ``poll``.
+
+Supported source URLs (interleaved little-endian int16 tuples):
+
+- ``fifo:///path``           named pipe / file (container-friendly default)
+- ``tcp://host:port``        TCP connect (``socket://`` is an alias)
+- ``listen://:port``         TCP listen on loopback, accept one peer
+                             (port 0 picks a free one)
+- ``alsa://device``          live capture via an ``arecord`` subprocess
+                             (gated on the binary being present)
+
+``open_source`` dispatches to the native reader when available and falls
+back to a Python thread with identical semantics otherwise.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from . import native_rt
+
+
+# ----------------------------------------------------------------------
+# Python fallback reader (same semantics as the native Source thread)
+# ----------------------------------------------------------------------
+
+@dataclass
+class PySource:
+    """Python reader thread feeding ``rt.push`` from a file object."""
+
+    rt: object
+    fileobj: object
+    channels: int
+    proc: Optional[subprocess.Popen] = None
+    _stop: threading.Event = field(default_factory=threading.Event)
+    bytes_read: int = 0
+    tuples_pushed: int = 0
+    running: bool = True
+    port: int = 0
+
+    def __post_init__(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        tuple_bytes = 2 * self.channels
+        carry = b""
+        try:
+            while not self._stop.is_set():
+                data = self.fileobj.read(tuple_bytes * 4096)
+                if not data:
+                    break
+                self.bytes_read += len(data)
+                data = carry + data
+                n_tuples = len(data) // tuple_bytes
+                if n_tuples:
+                    used = n_tuples * tuple_bytes
+                    arr = np.frombuffer(
+                        data[:used], dtype="<i2").reshape(-1, self.channels)
+                    self.rt.push(arr)
+                    self.tuples_pushed += n_tuples
+                    carry = data[used:]
+                else:
+                    carry = data
+        finally:
+            self.running = False
+
+    def wait_port(self, timeout_s: float = 5.0) -> int:
+        return self.port
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self.fileobj.close()
+        except Exception:
+            pass
+        if self.proc is not None:
+            self.proc.terminate()
+            self.proc.wait(timeout=5)
+        self._thread.join(timeout=5)
+
+
+def _open_alsa(rt, url: str, sample_rate: int):
+    """alsa://device -> arecord subprocess producing raw S16_LE."""
+    device = url.partition("://")[2] or "default"
+    if shutil.which("arecord") is None:
+        raise RuntimeError(
+            "alsa:// sources need the `arecord` binary (alsa-utils); "
+            "not present in this environment")
+    proc = subprocess.Popen(
+        ["arecord", "-D", device, "-t", "raw", "-f", "S16_LE",
+         "-r", str(sample_rate), "-c", str(rt.channels), "-q"],
+        stdout=subprocess.PIPE)
+    return PySource(rt=rt, fileobj=proc.stdout, channels=rt.channels,
+                    proc=proc)
+
+
+def open_source(rt, url: str, *, sample_rate: int = 50_000,
+                prefer_native: bool = True):
+    """Attach a live source to an ingest runtime; returns a source handle
+    with .running/.bytes_read/.tuples_pushed/.stop() (and .wait_port() for
+    listen sources)."""
+    scheme = url.partition("://")[0]
+    if scheme == "alsa":
+        return _open_alsa(rt, url, sample_rate)
+    if (prefer_native
+            and isinstance(rt, native_rt.NativeIngestRuntime)
+            and scheme in native_rt.NativeIngestRuntime.SOURCE_KINDS):
+        return rt.start_source(url)
+    # Python fallback (PyIngestRuntime, or exotic runtimes)
+    rest = url.partition("://")[2]
+    if scheme in ("fifo", "pipe", "file"):
+        fileobj = open(rest, "rb")
+        return PySource(rt=rt, fileobj=fileobj, channels=rt.channels)
+    if scheme in ("tcp", "socket"):
+        import socket as socket_mod
+
+        host, _, port = rest.rpartition(":")
+        s = socket_mod.create_connection((host or "127.0.0.1", int(port)))
+        return PySource(rt=rt, fileobj=s.makefile("rb"), channels=rt.channels)
+    if scheme in ("listen", "socket-listen"):
+        import socket as socket_mod
+
+        port = int(rest.rpartition(":")[2] or 0)
+        srv = socket_mod.socket()
+        srv.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        bound = srv.getsockname()[1]
+        conn, _ = srv.accept()
+        srv.close()
+        src = PySource(rt=rt, fileobj=conn.makefile("rb"),
+                       channels=rt.channels)
+        src.port = bound
+        return src
+    raise ValueError(f"unsupported source url {url!r}")
+
+
+# ----------------------------------------------------------------------
+# Producer-side helpers (tests / demos): stream PCM over a transport
+# ----------------------------------------------------------------------
+
+def stream_pcm_to_fifo(path: str, samples: np.ndarray,
+                       chunk_tuples: int = 2048) -> threading.Thread:
+    """Write [T, C] int16 samples into a FIFO from a daemon thread
+    (open blocks until the consumer side opens)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+
+    def run():
+        with open(path, "wb") as f:
+            step = chunk_tuples * samples.shape[1] * 2
+            for i in range(0, len(data), step):
+                f.write(data[i: i + step])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def stream_pcm_to_socket(host: str, port: int, samples: np.ndarray,
+                         chunk_tuples: int = 2048) -> threading.Thread:
+    """Connect to host:port and send [T, C] int16 samples."""
+    import socket as socket_mod
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+
+    def run():
+        with socket_mod.create_connection((host, port)) as s:
+            step = chunk_tuples * samples.shape[1] * 2
+            for i in range(0, len(data), step):
+                s.sendall(data[i: i + step])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
