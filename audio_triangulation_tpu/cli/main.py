@@ -183,10 +183,64 @@ def cmd_stream(args):
     meter = profiling.ThroughputMeter()
     live = None
     if args.live:
-        from ..ops import srp as srp_ops
         from ..viz import terminal
 
         live = terminal.LiveView()
+    # free-running refresh (the 60 Hz VGA analogue): redraw every
+    # fs/refresh_hz stream samples, whether or not an event arrived
+    refresh_every = (
+        int(round(50_000 / args.refresh_hz)) if args.refresh_hz else None)
+    next_refresh = 0
+    frames_written = 0
+    if args.frames_dir:
+        import os
+
+        os.makedirs(args.frames_dir, exist_ok=True)
+
+    def _current_levels(state):
+        from ..ops import srp as srp_ops
+
+        if sl.srp_form == "matmul":
+            scores = srp_ops.srp_scores_matmul(
+                state.ema_corr[None], sl.params.onehot)[0]
+        else:
+            scores = srp_ops.srp_scores_gather(
+                state.ema_corr[None], sl.params.lut_flat)[0]
+        return np.asarray(srp_ops.quantize_heatmap(scores[None]))[0]
+
+    def _redraw(state, out, i):
+        from ..viz import terminal
+
+        levels = _current_levels(state)
+        xy = np.asarray(out.get("xy", out["xy_grid"]))
+        if args.frames_dir:
+            nonlocal frames_written
+            from ..viz import png, render
+
+            n = sl.pipeline.frame_size
+            window_tail = np.asarray(state.context)[:, -(n - 1):]
+            wave = np.concatenate(
+                [window_tail, window_tail[:, -1:]], axis=1)
+            img = render.dashboard(
+                frames=wave,
+                correlograms=np.asarray(state.ema_corr),
+                heat_levels_or_scores=levels,
+                grid=sl.grid,
+                mic_positions=np.asarray(sl.params.mic_positions),
+                best_shifts=np.asarray(state.best_shift),
+                status=(f"t={i / 50000.0:6.2f}s "
+                        f"events={int(state.event_count)} "
+                        f"xy=({xy[0]:+.2f},{xy[1]:+.2f})m"),
+            )
+            png.write_png(
+                f"{args.frames_dir}/frame_{frames_written:05d}.png", img)
+            frames_written += 1
+        if live is not None:
+            art = terminal.heatmap_ansi(
+                levels, sl.grid.width, sl.grid.height, max_cols=48)
+            live.update(
+                f"t={i / 50000.0:6.2f}s  events={int(state.event_count)}  "
+                f"xy=({xy[0]:+.2f}, {xy[1]:+.2f}) m\n{art}")
 
     for i in range(0, t_len - t_len % args.chunk, args.chunk):
         chunk = streams[:, i: i + args.chunk]
@@ -201,20 +255,15 @@ def cmd_stream(args):
                 print(f"event @ sample {int(out['trigger_abs'])}: "
                       f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
                       f"shifts={np.asarray(out['best_shift'])}")
-        if live is not None and int(state.event_count) > 0:
-            if sl.srp_form == "matmul":
-                scores = srp_ops.srp_scores_matmul(
-                    state.ema_corr[None], sl.params.onehot)[0]
-            else:
-                scores = srp_ops.srp_scores_gather(
-                    state.ema_corr[None], sl.params.lut_flat)[0]
-            levels = np.asarray(srp_ops.quantize_heatmap(scores[None]))[0]
-            art = terminal.heatmap_ansi(
-                levels, sl.grid.width, sl.grid.height, max_cols=48)
-            xy = np.asarray(out.get("xy", out["xy_grid"]))
-            live.update(
-                f"t={i / 50000.0:6.2f}s  events={int(state.event_count)}  "
-                f"xy=({xy[0]:+.2f}, {xy[1]:+.2f}) m\n{art}")
+        if refresh_every is not None:
+            while i + args.chunk > next_refresh:
+                _redraw(state, out, i)
+                next_refresh += refresh_every
+        elif live is not None and int(state.event_count) > 0:
+            _redraw(state, out, i)  # legacy: refresh per processed chunk
+
+    if args.frames_dir:
+        print(f"{frames_written} dashboard frames -> {args.frames_dir}")
 
     print(f"[{kind}] native events: {rt.events_detected}, "
           f"jax events: {int(state.event_count)}, "
@@ -345,6 +394,13 @@ def main(argv=None):
     p.add_argument("--duration-samples", type=int, default=50_000)
     p.add_argument("--live", action="store_true",
                    help="in-place ANSI heatmap (the live VGA analogue)")
+    p.add_argument("--refresh-hz", type=float, default=None,
+                   help="free-running dashboard refresh rate in stream time "
+                        "(the reference display free-runs at 60 Hz); redraws "
+                        "whether or not an event arrived")
+    p.add_argument("--frames-dir", default=None,
+                   help="write the refreshed dashboard as a PNG sequence "
+                        "into this directory")
     p.add_argument("--checkpoint", default=None,
                    help="save/resume the stream state (EMA correlograms etc.)")
     p.add_argument("--source", default=None,

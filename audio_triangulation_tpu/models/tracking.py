@@ -1,0 +1,233 @@
+"""Position-space multi-target tracking over per-event localizations.
+
+The reference's only temporal smoothing is the correlogram EMA
+(``src/components/correlations.c:38-49``) — a 0th-order filter in lag space.
+This layer generalizes it to state space: a bank of constant-velocity Kalman
+filters over the per-event ``xy`` estimates, with track lifecycle
+(spawn -> tentative -> confirmed -> dropped), written TPU-first:
+
+- the whole tracker state is a fixed-size pytree of arrays (``max_tracks``
+  slots), every update is masked and branchless, so ``step`` jits once and
+  ``jax.vmap`` serves thousands of independent streams in one program
+  (exactly like ``models.streaming.step_many``);
+- per-track predict uses each track's own elapsed time, so irregular
+  event-driven updates (events arrive when sounds happen, not on a clock)
+  are handled exactly.
+
+Typical wiring: ``out = stream_step(...)`` -> ``tracker.step(tstate,
+out["xy"], t, out["event"])``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Constant-velocity Kalman tracker bank configuration."""
+
+    max_tracks: int = 4
+    # continuous white-noise acceleration spectral density [(m/s^2)^2 * s]
+    process_noise: float = 1.0
+    # measurement noise std [m] on each xy component
+    measurement_noise: float = 0.03
+    # association gate: Mahalanobis distance^2 (2 dof; 9.21 = 99%)
+    gate_maha2: float = 9.21
+    # initial velocity std [m/s] for a freshly spawned track
+    init_vel_std: float = 1.0
+    # hits to confirm a track
+    confirm_hits: int = 2
+    # drop a track not updated for this long [s]
+    max_coast_s: float = 2.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrackState:
+    """Tracker bank state (a pytree; leading axis = track slot)."""
+
+    x: jnp.ndarray        # [K, 4] state: x, y, vx, vy
+    p: jnp.ndarray        # [K, 4, 4] covariance
+    active: jnp.ndarray   # [K] bool
+    hits: jnp.ndarray     # [K] int32
+    last_t: jnp.ndarray   # [K] float32 time of last update
+    born_t: jnp.ndarray   # [K] float32 spawn time
+    track_id: jnp.ndarray  # [K] int32 (monotonic; 0 = never used)
+    next_id: jnp.ndarray  # scalar int32
+    dropped: jnp.ndarray  # scalar int32 cumulative dropped tracks
+    unassigned: jnp.ndarray  # scalar int32 measurements with no free slot
+
+
+def init_state(cfg: TrackerConfig) -> TrackState:
+    k = cfg.max_tracks
+    return TrackState(
+        x=jnp.zeros((k, 4), jnp.float32),
+        p=jnp.zeros((k, 4, 4), jnp.float32),
+        active=jnp.zeros((k,), bool),
+        hits=jnp.zeros((k,), jnp.int32),
+        last_t=jnp.zeros((k,), jnp.float32),
+        born_t=jnp.zeros((k,), jnp.float32),
+        track_id=jnp.zeros((k,), jnp.int32),
+        next_id=jnp.ones((), jnp.int32),
+        dropped=jnp.zeros((), jnp.int32),
+        unassigned=jnp.zeros((), jnp.int32),
+    )
+
+
+def _predict(x, p, dt, q):
+    """CV-model predict for one track: x [4], p [4,4], dt scalar."""
+    f = jnp.eye(4, dtype=x.dtype)
+    f = f.at[0, 2].set(dt).at[1, 3].set(dt)
+    # white-noise-acceleration Q per axis
+    d3 = dt * dt * dt / 3.0
+    d2 = dt * dt / 2.0
+    qm = jnp.zeros((4, 4), x.dtype)
+    qm = qm.at[0, 0].set(d3).at[0, 2].set(d2)
+    qm = qm.at[2, 0].set(d2).at[2, 2].set(dt)
+    qm = qm.at[1, 1].set(d3).at[1, 3].set(d2)
+    qm = qm.at[3, 1].set(d2).at[3, 3].set(dt)
+    xn = f @ x
+    pn = f @ p @ f.T + q * qm
+    return xn, pn
+
+
+def step(
+    state: TrackState,
+    z: jnp.ndarray,        # [2] measured xy (meters)
+    t: jnp.ndarray,        # scalar time (seconds)
+    valid: jnp.ndarray,    # scalar bool: is this a real measurement?
+    cfg: TrackerConfig,
+) -> tuple[TrackState, dict]:
+    """One event-driven tracker update (pure; jit/vmap-able).
+
+    Returns (new_state, outputs) with outputs:
+    - 'track_xy' [K, 2] predicted-at-t positions
+    - 'track_vel' [K, 2] velocities
+    - 'track_active'/'track_confirmed' [K] bool
+    - 'track_id' [K] int32
+    - 'assigned' scalar int32: slot updated by this measurement (-1 none)
+    """
+    k = cfg.max_tracks
+    r2 = cfg.measurement_noise ** 2
+    z = z.astype(jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+
+    # ---- coast-drop, then predict every active track to time t ----------
+    stale = state.active & ((t - state.last_t) > cfg.max_coast_s)
+    active = state.active & ~stale
+    dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
+
+    dt = jnp.maximum(t - state.last_t, 0.0) * active  # [K]
+    xp, pp = jax.vmap(_predict, in_axes=(0, 0, 0, None))(
+        state.x, state.p, dt, cfg.process_noise)
+
+    # ---- associate: Mahalanobis distance to each predicted position -----
+    innov = z[None, :] - xp[:, :2]  # [K, 2]
+    s00 = pp[:, 0, 0] + r2
+    s11 = pp[:, 1, 1] + r2
+    s01 = pp[:, 0, 1]
+    det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
+    maha2 = (innov[:, 0] ** 2 * s11 - 2.0 * innov[:, 0] * innov[:, 1] * s01
+             + innov[:, 1] ** 2 * s00) / det
+    maha2 = jnp.where(active, maha2, jnp.inf)
+    best = jnp.argmin(maha2)
+    can_assoc = valid & (maha2[best] <= cfg.gate_maha2)
+
+    # ---- Kalman update of the associated slot (masked) -------------------
+    slot_sel = (jnp.arange(k) == best) & can_assoc  # [K] one-hot or all-off
+    # gain K = P H^T S^-1 (H = position selector), done batched
+    inv00 = s11 / det
+    inv11 = s00 / det
+    inv01 = -s01 / det
+    pht = pp[:, :, :2]  # [K, 4, 2]
+    sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
+                      jnp.stack([inv01, inv11], -1)], -2)  # [K, 2, 2]
+    gain = jnp.einsum("kij,kjl->kil", pht, sinv)  # [K, 4, 2]
+    x_upd = xp + jnp.einsum("kij,kj->ki", gain, innov)
+    kh = jnp.einsum("kij->kij", gain)  # [K, 4, 2]
+    p_upd = pp - jnp.einsum("kij,kjl->kil", kh, pp[:, :2, :])
+
+    m = slot_sel[:, None]
+    x_new = jnp.where(m, x_upd, xp)
+    p_new = jnp.where(m[:, :, None], p_upd, pp)
+    hits = state.hits + slot_sel.astype(jnp.int32)
+    last_t = jnp.where(slot_sel, t, state.last_t)
+
+    # ---- spawn: a valid unassociated measurement takes a free slot -------
+    spawn = valid & ~can_assoc
+    free = ~active
+    spawn_slot = jnp.argmax(free)  # first free slot
+    have_free = jnp.any(free)
+    do_spawn = spawn & have_free
+    sm = (jnp.arange(k) == spawn_slot) & do_spawn
+    x0 = jnp.concatenate([z, jnp.zeros((2,), jnp.float32)])
+    p0 = jnp.diag(jnp.asarray(
+        [r2, r2, cfg.init_vel_std ** 2, cfg.init_vel_std ** 2], jnp.float32))
+    x_new = jnp.where(sm[:, None], x0[None, :], x_new)
+    p_new = jnp.where(sm[:, None, None], p0[None], p_new)
+    active = active | sm
+    hits = jnp.where(sm, 1, hits)
+    last_t = jnp.where(sm, t, last_t)
+    born_t = jnp.where(sm, t, state.born_t)
+    track_id = jnp.where(sm, state.next_id, state.track_id)
+    next_id = state.next_id + do_spawn.astype(jnp.int32)
+    unassigned = state.unassigned + (
+        spawn & ~have_free).astype(jnp.int32)
+
+    # keep inactive slots' stored time (prevents huge dt on reuse)
+    new_state = TrackState(
+        x=x_new, p=p_new, active=active, hits=hits, last_t=last_t,
+        born_t=born_t, track_id=track_id, next_id=next_id, dropped=dropped,
+        unassigned=unassigned)
+    out = {
+        "track_xy": x_new[:, :2],
+        "track_vel": x_new[:, 2:],
+        "track_active": active,
+        "track_confirmed": active & (hits >= cfg.confirm_hits),
+        "track_id": track_id,
+        "assigned": jnp.where(can_assoc, best, -1).astype(jnp.int32),
+    }
+    return new_state, out
+
+
+@dataclasses.dataclass(frozen=True)
+class Tracker:
+    """Convenience wrapper: jitted single- and multi-stream stepping."""
+
+    cfg: TrackerConfig = TrackerConfig()
+
+    def init(self) -> TrackState:
+        return init_state(self.cfg)
+
+    def init_many(self, n_streams: int) -> TrackState:
+        one = self.init()
+        return jax.tree.map(
+            lambda v: jnp.broadcast_to(v, (n_streams,) + v.shape).copy(), one)
+
+    @functools.cached_property
+    def _step(self):
+        return jax.jit(functools.partial(step, cfg=self.cfg),
+                       donate_argnums=(0,))
+
+    @functools.cached_property
+    def _step_many(self):
+        return jax.jit(jax.vmap(functools.partial(step, cfg=self.cfg)),
+                       donate_argnums=(0,))
+
+    def step(self, state, z, t, valid=True):
+        return self._step(state, jnp.asarray(z, jnp.float32),
+                          jnp.asarray(t, jnp.float32),
+                          jnp.asarray(valid, bool))
+
+    def step_many(self, states, zs, ts, valids):
+        """states stacked on a leading stream axis; zs [S, 2], ts [S],
+        valids [S]."""
+        return self._step_many(
+            states, jnp.asarray(zs, jnp.float32),
+            jnp.asarray(ts, jnp.float32), jnp.asarray(valids, bool))

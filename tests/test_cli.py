@@ -105,3 +105,20 @@ def test_gen_window_plot(tmp_path, capsys):
     capsys.readouterr()
     with open(out, "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_stream_refresh_hz_free_runs(tmp_path, capsys):
+    """--refresh-hz redraws on a stream-time timer regardless of events
+    (the reference display free-runs at 60 Hz): a QUIET stream still
+    produces the full frame sequence."""
+    from audio_triangulation_tpu.cli.main import main
+
+    out_dir = tmp_path / "frames"
+    main(["stream", "--duration-samples", "15000", "--noise", "0.0",
+          "--seed", "3", "--refresh-hz", "100",
+          "--frames-dir", str(out_dir)])
+    txt = capsys.readouterr().out
+    frames = sorted(out_dir.glob("frame_*.png"))
+    # 15000 samples @50 kHz = 0.3 s -> 30 frames at 100 Hz
+    assert len(frames) == 30, txt
+    assert frames[0].stat().st_size > 100  # real PNGs

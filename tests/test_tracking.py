@@ -1,0 +1,169 @@
+"""Kalman tracking layer: moving sources, lifecycle, vmapped streams.
+
+The state-space generalization of the reference's correlogram EMA
+(src/components/correlations.c:38-49).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_triangulation_tpu.models import tracking
+from audio_triangulation_tpu.models.tracking import Tracker, TrackerConfig
+
+
+def _run_track(tr, events):
+    st = tr.init()
+    outs = []
+    for (t, z, valid) in events:
+        st, out = tr.step(st, z, t, valid)
+        outs.append(jax.tree.map(np.asarray, out))
+    return st, outs
+
+
+def test_moving_source_tracked_with_rms_bound():
+    """Constant-velocity source sampled at irregular event times with noisy
+    measurements: one confirmed track, RMS position error bounded, velocity
+    recovered."""
+    rng = np.random.default_rng(0)
+    p0 = np.array([0.2, -0.4])
+    v = np.array([0.35, 0.2])  # m/s
+    times = np.cumsum(rng.uniform(0.06, 0.14, size=40))
+    noise = 0.02
+    # the synthetic source is truly constant-velocity; match the model
+    tr = Tracker(TrackerConfig(measurement_noise=noise, process_noise=0.1))
+
+    st = tr.init()
+    errs = []
+    for t in times:
+        truth = p0 + v * t
+        z = truth + rng.normal(0, noise, 2)
+        st, out = tr.step(st, z, t)
+        conf = np.asarray(out["track_confirmed"])
+        if conf.any():
+            k = int(np.argmax(conf))
+            errs.append(np.linalg.norm(
+                np.asarray(out["track_xy"])[k] - truth))
+    assert int(np.asarray(st.active).sum()) == 1  # one track, no spawn spam
+    errs = np.array(errs[5:])  # after convergence
+    rms = np.sqrt((errs ** 2).mean())
+    assert rms < 0.04, rms  # ~2x measurement noise
+    k = int(np.argmax(np.asarray(st.active)))
+    vel = np.asarray(st.x)[k, 2:]
+    assert np.linalg.norm(vel - v) < 0.15, vel
+
+
+def test_two_sources_two_tracks():
+    rng = np.random.default_rng(1)
+    tr = Tracker(TrackerConfig(max_tracks=4, measurement_noise=0.02))
+    st = tr.init()
+    a = np.array([0.5, 0.5])
+    b = np.array([-0.6, -0.3])
+    t = 0.0
+    for i in range(20):
+        t += 0.1
+        src = a if i % 2 == 0 else b
+        st, out = tr.step(st, src + rng.normal(0, 0.02, 2), t)
+    ids = np.asarray(st.track_id)[np.asarray(st.active)]
+    assert len(ids) == 2 and len(set(ids.tolist())) == 2
+    xys = np.asarray(st.x)[np.asarray(st.active), :2]
+    d = {tuple(np.round(x, 1)) for x in xys}
+    assert any(np.linalg.norm(x - a) < 0.1 for x in xys), (xys, d)
+    assert any(np.linalg.norm(x - b) < 0.1 for x in xys)
+
+
+def test_track_lifecycle_confirm_and_drop():
+    tr = Tracker(TrackerConfig(confirm_hits=3, max_coast_s=0.5))
+    st = tr.init()
+    z = np.array([0.1, 0.1])
+    # tentative until 3 hits
+    st, out = tr.step(st, z, 0.1)
+    assert not np.asarray(out["track_confirmed"]).any()
+    st, out = tr.step(st, z, 0.2)
+    st, out = tr.step(st, z, 0.3)
+    assert np.asarray(out["track_confirmed"]).any()
+    # silence beyond the coast window drops it (the next event is far away
+    # and spawns a new track)
+    st, out = tr.step(st, np.array([2.0, 2.0]), 2.0)
+    assert int(np.asarray(st.dropped)) == 1
+    active_ids = np.asarray(st.track_id)[np.asarray(st.active)]
+    assert active_ids.tolist() == [2]  # fresh track id, old one gone
+
+
+def test_invalid_measurements_are_ignored():
+    tr = Tracker()
+    st = tr.init()
+    st, out = tr.step(st, np.array([5.0, 5.0]), 1.0, valid=False)
+    assert not np.asarray(st.active).any()
+    assert int(np.asarray(out["assigned"])) == -1
+
+
+def test_unassigned_counter_when_bank_full():
+    tr = Tracker(TrackerConfig(max_tracks=2, gate_maha2=1e-6))
+    st = tr.init()
+    pts = [np.array([0.0, 0.0]), np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    for i, z in enumerate(pts):
+        st, _ = tr.step(st, z, 0.1 * (i + 1))
+    assert int(np.asarray(st.unassigned)) == 1
+
+
+def test_vmapped_multistream_matches_single():
+    rng = np.random.default_rng(3)
+    tr = Tracker()
+    n = 3
+    targets = rng.uniform(-1, 1, size=(n, 2))
+    times = np.cumsum(rng.uniform(0.05, 0.15, size=(12, n)), axis=0)
+    zs = targets[None] + rng.normal(0, 0.02, size=(12, n, 2))
+    valids = rng.uniform(size=(12, n)) > 0.2
+
+    states = tr.init_many(n)
+    for i in range(12):
+        states, outs = tr.step_many(states, zs[i], times[i], valids[i])
+
+    for s in range(n):
+        st = tr.init()
+        for i in range(12):
+            st, _ = tr.step(st, zs[i, s], times[i, s], valids[i, s])
+        np.testing.assert_allclose(
+            np.asarray(states.x)[s], np.asarray(st.x), rtol=1e-5, atol=1e-6)
+        assert (np.asarray(states.active)[s]
+                == np.asarray(st.active)).all()
+
+
+def test_streaming_pipeline_feeds_tracker():
+    """End to end: streaming localizer events drive the tracker."""
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.reference_array()
+    src = np.array([0.5, 0.4, 1.2])
+    src = src * 1.2 / np.linalg.norm(src)
+    plane_xy = None
+
+    rng = np.random.default_rng(7)
+    streams = rng.integers(127, 130, size=(3, 40_000)).astype(np.float64)
+    for at in (9_000, 22_000, 35_000):
+        fr = synth.synth_scene(src, mics, noise_rms=0.0, seed=at)[0]
+        streams[:, at: at + 1024] += 110.0 * fr
+    streams = np.clip(np.round(streams), 0, 255)
+
+    sl = StreamingLocalizer.create(
+        mics, stream=StreamConfig(chunk_size=512), with_solver=True)
+    tr = Tracker(TrackerConfig(measurement_noise=0.03))
+    sstate, tstate = sl.init_state(), tr.init()
+    fs = 50_000.0
+    for i in range(0, streams.shape[1] - streams.shape[1] % 512, 512):
+        sstate, out = sl(sstate, jnp.asarray(streams[:, i: i + 512]))
+        tstate, tout = tr.step(
+            tstate, out["xy"], i / fs, out["event"])
+        if plane_xy is None and bool(out["event"]):
+            plane_xy = np.asarray(out["xy"])
+    assert int(np.asarray(tstate.active).sum()) == 1
+    conf = np.asarray(tout["track_confirmed"])
+    assert conf.any()
+    k = int(np.argmax(conf))
+    xy = np.asarray(tout["track_xy"])[k]
+    # static source at the batch-path position
+    assert np.linalg.norm(xy - plane_xy) < 0.05, (xy, plane_xy)
