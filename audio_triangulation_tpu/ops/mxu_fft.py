@@ -121,8 +121,8 @@ def cross_power_reim(
     rr = ri * rj + ii * ij
     jj = ri * ij - ii * rj
     if phat:
-        # same eps convention as ops.xcorr.cross_power: R / (|R| + eps)
-        inv = 1.0 / (jnp.sqrt(rr * rr + jj * jj) + phat_eps)
+        # same rsqrt convention as ops.xcorr.cross_power (see note there)
+        inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
         rr = rr * inv
         jj = jj * inv
     return rr, jj

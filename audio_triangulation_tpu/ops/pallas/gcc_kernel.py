@@ -87,7 +87,7 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         rr = re[:, i, :] * re[:, j, :] + im[:, i, :] * im[:, j, :]
         jj = re[:, i, :] * im[:, j, :] - im[:, i, :] * re[:, j, :]
         if phat:
-            inv = 1.0 / (jnp.sqrt(rr * rr + jj * jj) + phat_eps)
+            inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
             rr = rr * inv
             jj = jj * inv
         rrs.append(rr)
@@ -95,7 +95,8 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         if nyq_fold:
             rrn = re_nyq[:, i, :] * re_nyq[:, j, :]  # [TB, 1]; jj_nyq == 0
             if phat:
-                rrn = rrn / (jnp.abs(rrn) + phat_eps)
+                rrn = rrn * jax.lax.rsqrt(
+                    rrn * rrn + phat_eps * phat_eps)
             nyq_corrs.append(rrn * alt_l)  # [TB, l_pad]
     rr = jnp.stack(rrs, axis=1).reshape(tile_b * len(pairs), f)
     jj = jnp.stack(jjs, axis=1).reshape(tile_b * len(pairs), f)
@@ -211,6 +212,9 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         ],
         out_specs=(block, block) if with_peaks else block,
         out_shape=(out_shape, out_shape) if with_peaks else out_shape,
+        # big tiles need more than the default 16 MB scoped-VMEM budget
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(frames, win, jnp.asarray(cos), jnp.asarray(msin),
       jnp.asarray(sync), jnp.asarray(syns))
@@ -273,7 +277,9 @@ def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,
                         tile_b: int = 64,
                         vmem_budget: int = 14 * 1024 * 1024) -> bool:
     """Conservative VMEM feasibility estimate for the fused kernel."""
-    f = cfg.fft_length // 2 + 1
+    # Nyquist fold drops the odd last bin (see _gcc_kernel)
+    f = (cfg.fft_length // 2 if cfg.fft_length % 2 == 0
+         else cfg.fft_length // 2 + 1)
     p = n_mics * (n_mics - 1) // 2
     l_pad = _round_up(cfg.num_lags, 128)
     weights = 4 * (2 * n * f + 2 * f * l_pad + n)

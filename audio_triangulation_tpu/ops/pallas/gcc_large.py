@@ -54,7 +54,7 @@ def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
         rr = ri * rj + ii * ij  # [chunk, F]
         jj = ri * ij - ii * rj
         if phat:
-            inv = 1.0 / (jnp.sqrt(rr * rr + jj * jj) + phat_eps)
+            inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
             rr = rr * inv
             jj = jj * inv
         rr_ref[b * chunk:(b + 1) * chunk, :] = rr

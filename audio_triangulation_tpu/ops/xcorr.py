@@ -53,7 +53,10 @@ def cross_power(
     xj = jnp.take(spectra, pairs[:, 1], axis=-2)
     r = jnp.conj(xi) * xj
     if phat:
-        r = r / (jnp.abs(r) + phat_eps)
+        # rsqrt form of R/(|R| + eps): equal at |R| >> eps and |R| -> 0,
+        # and ~2x cheaper on the TPU VPU than sqrt + divide
+        mag2 = jnp.real(r) ** 2 + jnp.imag(r) ** 2
+        r = r * jax.lax.rsqrt(mag2 + phat_eps * phat_eps)
     return r
 
 
