@@ -28,3 +28,10 @@ def test_quickstart_example():
 def test_advanced_example():
     out = _run_example("advanced.py")
     assert "DoA" in out and "3-D" in out and "multi-source" in out
+
+
+def test_production_example():
+    out = _run_example("production.py")
+    assert "transport:" in out and "1 event(s)" in out
+    assert "streaming: 2 events" in out
+    assert "tracking: confirmed track" in out
