@@ -75,6 +75,11 @@ class PipelineConfig:
     # 'auto' uses it on TPU when shapes fit VMEM; 'on'/'off' force it
     fused_kernel: str = "auto"
     fused_tile_b: int = 64
+    # software-pipeline depth inside the fused kernel: the batch tile is
+    # split into this many sub-tiles with the next sub-tile's MXU DFT issued
+    # ahead of the current one's VPU cross-power, so Mosaic can overlap the
+    # two units (1 = no pipelining; must divide fused_tile_b)
+    fused_sub_tiles: int = 1
     # SRP scoring matmul precision: the one-hot steering matrix is exact in
     # bfloat16, so 'bfloat16' halves the scoring cost at ~4e-3 relative score
     # error (argmax cell unchanged in tests; the GN solve refines regardless)

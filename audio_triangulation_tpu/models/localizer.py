@@ -74,8 +74,29 @@ class Localizer:
         srp_form: str = "auto",
         with_solver: bool = True,
         with_heatmap: bool = False,
+        init_grid_stride: int = 1,
         dtype=jnp.float32,
     ) -> "Localizer":
+        """``init_grid_stride`` > 1 coarsens the SRP grid by that factor
+        (e.g. 3 -> 33x33 cells instead of 101x101, ~9x less scoring work).
+        The Gauss-Newton solver only needs a basin-accurate init — the SRP
+        peak blob spans many cells at the reference taper width — so the
+        refined ``xy`` is unchanged while the scoring matmul, the largest
+        non-kernel stage, shrinks ~stride^2-fold (tested: sub-mm agreement
+        with stride 1).  Requires with_solver and no heatmap, since
+        'scores'/'xy_grid'/'heat_levels' would be on the coarse grid."""
+        if init_grid_stride > 1:
+            if with_heatmap or not with_solver:
+                raise ValueError(
+                    "init_grid_stride > 1 needs with_solver=True and "
+                    "with_heatmap=False (grid outputs would be coarse)")
+            s = init_grid_stride
+            grid = dataclasses.replace(
+                grid,
+                half_cells_x=grid.half_cells_x // s,
+                half_cells_y=grid.half_cells_y // s,
+                cells_per_m=grid.cells_per_m / s,
+            )
         mic_positions = np.asarray(mic_positions, dtype=np.float32)
         pairs = geometry.mic_pairs(mic_positions.shape[0])
         lut = geometry.lag_lut(grid, mic_positions, pairs, pipeline)  # [P,H,W]

@@ -173,30 +173,22 @@ class StreamingLocalizer:
 
 # ----------------------------------------------------------------------
 
-def stream_step(
+def _detect_and_capture(
     state: StreamState,
     chunk: jnp.ndarray,  # [M, C]
     *,
-    params: localizer_mod.LocalizerParams,
     cfg: PipelineConfig,
-    grid_cfg: GridConfig,
-    solver_cfg: SolverConfig,
-    srp_form: str,
-    max_events: int = 1,
-    refractory: int = 0,
-    with_solver: bool = False,
+    max_events: int,
+    refractory: int,
 ):
-    """One streaming step: returns (new_state, outputs dict).
+    """Shared detection front half: advance the detector over the chunk and
+    extract up to ``max_events`` triggers plus their captured frames.
 
-    Extracts up to ``max_events`` triggers per chunk (each followed by the
-    reference's full-frame refill holdoff plus ``refractory`` extra samples,
-    sample_compute.h:55-57) and EMA-merges every accepted event in stream
-    order.  ``with_solver`` adds a Gauss-Newton refine of the smoothed
-    correlogram peak (the batch path's flagship ``xy``) to the outputs."""
+    Returns (window [M, N-1+C], founds [K], t_rels [K] window indices,
+    frames [K, M, N], trig_times [K] stream seconds, arm countdown)."""
     n = cfg.frame_size
-    c_len = chunk.shape[-1]
-    chunk = chunk.astype(jnp.float32)
     fs = cfg.sample_rate_hz
+    chunk = chunk.astype(jnp.float32)
 
     window = jnp.concatenate([state.context, chunk], axis=-1)  # [M, N-1+C]
 
@@ -224,11 +216,43 @@ def stream_step(
     founds = jnp.stack(founds)  # [K]
     t_rels = jnp.stack(t_rels)  # [K]
 
-    # --- correlation bursts (computed every step, masked into state) ------
     starts = jnp.maximum(t_rels - (n - 1), 0)
     frames = jax.vmap(
         lambda s_: jax.lax.dynamic_slice_in_dim(window, s_, n, axis=-1)
     )(starts)  # [K, M, N]
+    trig_times = state.time_s + (
+        t_rels - (n - 1) + 1).astype(jnp.float32) / fs  # [K]
+    return window, founds, t_rels, frames, trig_times, arm
+
+
+def stream_step(
+    state: StreamState,
+    chunk: jnp.ndarray,  # [M, C]
+    *,
+    params: localizer_mod.LocalizerParams,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    srp_form: str,
+    max_events: int = 1,
+    refractory: int = 0,
+    with_solver: bool = False,
+):
+    """One streaming step: returns (new_state, outputs dict).
+
+    Extracts up to ``max_events`` triggers per chunk (each followed by the
+    reference's full-frame refill holdoff plus ``refractory`` extra samples,
+    sample_compute.h:55-57) and EMA-merges every accepted event in stream
+    order.  ``with_solver`` adds a Gauss-Newton refine of the smoothed
+    correlogram peak (the batch path's flagship ``xy``) to the outputs."""
+    n = cfg.frame_size
+    c_len = chunk.shape[-1]
+    fs = cfg.sample_rate_hz
+
+    window, founds, t_rels, frames, trig_times, arm = _detect_and_capture(
+        state, chunk, cfg=cfg, max_events=max_events, refractory=refractory)
+
+    # --- correlation bursts (computed every step, masked into state) ------
     x = localizer_mod.condition_frames(frames, params.window, cfg)
     corr = localizer_mod.correlate_frames(x, params, cfg)  # [K, P, L]
     shifts = xcorr.best_lag(corr, cfg.max_shift)  # [K, P]
@@ -240,8 +264,6 @@ def stream_step(
 
     # EMA with real dt since last accepted event (correlations.c:40-43),
     # applied in stream order (dt chains through accepted events)
-    trig_times = state.time_s + (
-        t_rels - (n - 1) + 1).astype(jnp.float32) / fs  # [K]
     ema_corr = state.ema_corr
     last_event = state.last_event_s
     for k in range(max_events):
@@ -305,3 +327,236 @@ def stream_step(
         out["xy"] = xy[0]
         out["rms_m"] = rms[0]
     return new_state, out
+
+
+# ----------------------------------------------------------------------
+# Two-rate serving: chunk-rate detection, event-rate localization
+# ----------------------------------------------------------------------
+
+def detect_step(
+    state: StreamState,
+    chunk: jnp.ndarray,  # [M, C]
+    *,
+    cfg: PipelineConfig,
+    refractory: int = 0,
+):
+    """Detector-only streaming step (the cheap rate of the two-rate design).
+
+    Advances the carried context / clocks / holdoff exactly like
+    :func:`stream_step` but runs NO correlation, SRP or solve — it returns
+    the captured frame and trigger metadata for a later event-rate
+    localization pass (:meth:`TwoRateStreamingLocalizer.localize_triggered`).
+    The reference analogue is the split between its 50 kHz sampling loop
+    (sample_compute.h:62-99) and the compute burst it arms (:105-139)."""
+    n = cfg.frame_size
+    c_len = chunk.shape[-1]
+    window, founds, t_rels, frames, trig_times, arm = _detect_and_capture(
+        state, chunk, cfg=cfg, max_events=1, refractory=refractory)
+    new_state = StreamState(
+        context=window[:, -(n - 1):],
+        ema_corr=state.ema_corr,
+        best_shift=state.best_shift,
+        time_s=state.time_s + c_len / cfg.sample_rate_hz,
+        last_event_s=state.last_event_s,
+        suppress=jnp.maximum(arm - c_len, 0).astype(jnp.int32),
+        abs_sample=state.abs_sample + c_len,
+        event_count=state.event_count,  # counted at localization time
+    )
+    out = {
+        "triggered": founds[0],
+        "frame": frames[0],  # [M, N] captured frame (valid iff triggered)
+        "trig_time": trig_times[0],
+        "trigger_abs": jnp.where(
+            founds[0], state.abs_sample + (t_rels[0] - (n - 1)), -1),
+    }
+    return new_state, out
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoRateStreamingLocalizer:
+    """Batched multi-stream serving with split rates: detection every chunk
+    for every stream (cheap: variance prefix sums only), localization only
+    for streams that actually triggered, compacted into a fixed-capacity
+    event batch.
+
+    Acoustic events are sparse — at typical rates well under one event per
+    stream per 10 ms chunk — so the dense :meth:`StreamingLocalizer.step_many`
+    spends most of its time correlating silence.  Here:
+
+        states, det = tr.detect_many(states, chunks)        # every chunk
+        if host_any(det["triggered"]):                      # event rate
+            states, ev = tr.localize_triggered(states, det)
+
+    ``localize_triggered`` sorts triggered streams first (stable argsort on
+    the mask — fixed shapes, no host round-trip needed), localizes the top
+    ``event_capacity`` as one batch (condition -> GCC -> taper -> shift gate
+    -> per-stream EMA merge -> SRP -> GN solve), and scatters the updated
+    EMA state back.  Overflow beyond capacity is dropped and counted in the
+    output (``overflow``), mirroring the dense path's events_dropped
+    accounting.  Detection/holdoff semantics are identical to
+    :func:`stream_step` (same ``_detect_and_capture``); only WHERE the
+    burst runs differs."""
+
+    pipeline: PipelineConfig
+    grid: GridConfig
+    solver: SolverConfig
+    stream: StreamConfig
+    params: localizer_mod.LocalizerParams
+    srp_form: str
+    event_capacity: int = 64
+    with_solver: bool = True
+
+    @classmethod
+    def create(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig = PipelineConfig(),
+        grid: GridConfig = GridConfig(),
+        solver: SolverConfig = SolverConfig(),
+        stream: StreamConfig = StreamConfig(),
+        event_capacity: int = 64,
+        with_solver: bool = True,
+        **kwargs,
+    ) -> "TwoRateStreamingLocalizer":
+        base = localizer_mod.Localizer.create(
+            mic_positions, pipeline, grid, solver, **kwargs)
+        return cls(pipeline=pipeline, grid=grid, solver=solver, stream=stream,
+                   params=base.params, srp_form=base.srp_form,
+                   event_capacity=event_capacity, with_solver=with_solver)
+
+    def init_states(self, n_streams: int) -> StreamState:
+        one = StreamingLocalizer(
+            pipeline=self.pipeline, grid=self.grid, solver=self.solver,
+            stream=self.stream, params=self.params, srp_form=self.srp_form,
+        ).init_state()
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), one)
+
+    # -- chunk rate ----------------------------------------------------
+    def detect_many(self, states: StreamState, chunks: jnp.ndarray):
+        """states: stacked StreamState; chunks [S, M, C]."""
+        return self._jitted_detect(states, chunks)
+
+    @functools.cached_property
+    def _jitted_detect(self):
+        return jax.jit(
+            jax.vmap(functools.partial(
+                detect_step, cfg=self.pipeline,
+                refractory=self.stream.refractory_samples)),
+            donate_argnums=(0,),
+        )
+
+    # -- event rate ----------------------------------------------------
+    def localize_triggered(self, states: StreamState, det: dict):
+        """Localize the chunk's triggered streams (compacted to
+        ``event_capacity``) and merge their EMA state.
+
+        Returns (new_states, events dict with [E]-shaped fields):
+        'stream_idx' (which stream each slot belongs to), 'accepted'
+        (triggered AND passed the shift gate), 'xy' / 'xy_grid' /
+        'tdoa_samples' / 'confidence' per slot, and scalar 'overflow'
+        (triggered streams beyond capacity, dropped this chunk)."""
+        return self._jitted_localize(
+            states, det["triggered"], det["frame"], det["trig_time"])
+
+    @functools.cached_property
+    def _jitted_localize(self):
+        return jax.jit(functools.partial(
+            _localize_triggered,
+            params=self.params, cfg=self.pipeline, grid_cfg=self.grid,
+            solver_cfg=self.solver, srp_form=self.srp_form,
+            capacity=self.event_capacity, with_solver=self.with_solver,
+        ), donate_argnums=(0,))
+
+
+def _localize_triggered(
+    states: StreamState,
+    triggered: jnp.ndarray,  # [S] bool
+    frames: jnp.ndarray,  # [S, M, N]
+    trig_times: jnp.ndarray,  # [S]
+    *,
+    params: localizer_mod.LocalizerParams,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    srp_form: str,
+    capacity: int,
+    with_solver: bool,
+):
+    k = cfg.max_shift
+    e = capacity
+    # stable sort: triggered streams first, in stream order
+    order = jnp.argsort(jnp.logical_not(triggered), stable=True)
+    sel = order[:e]  # [E] stream indices
+    m_sel = triggered[sel]  # [E]
+    f_sel = frames[sel]  # [E, M, N]
+    t_sel = trig_times[sel]  # [E]
+
+    # event burst on the compact batch (same ops as stream_step's burst)
+    x = localizer_mod.condition_frames(f_sel, params.window, cfg)
+    corr = localizer_mod.correlate_frames(x, params, cfg)  # [E, P, L]
+    shifts = xcorr.best_lag(corr, k)
+    corr_t = (xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
+              if cfg.taper_enabled else corr)
+    gates = jnp.sum(shifts.astype(jnp.int32) ** 2, axis=-1) > cfg.shift_gate
+    accepts = m_sel & gates  # [E]
+
+    # per-stream EMA merge (dt from each stream's own last accepted event)
+    ema_sel = states.ema_corr[sel]  # [E, P, L]
+    dt = jnp.maximum(t_sel - states.last_event_s[sel], 0.0)
+    decay = xcorr.ema_decay(dt, cfg.ema_tau_s)[:, None, None]
+    ema_new = jnp.where(
+        accepts[:, None, None],
+        xcorr.ema_update(ema_sel, corr_t, decay), ema_sel)
+
+    # localization on the merged correlograms (event-rate work)
+    if srp_form == "matmul":
+        scores = srp.srp_scores_matmul(ema_new, params.onehot, cfg.srp_dtype)
+    else:
+        scores = srp.srp_scores_gather(ema_new, params.lut_flat)
+    xy_grid = srp.grid_peak_xy(
+        scores, (grid_cfg.height, grid_cfg.width),
+        (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+        grid_cfg.cells_per_m)
+    tdoa_samples, _ = xcorr.subsample_peak(ema_new, k)
+    psr = xcorr.peak_confidence(corr, k)
+
+    out = {
+        "stream_idx": sel,
+        "accepted": accepts,
+        "triggered": m_sel,
+        "event_shifts": shifts,
+        "tdoa_samples": tdoa_samples,
+        "xy_grid": xy_grid,
+        "confidence": jnp.min(psr, axis=-1),
+        # triggered streams beyond capacity are dropped this chunk
+        "overflow": jnp.maximum(
+            jnp.sum(triggered.astype(jnp.int32)) - e, 0),
+    }
+    if with_solver:
+        tdoa_s = tdoa_samples / cfg.sample_rate_hz
+        xy, rms = solver_ops.solve_tdoa_batched(
+            tdoa_s, params.mic_positions, params.pairs,
+            speed_of_sound=cfg.speed_of_sound_mps,
+            height=grid_cfg.height_m,
+            init_xy=xy_grid, cfg=solver_cfg)
+        out["xy"] = xy
+        out["rms_m"] = rms
+
+    # scatter the merged state back (unaccepted slots wrote ema_sel back
+    # unchanged, so a plain scatter at sel is correct; sel has no dups)
+    new_states = StreamState(
+        context=states.context,
+        ema_corr=states.ema_corr.at[sel].set(ema_new),
+        best_shift=states.best_shift.at[sel].set(jnp.where(
+            accepts[:, None], xcorr.best_lag(ema_new, k),
+            states.best_shift[sel])),
+        time_s=states.time_s,
+        last_event_s=states.last_event_s.at[sel].set(
+            jnp.where(accepts, t_sel, states.last_event_s[sel])),
+        suppress=states.suppress,
+        abs_sample=states.abs_sample,
+        event_count=states.event_count.at[sel].add(
+            accepts.astype(jnp.int32)),
+    )
+    return new_states, out

@@ -109,19 +109,33 @@ def forward_spectra(frames: jnp.ndarray, fft_length: int,
     return jnp.real(spec), jnp.imag(spec)
 
 
+def whiten_reim(re: jnp.ndarray, im: jnp.ndarray, eps: float = 1e-12):
+    """Per-mic PHAT whitening on (re, im) spectra [..., M, F]: the pair
+    weight 1/|X_i X_j*| factorizes into per-mic normalization (see
+    ops.xcorr.whiten_spectra) — O(M F) rsqrts instead of O(P F)."""
+    inv = jax.lax.rsqrt(re * re + im * im + eps * eps)
+    return re * inv, im * inv
+
+
 def cross_power_reim(
     re: jnp.ndarray, im: jnp.ndarray, pairs: jnp.ndarray,
     *, phat: bool = False, phat_eps: float = 1e-12,
 ):
-    """conj(X_i) * X_j per pair on (re, im) [..., M, F] -> [..., P, F]."""
+    """conj(X_i) * X_j per pair on (re, im) [..., M, F] -> [..., P, F],
+    optionally PHAT-whitened (per-mic factorization when M >= 3, see
+    ops.xcorr.phat_per_mic; per-pair for 2-mic arrays)."""
+    from . import xcorr
+
+    per_mic = phat and xcorr.phat_per_mic(re.shape[-2])
+    if per_mic:
+        re, im = whiten_reim(re, im, phat_eps)
     ri = jnp.take(re, pairs[:, 0], axis=-2)
     ii = jnp.take(im, pairs[:, 0], axis=-2)
     rj = jnp.take(re, pairs[:, 1], axis=-2)
     ij = jnp.take(im, pairs[:, 1], axis=-2)
     rr = ri * rj + ii * ij
     jj = ri * ij - ii * rj
-    if phat:
-        # same rsqrt convention as ops.xcorr.cross_power (see note there)
+    if phat and not per_mic:
         inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
         rr = rr * inv
         jj = jj * inv
@@ -158,6 +172,11 @@ def xcorr_mxu_pairblocked(
     syn_c = jnp.asarray(syn_c)
     syn_s = jnp.asarray(syn_s)
     re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
+    if cfg.phat:
+        # whiten per mic ONCE outside the chunk loop (lax.map would redo
+        # the rsqrt pass for every pair chunk); this path only runs for
+        # large arrays, where per-mic always wins (phat_per_mic)
+        re, im = whiten_reim(re, im, cfg.phat_eps)
 
     p = pairs.shape[0]
     pad = (-p) % pair_chunk
@@ -166,8 +185,7 @@ def xcorr_mxu_pairblocked(
     chunks = pairs_padded.reshape(-1, pair_chunk, 2)
 
     def body(pc):
-        rr, jj = cross_power_reim(
-            re, im, pc, phat=cfg.phat, phat_eps=cfg.phat_eps)
+        rr, jj = cross_power_reim(re, im, pc, phat=False)
         return lag_correlogram(rr, jj, syn_c, syn_s)  # [..., chunk, L]
 
     out = jax.lax.map(body, chunks)  # [n_chunks, ..., chunk, L]

@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 syns_ref, out_ref, aux_ref, *, pairs, phat, phat_eps, n,
                 tile_b, n_mics, num_lags, taper_denom, with_peaks,
-                nyq_fold, inv_fft_len):
+                nyq_fold, inv_fft_len, sub_tiles=1):
     """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
     (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
     carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
@@ -53,104 +53,153 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
     exactly on the VPU: at f = L/2 the DFT row is cos(pi n) = (-1)^n with
     sin = 0, so Im X = 0, the pair cross-power is the real product, and the
     lag-synthesis row is cos(pi lag)/L = alternating +-1/L — a rank-1
-    broadcast add."""
-    x = frames_ref[:].astype(jnp.float32).reshape(tile_b * n_mics, n)
-    # conditioning: DC removal + gain folded into the window vector
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    x = (x - mean) * window_ref[:]
+    broadcast add.
 
-    re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32)
-    f = re.shape[-1]
+    With ``sub_tiles`` > 1 the batch tile is processed as a software
+    pipeline: sub-tile s+1's conditioning + DFT (MXU-heavy) is emitted
+    before sub-tile s's cross-power / peak stages (VPU-heavy), giving the
+    Mosaic scheduler adjacent independent chains for the two units to
+    overlap.  Per-row math is identical to sub_tiles=1 (results equal to
+    float tolerance; matmul shapes differ, so contraction order may)."""
+    sb = tile_b // sub_tiles
+    n_pairs = len(pairs)
+    k_half = (num_lags - 1) // 2
+    l_pad = sync_ref.shape[-1]
+    # whiten per mic iff M >= 3 (ops.xcorr.phat_per_mic; 2-mic arrays have
+    # P = 1 < M, so per-pair touches less data there)
+    per_mic = phat and n_mics >= 3
+
     if nyq_fold:
-        # Nyquist-bin Re via alternating sum (Im is exactly 0 there);
-        # keep lane dim = 1 throughout (Mosaic can't cast lane widths)
+        # Nyquist-bin helpers shared by all sub-tiles:
+        # alternating time-domain row ((-1)^n) and the Nyquist lag-synthesis
+        # row cos(pi (lane - K)) / L (Hermitian weight 1)
         alt_n = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % 2 == 0,
             jnp.float32(1.0), jnp.float32(-1.0))
-        re_nyq = jnp.sum(x * alt_n, axis=-1, keepdims=True)  # [TB*M, 1]
-        re_nyq = re_nyq.reshape(tile_b, n_mics, 1)
-    re = re.reshape(tile_b, n_mics, f)
-    im = im.reshape(tile_b, n_mics, f)
-
-    k_half = (num_lags - 1) // 2
-    if nyq_fold:
-        l_pad = sync_ref.shape[-1]
-        # synthesis row at Nyquist: cos(pi (lane - K)) / L  (Hermitian w = 1)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
         alt_l = jnp.where((lane_i - k_half) % 2 == 0,
                           jnp.float32(inv_fft_len),
                           jnp.float32(-inv_fft_len))
 
-    rrs, jjs, nyq_corrs = [], [], []
-    for (i, j) in pairs:  # static unroll over the (small) pair list
-        rr = re[:, i, :] * re[:, j, :] + im[:, i, :] * im[:, j, :]
-        jj = re[:, i, :] * im[:, j, :] - im[:, i, :] * re[:, j, :]
-        if phat:
-            inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
-            rr = rr * inv
-            jj = jj * inv
-        rrs.append(rr)
-        jjs.append(jj)
+    def stage_front(s):
+        """Conditioning + DFT (+ whitening, Nyquist) for sub-tile s."""
+        x = frames_ref[s * sb:(s + 1) * sb].astype(jnp.float32)
+        x = x.reshape(sb * n_mics, n)
+        # conditioning: DC removal + gain folded into the window vector
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        x = (x - mean) * window_ref[:]
+        re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
+        im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32)
+        if per_mic:
+            # per-mic PHAT whitening (the pair weight 1/|X_i X_j*|
+            # factorizes, see ops.xcorr.whiten_spectra): M rows of rsqrt
+            # instead of P, and the per-pair stage is pure multiplies
+            inv = jax.lax.rsqrt(re * re + im * im + phat_eps * phat_eps)
+            re = re * inv
+            im = im * inv
+        re_nyq = None
         if nyq_fold:
-            rrn = re_nyq[:, i, :] * re_nyq[:, j, :]  # [TB, 1]; jj_nyq == 0
-            if phat:
-                rrn = rrn * jax.lax.rsqrt(
-                    rrn * rrn + phat_eps * phat_eps)
-            nyq_corrs.append(rrn * alt_l)  # [TB, l_pad]
-    rr = jnp.stack(rrs, axis=1).reshape(tile_b * len(pairs), f)
-    jj = jnp.stack(jjs, axis=1).reshape(tile_b * len(pairs), f)
+            # Nyquist-bin Re via alternating sum (Im is exactly 0 there);
+            # keep lane dim = 1 throughout (Mosaic can't cast lane widths)
+            re_nyq = jnp.sum(x * alt_n, axis=-1, keepdims=True)  # [SB*M, 1]
+            if per_mic:
+                re_nyq = re_nyq * jax.lax.rsqrt(
+                    re_nyq * re_nyq + phat_eps * phat_eps)
+            re_nyq = re_nyq.reshape(sb, n_mics, 1)
+        f = re.shape[-1]
+        return (re.reshape(sb, n_mics, f), im.reshape(sb, n_mics, f), re_nyq)
 
-    corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(jj, syns_ref[:], preferred_element_type=jnp.float32))
-    l_pad = corr.shape[-1]
-    if nyq_fold:
-        corr = corr + jnp.stack(nyq_corrs, axis=1).reshape(
-            tile_b * len(pairs), l_pad)
+    def stage_cross(front):
+        """Per-pair cross-power (VPU) for one sub-tile."""
+        re, im, re_nyq = front
+        f = re.shape[-1]
+        rrs, jjs, nyq_corrs = [], [], []
+        for (i, j) in pairs:  # static unroll over the (small) pair list
+            rr = re[:, i, :] * re[:, j, :] + im[:, i, :] * im[:, j, :]
+            jj = re[:, i, :] * im[:, j, :] - im[:, i, :] * re[:, j, :]
+            if phat and not per_mic:  # 2-mic: whiten the single pair
+                inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
+                rr = rr * inv
+                jj = jj * inv
+            rrs.append(rr)
+            jjs.append(jj)
+            if nyq_fold:
+                rrn = re_nyq[:, i, :] * re_nyq[:, j, :]  # [SB, 1]; Im == 0
+                if phat and not per_mic:
+                    rrn = rrn * jax.lax.rsqrt(
+                        rrn * rrn + phat_eps * phat_eps)
+                nyq_corrs.append(rrn * alt_l)  # [SB, l_pad]
+        rr = jnp.stack(rrs, axis=1).reshape(sb * n_pairs, f)
+        jj = jnp.stack(jjs, axis=1).reshape(sb * n_pairs, f)
+        return rr, jj, nyq_corrs
 
-    if not with_peaks:
-        out_ref[:] = corr.reshape(tile_b, len(pairs), l_pad)
-        return
+    def stage_synth(rr, jj, nyq_corrs):
+        """Lag synthesis (MXU) for one sub-tile."""
+        corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(jj, syns_ref[:],
+                          preferred_element_type=jnp.float32))
+        if nyq_fold:
+            corr = corr + jnp.stack(nyq_corrs, axis=1).reshape(
+                sb * n_pairs, l_pad)
+        return corr
 
-    # ---- peak handling fused in-kernel (no gathers: one-hot reductions) ---
-    k = (num_lags - 1) // 2
-    rows = corr.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, l_pad), 1)
-    valid = lane < num_lags
-    neg = jnp.float32(-3e38)
-    masked = jnp.where(valid, corr, neg)
-    # argmax (first max wins, matching jnp.argmax / the reference's > scan)
-    v0 = jnp.max(masked, axis=-1, keepdims=True)
-    is_max = (masked == v0) & valid
-    big = jnp.where(is_max, lane, l_pad)
-    idx = jnp.min(big, axis=-1, keepdims=True)  # [rows, 1]
-    # neighbors via one-hot sums (gather-free)
-    cm = jnp.sum(jnp.where(lane == idx - 1, corr, 0.0), -1, keepdims=True)
-    cp = jnp.sum(jnp.where(lane == idx + 1, corr, 0.0), -1, keepdims=True)
-    den = cm - 2.0 * v0 + cp
-    interior = (idx >= 1) & (idx <= num_lags - 2)
-    delta = jnp.where(
-        (jnp.abs(den) > 1e-20) & interior, 0.5 * (cm - cp) / den, 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    shift = (idx - k).astype(jnp.float32)
-    tdoa = shift + delta
+    def stage_out(s, corr):
+        """Peaks + taper (VPU) and output writes for one sub-tile."""
+        rows = slice(s * sb, (s + 1) * sb)
+        if not with_peaks:
+            out_ref[rows] = corr.reshape(sb, n_pairs, l_pad)
+            return
+        # ---- peak handling fused in-kernel (gather-free one-hot sums) ----
+        k = k_half
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (sb * n_pairs, l_pad), 1)
+        valid = lane < num_lags
+        neg = jnp.float32(-3e38)
+        masked = jnp.where(valid, corr, neg)
+        # argmax (first max wins, matching jnp.argmax / the ref's > scan)
+        v0 = jnp.max(masked, axis=-1, keepdims=True)
+        is_max = (masked == v0) & valid
+        big = jnp.where(is_max, lane, l_pad)
+        idx = jnp.min(big, axis=-1, keepdims=True)  # [rows, 1]
+        # neighbors via one-hot sums (gather-free)
+        cm = jnp.sum(jnp.where(lane == idx - 1, corr, 0.0), -1,
+                     keepdims=True)
+        cp = jnp.sum(jnp.where(lane == idx + 1, corr, 0.0), -1,
+                     keepdims=True)
+        den = cm - 2.0 * v0 + cp
+        interior = (idx >= 1) & (idx <= num_lags - 2)
+        delta = jnp.where(
+            (jnp.abs(den) > 1e-20) & interior, 0.5 * (cm - cp) / den, 0.0)
+        delta = jnp.clip(delta, -0.5, 0.5)
+        shift = (idx - k).astype(jnp.float32)
+        tdoa = shift + delta
 
-    # Gaussian taper around the integer peak (correlations.c:26-33)
-    d = (lane - idx).astype(jnp.float32)
-    tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
+        # Gaussian taper around the integer peak (correlations.c:26-33)
+        d = (lane - idx).astype(jnp.float32)
+        tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
 
-    # peak-to-sidelobe confidence on the RAW correlogram (before tapering,
-    # which would manufacture a dominant peak even for noise)
-    outside = (jnp.abs(lane - idx) > 3) & valid
-    side = jnp.max(jnp.where(outside, corr, neg), axis=-1, keepdims=True)
-    psr = jnp.abs(v0) / jnp.maximum(jnp.abs(side), 1e-20)
+        # peak-to-sidelobe confidence on the RAW correlogram (before
+        # tapering, which would manufacture a dominant peak even for noise)
+        outside = (jnp.abs(lane - idx) > 3) & valid
+        side = jnp.max(jnp.where(outside, corr, neg), axis=-1,
+                       keepdims=True)
+        psr = jnp.abs(v0) / jnp.maximum(jnp.abs(side), 1e-20)
 
-    out_ref[:] = tapered.reshape(tile_b, len(pairs), l_pad)
-    aux = jnp.where(lane == 0, shift, 0.0)
-    aux = aux + jnp.where(lane == 1, tdoa, 0.0)
-    aux = aux + jnp.where(lane == 2, v0, 0.0)
-    aux = aux + jnp.where(lane == 3, psr, 0.0)
-    aux_ref[:] = aux.reshape(tile_b, len(pairs), l_pad)
+        out_ref[rows] = tapered.reshape(sb, n_pairs, l_pad)
+        aux = jnp.where(lane == 0, shift, 0.0)
+        aux = aux + jnp.where(lane == 1, tdoa, 0.0)
+        aux = aux + jnp.where(lane == 2, v0, 0.0)
+        aux = aux + jnp.where(lane == 3, psr, 0.0)
+        aux_ref[rows] = aux.reshape(sb, n_pairs, l_pad)
+
+    # software-pipelined emission: front(s+1) ahead of cross/synth/out(s)
+    front = stage_front(0)
+    for s in range(sub_tiles):
+        nxt = stage_front(s + 1) if s + 1 < sub_tiles else None
+        rr, jj, nyq_corrs = stage_cross(front)
+        corr = stage_synth(rr, jj, nyq_corrs)
+        stage_out(s, corr)
+        front = nxt
 
 
 @functools.partial(
@@ -186,11 +235,15 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     win = win * gain
 
     grid = (b // tile_b,)
+    sub_tiles = cfg.fused_sub_tiles
+    if tile_b % sub_tiles != 0:
+        sub_tiles = 1
     kernel = functools.partial(
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
         taper_denom=cfg.taper_denom, with_peaks=with_peaks,
-        nyq_fold=nyq_fold, inv_fft_len=1.0 / cfg.fft_length)
+        nyq_fold=nyq_fold, inv_fft_len=1.0 / cfg.fft_length,
+        sub_tiles=sub_tiles)
     if not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
             _k(*refs, None)

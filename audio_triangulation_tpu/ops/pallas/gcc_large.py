@@ -41,7 +41,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
             re_ref, im_ref, sync_ref, syns_ref, out_ref,
-            rr_ref, jj_ref, *, tile_b, chunk, phat, phat_eps):
+            rr_ref, jj_ref, *, tile_b, chunk):
+    # PHAT happens per mic in the wrapper (whiten_reim), ONCE per spectrum
+    # instead of once per pair: 2016-pair arrays would otherwise rsqrt 31x
+    # the data volume inside this loop.
     ei = ei_ref[0]  # [chunk, M]
     ej = ej_ref[0]
     for b in range(tile_b):  # static unroll over the small batch tile
@@ -53,10 +56,6 @@ def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
         ij = jnp.dot(ej, im_b, preferred_element_type=jnp.float32)
         rr = ri * rj + ii * ij  # [chunk, F]
         jj = ri * ij - ii * rj
-        if phat:
-            inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
-            rr = rr * inv
-            jj = jj * inv
         rr_ref[b * chunk:(b + 1) * chunk, :] = rr
         jj_ref[b * chunk:(b + 1) * chunk, :] = jj
 
@@ -103,9 +102,7 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
             pltpu.VMEM((chunk * tile_b, f), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _kernel, tile_b=tile_b, chunk=chunk, phat=cfg.phat,
-        phat_eps=cfg.phat_eps)
+    kernel = functools.partial(_kernel, tile_b=tile_b, chunk=chunk)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -151,6 +148,8 @@ def xcorr_large(
     if b % tile_b != 0:
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
     re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
+    if cfg.phat:
+        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps)
     m = frames.shape[1]
     p = pairs.shape[0]
     sel_i, sel_j = _selection_matrices(np.asarray(pairs), m, chunk)

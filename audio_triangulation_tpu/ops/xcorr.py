@@ -33,6 +33,27 @@ def rfft_frames(frames: jnp.ndarray, fft_length: int) -> jnp.ndarray:
     return jnp.fft.rfft(frames, n=fft_length, axis=-1)
 
 
+def whiten_spectra(spectra: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Per-mic PHAT whitening: U = X * rsqrt(|X|^2 + eps^2).
+
+    |conj(X_i) X_j| = |X_i| |X_j|, so the pair PHAT weight factorizes into
+    per-mic spectral normalization: cross-powers of whitened spectra ARE the
+    PHAT-whitened cross-powers (identical limits at |X| >> eps and |X| -> 0).
+    This needs O(M F) rsqrts instead of O(P F) — 31x fewer for a 64-mic
+    array's 2016 pairs — and removes the rsqrt from the per-pair stage that
+    serializes the fused Pallas kernel between its matmuls."""
+    mag2 = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2
+    return spectra * jax.lax.rsqrt(mag2 + eps * eps)
+
+
+def phat_per_mic(n_mics: int) -> bool:
+    """Whiten per mic iff it touches less data than per pair: P = M(M-1)/2
+    >= M only from M = 3 (a 2-mic array's single pair is cheaper per-pair).
+    All correlation paths share this rule so they stay numerically
+    consistent for a given geometry."""
+    return n_mics >= 3
+
+
 def cross_power(
     spectra: jnp.ndarray,
     pairs: jnp.ndarray,
@@ -43,18 +64,22 @@ def cross_power(
     """Cross-power spectra per mic pair.
 
     spectra: [..., M, F] complex; pairs: [P, 2] int.
-    Returns [..., P, F] complex: conj(X_i) * X_j (optionally PHAT-whitened).
+    Returns [..., P, F] complex: conj(X_i) * X_j (optionally PHAT-whitened
+    via per-mic factorization, see :func:`whiten_spectra`).
 
     The conj convention makes irfft(.)[s] == sum_n a[n] * b[n+s], the
     reference's correlation sign convention (correlations.c:9-18): a positive
     best shift means mic j's signal lags mic i's.
     """
+    per_mic = phat and phat_per_mic(spectra.shape[-2])
+    if per_mic:
+        spectra = whiten_spectra(spectra, phat_eps)
     xi = jnp.take(spectra, pairs[:, 0], axis=-2)
     xj = jnp.take(spectra, pairs[:, 1], axis=-2)
     r = jnp.conj(xi) * xj
-    if phat:
-        # rsqrt form of R/(|R| + eps): equal at |R| >> eps and |R| -> 0,
-        # and ~2x cheaper on the TPU VPU than sqrt + divide
+    if phat and not per_mic:
+        # 2-mic arrays: whiten the single pair directly (rsqrt form of
+        # R/(|R| + eps): equal limits at |R| >> eps and |R| -> 0)
         mag2 = jnp.real(r) ** 2 + jnp.imag(r) ** 2
         r = r * jax.lax.rsqrt(mag2 + phat_eps * phat_eps)
     return r

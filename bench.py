@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-solver", action="store_true")
+    ap.add_argument("--sub-tiles", type=int, default=1,
+                    help="fused-kernel software-pipeline depth")
+    ap.add_argument("--init-grid-stride", type=int, default=3,
+                    help="SRP init-grid decimation (GN refines; 1 = full "
+                         "101x101 reference grid)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -41,8 +46,11 @@ def main():
     mics = geometry.square_array(0.3)
     # circular GCC on DPSS-windowed frames: 0.003-sample TDOA accuracy
     # (tests/test_mxu_fft.py) at half the transform cost of 'linear'
-    cfg = PipelineConfig(phat=True, fft_pad_mode="circular", srp_dtype="bfloat16")
-    loc = Localizer.create(mics, cfg, with_solver=not args.no_solver)
+    cfg = PipelineConfig(phat=True, fft_pad_mode="circular",
+                         srp_dtype="bfloat16", fused_sub_tiles=args.sub_tiles)
+    loc = Localizer.create(
+        mics, cfg, with_solver=not args.no_solver,
+        init_grid_stride=1 if args.no_solver else args.init_grid_stride)
 
     # one synthetic event replicated over the batch (content doesn't affect
     # timing; shapes do)

@@ -41,28 +41,33 @@ def main():
         frames = synth.synth_scene(
             sources, mics, noise_rms=noise, seed=snr_db)
         for phat in (False, True):
-            loc = Localizer.create(
-                mics, PipelineConfig(phat=phat, fft_pad_mode="circular"))
-            out = loc(jnp.asarray(frames, jnp.float32))
-            est_tau = np.asarray(out["tdoa_samples"])
-            xy = np.asarray(out["xy"])
-            tdoa_err = np.abs(est_tau - true_tau)
-            xy_err = np.linalg.norm(xy - planes, axis=-1)
-            rec = {
-                "snr_db": snr_db,
-                "phat": phat,
-                "tdoa_err_median_samples": round(
-                    float(np.median(tdoa_err)), 4),
-                "tdoa_err_p90_samples": round(
-                    float(np.percentile(tdoa_err, 90)), 4),
-                "xy_err_median_cm": round(
-                    float(np.median(xy_err)) * 100, 2),
-                "xy_err_p90_cm": round(
-                    float(np.percentile(xy_err, 90)) * 100, 2),
-                "scenes": n_scenes,
-            }
-            results.append(rec)
-            print(json.dumps(rec))
+            # stride 3 = the coarse init grid bench.py runs with (the GN
+            # solver refines; this record proves accuracy is unchanged)
+            for stride in (1, 3):
+                loc = Localizer.create(
+                    mics, PipelineConfig(phat=phat, fft_pad_mode="circular"),
+                    init_grid_stride=stride)
+                out = loc(jnp.asarray(frames, jnp.float32))
+                est_tau = np.asarray(out["tdoa_samples"])
+                xy = np.asarray(out["xy"])
+                tdoa_err = np.abs(est_tau - true_tau)
+                xy_err = np.linalg.norm(xy - planes, axis=-1)
+                rec = {
+                    "snr_db": snr_db,
+                    "phat": phat,
+                    "init_grid_stride": stride,
+                    "tdoa_err_median_samples": round(
+                        float(np.median(tdoa_err)), 4),
+                    "tdoa_err_p90_samples": round(
+                        float(np.percentile(tdoa_err, 90)), 4),
+                    "xy_err_median_cm": round(
+                        float(np.median(xy_err)) * 100, 2),
+                    "xy_err_p90_cm": round(
+                        float(np.percentile(xy_err, 90)) * 100, 2),
+                    "scenes": n_scenes,
+                }
+                results.append(rec)
+                print(json.dumps(rec))
 
     # --- 8-bit ADC front end (the firmware's input format) ---
     frames = synth.synth_scene(sources, mics, noise_rms=0.01, seed=99)

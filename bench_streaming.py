@@ -63,9 +63,53 @@ def main():
         results.append(rec)
         print(json.dumps(rec))
 
+    # --- two-rate serving: detect every chunk, localize at event rate ---
+    # Acoustic events are sparse, so the detect-only step bounds capacity;
+    # the event-rate localization batch amortizes over all streams.  The
+    # capacity figure below charges every chunk the detect cost plus the
+    # localize cost at a 5%-of-streams-triggering-per-chunk event rate
+    # (pessimistic: ~5 events/s/stream at 10 ms chunks).
+    from audio_triangulation_tpu.models.streaming import (
+        TwoRateStreamingLocalizer)
+
+    tr = TwoRateStreamingLocalizer.create(
+        geometry.reference_array(), stream=StreamConfig(chunk_size=chunk),
+        event_capacity=128)
+    best_tworate = 0
+    for s_count in (1024, 4096, 8192):
+        states = tr.init_states(s_count)
+        chunks = jax.device_put(jnp.asarray(
+            rng.integers(127, 130, (s_count, 3, chunk)), jnp.float32))
+        states, det = tr.detect_many(states, chunks)
+        jax.block_until_ready(det["triggered"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            states, det = tr.detect_many(states, chunks)
+        jax.block_until_ready(det["triggered"])
+        lat_det = (time.perf_counter() - t0) / 20
+        states, ev = tr.localize_triggered(states, det)
+        jax.block_until_ready(ev["xy"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            states, ev = tr.localize_triggered(states, det)
+        jax.block_until_ready(ev["xy"])
+        lat_loc = (time.perf_counter() - t0) / 20
+        # events/chunk at the assumed rate, localized in capacity-128 batches
+        ev_batches = max(1, int(np.ceil(0.05 * s_count / 128)))
+        lat = lat_det + ev_batches * lat_loc
+        capacity = int(chunk_s / lat * s_count)
+        best_tworate = max(best_tworate, capacity)
+        rec = {"streams": s_count, "mode": "two_rate",
+               "detect_ms": round(lat_det * 1e3, 2),
+               "localize128_ms": round(lat_loc * 1e3, 2),
+               "realtime_capacity_streams_at_5pct_event_rate": capacity}
+        results.append(rec)
+        print(json.dumps(rec))
+
     summary = {"metric": "concurrent_realtime_50khz_streams_per_chip",
-               "value": best, "unit": "streams",
-               "vs_baseline": best}  # reference: 1 stream on the MCU
+               "value": max(best, best_tworate), "unit": "streams",
+               "dense_path": best, "two_rate_path": best_tworate,
+               "vs_baseline": max(best, best_tworate)}  # reference: 1 stream
     results.append(summary)
     print(json.dumps(summary))
     with open("BENCH_STREAMING.json", "w") as f:

@@ -7,6 +7,7 @@ radial projection of (x, y, height) onto the radius-``height`` sphere — the
 reference's equidistant model.  ``_place(x, y)`` returns both.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -174,3 +175,35 @@ def test_confidence_separates_signal_from_noise():
     # whitened correlograms have elevated sidelobes, so the PSR scale is
     # compressed; ~1.0 = noise, >1.3 = detection
     assert cg > 1.3 > cn, (cg, cn)
+
+
+def test_init_grid_stride_solver_equivalent():
+    """A 3x-coarsened init grid must not change the GN-refined position on
+    clean scenes (the solver supersedes the grid; bench.py runs stride 3)."""
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.square_array(0.3)
+    # plane coordinates (the solver's output convention); the 3-D source is
+    # their projection onto the 1.2 m sphere (vga_heatmap.h:57-60 semantics)
+    plane = np.array([0.4, -0.3])
+    src = np.array([*plane, 1.2])
+    src = src / np.linalg.norm(src) * 1.2
+    frames = jnp.asarray(
+        synth.synth_scene(src, mics, noise_rms=0.01, seed=3), jnp.float32)
+    cfg = PipelineConfig(fft_pad_mode="circular")
+    loc1 = Localizer.create(mics, cfg)
+    loc3 = Localizer.create(mics, cfg, init_grid_stride=3)
+    xy1 = np.asarray(loc1(frames)["xy"])[0]
+    xy3 = np.asarray(loc3(frames)["xy"])[0]
+    np.testing.assert_allclose(xy1, xy3, atol=1e-4)
+    assert np.linalg.norm(xy1 - plane) < 0.02
+    # coarse grid outputs really are coarse (33x33 for the reference grid)
+    assert loc3(frames)["scores"].shape[-1] == 33 * 33
+
+
+def test_init_grid_stride_guards():
+    mics = geometry.square_array(0.3)
+    with pytest.raises(ValueError):
+        Localizer.create(mics, with_heatmap=True, init_grid_stride=3)
+    with pytest.raises(ValueError):
+        Localizer.create(mics, with_solver=False, init_grid_stride=3)

@@ -85,3 +85,35 @@ def test_fused_peaks_matches_unfused_ops(rng):
         np.asarray(got_corr) / scale, exp_tapered / scale, atol=1e-5)
     exp_psr = np.asarray(xcorr_ops.peak_confidence(corr, k))
     np.testing.assert_allclose(np.asarray(got_psr), exp_psr, rtol=1e-4)
+
+
+def test_fused_phat_2mic_matches_unfused(rng):
+    """2-mic arrays whiten per pair (P = 1 < M = 2, ops.xcorr.phat_per_mic);
+    the fused kernel must agree with the unfused path on that branch too."""
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True, phat_eps=1e-9)
+    frames, win, pairs = _setup(rng, b=4, m=2)
+    got = np.asarray(gcc_kernel.fused_gcc(
+        frames, win, pairs, cfg, tile_b=4, interpret=True))
+    ref = np.asarray(_reference(frames, win, pairs, cfg))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_sub_tiles_equivalent(rng):
+    """fused_sub_tiles re-orders emission per sub-tile: same math per row,
+    but the smaller matmul shapes may contract in a different order, so
+    equality is to float tolerance (peaks/shifts must match exactly)."""
+    frames, win, pairs = _setup(rng, b=8, m=4)
+    for phat in (False, True):
+        base = PipelineConfig(fft_pad_mode="circular", phat=phat)
+        piped = PipelineConfig(
+            fft_pad_mode="circular", phat=phat, fused_sub_tiles=4)
+        a = gcc_kernel.fused_gcc_peaks(
+            frames, win, pairs, base, tile_b=8, interpret=True)
+        b = gcc_kernel.fused_gcc_peaks(
+            frames, win, pairs, piped, tile_b=8, interpret=True)
+        scale = max(float(np.abs(np.asarray(a[0])).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(a[0]) / scale, np.asarray(b[0]) / scale, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(
+            np.asarray(a[2]), np.asarray(b[2]), atol=1e-4)
