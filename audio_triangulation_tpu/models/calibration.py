@@ -175,6 +175,64 @@ def joint_loss(
     return loss
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrackedParams:
+    """Self-calibration from tracked motion: the per-event source positions
+    are not free latents (JointParams' 2B DOF) but constrained to a smooth
+    polynomial trajectory xy(t) = sum_d coeffs[d] t^d — a moving source
+    heard B times contributes B pair-constraints against only
+    2 (order+1) trajectory DOF, a far stronger geometry signal."""
+
+    mic_xy: jnp.ndarray       # [M, 2]
+    log_gain: jnp.ndarray     # [M]
+    traj_coeffs: jnp.ndarray  # [order+1, 2] polynomial in centered time
+
+
+def traj_positions(coeffs: jnp.ndarray, times: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial trajectory sample: coeffs [D+1, 2], times [B] -> [B, 2]."""
+    powers = times[:, None] ** jnp.arange(
+        coeffs.shape[0], dtype=times.dtype)[None, :]  # [B, D+1]
+    return powers @ coeffs
+
+
+def tracked_loss(
+    params: TrackedParams,
+    frames: jnp.ndarray,
+    times: jnp.ndarray,       # [B] event times, centered (see fit_tracked)
+    pairs: jnp.ndarray,
+    window: jnp.ndarray,
+    cfg: PipelineConfig,
+    mic_anchor: jnp.ndarray,
+    *,
+    height: float = 1.2,
+    beta: float = 2.0,
+    anchor_weight: float = 1.0,
+    orientation_weight: float = 0.1,
+) -> jnp.ndarray:
+    """TDOA self-consistency with trajectory-constrained source positions.
+
+    Gauge anchors as in :func:`joint_loss` (rotating the mics and the
+    trajectory together is unobservable from TDOAs)."""
+    cal = CalibParams(mic_xy=params.mic_xy, log_gain=params.log_gain)
+    meas = measured_tdoas(cal, frames, pairs, window, cfg, beta)
+
+    src = traj_positions(params.traj_coeffs, times)  # [B, 2]
+    mic3 = jnp.concatenate(
+        [params.mic_xy, jnp.zeros((params.mic_xy.shape[0], 1))], axis=-1)
+    pred = solver_ops.predicted_tdoas(
+        src, mic3, pairs, cfg.speed_of_sound_mps, height, True,
+    ) * cfg.sample_rate_hz
+
+    resid = meas - pred
+    loss = jnp.mean(resid * resid)
+    centroid = jnp.mean(params.mic_xy, axis=0)
+    loss = loss + anchor_weight * jnp.sum(centroid * centroid)
+    loss = loss + orientation_weight * jnp.mean(
+        (params.mic_xy - mic_anchor) ** 2)
+    return loss
+
+
 @dataclasses.dataclass(frozen=True)
 class Calibrator:
     """Optax-based calibration trainer."""
@@ -266,6 +324,87 @@ class Calibrator:
             mic_est = np.asarray(params.mic_xy)
             losses.append(float(loss))
         return mic_est, losses
+
+    # ------------------------------------------------------------------
+    # Self-calibration from tracked motion (docs/ROADMAP capability item):
+    # a moving source's tracker trajectory becomes the reference source
+
+    @functools.cached_property
+    def train_step_tracked(self):
+        """Jitted trajectory-constrained step: (params, opt_state, frames,
+        times, mic_anchor) -> (params, opt_state, loss)."""
+
+        def step(params, opt_state, frames, times, mic_anchor):
+            loss, grads = jax.value_and_grad(tracked_loss)(
+                params, frames, times, self.pairs, self.window,
+                self.pipeline, mic_anchor,
+                height=self.height, beta=self.beta,
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def fit_tracked(self, mic_xy_guess: np.ndarray, frames,
+                    event_times: np.ndarray, *, traj_order: int = 1,
+                    steps: int = 300, tracker_cfg=None):
+        """Unsupervised self-calibration from a single moving source.
+
+        1. Localize each event with the initial geometry guess.
+        2. Run the Kalman tracker (models.tracking) over the timestamped
+           positions; its filtered trajectory initializes the polynomial
+           trajectory coefficients (order 1 = the tracker's own
+           constant-velocity model).
+        3. Jointly refine geometry + gains + trajectory against the
+           measured TDOAs (:func:`tracked_loss`).
+
+        Returns (mic_xy [M, 2], traj_coeffs [order+1, 2] in centered time,
+        losses).  Identifiability scales with pair count exactly like
+        :meth:`fit_em`, but a moving source yields many effective source
+        positions from one session."""
+        from . import localizer as localizer_mod
+        from . import tracking
+
+        mic0 = np.asarray(mic_xy_guess, np.float32)
+        times = np.asarray(event_times, np.float32)
+        t0 = float(times.mean())  # center time: conditions the poly basis
+        tc = times - t0
+
+        # E-step 0: localize + track with the guessed geometry
+        loc = localizer_mod.Localizer.create(mic0, self.pipeline)
+        xy = np.asarray(loc(frames)["xy"])  # [B, 2]
+        tr = tracking.Tracker(tracker_cfg or tracking.TrackerConfig(
+            measurement_noise=0.05, process_noise=0.5))
+        st = tr.init()
+        filt = []
+        for i in np.argsort(times):
+            st, out = tr.step(st, xy[i], times[i])
+            k = int(np.asarray(out["assigned"]))
+            filt.append(np.asarray(out["track_xy"])[max(k, 0)])
+        filt = np.asarray(filt)[np.argsort(np.argsort(times))]  # undo sort
+
+        # init trajectory: polyfit through the tracker's filtered positions
+        coeffs = np.stack([
+            np.polyfit(tc, filt[:, d], traj_order)[::-1]
+            for d in range(2)], axis=-1).astype(np.float32)  # [order+1, 2]
+
+        params = TrackedParams(
+            mic_xy=jnp.asarray(mic0),
+            log_gain=jnp.zeros((mic0.shape[0],), jnp.float32),
+            traj_coeffs=jnp.asarray(coeffs),
+        )
+        opt_state = self.optimizer.init(params)
+        frames_j = jnp.asarray(frames)
+        tc_j = jnp.asarray(tc)
+        anchor = jnp.asarray(mic0)
+        losses = []
+        for _ in range(steps):
+            params, opt_state, loss = self.train_step_tracked(
+                params, opt_state, frames_j, tc_j, anchor)
+            losses.append(float(loss))
+        return (np.asarray(params.mic_xy), np.asarray(params.traj_coeffs),
+                losses)
 
     @functools.cached_property
     def train_step_joint(self):

@@ -45,6 +45,19 @@ class TrackerConfig:
     confirm_hits: int = 2
     # drop a track not updated for this long [s]
     max_coast_s: float = 2.0
+    # 'nearest': hard nearest-neighbor gated assignment (default).
+    # 'soft': PDA/JPDA-style probabilistic association — every gated track
+    # is Kalman-updated with its posterior association weight, which keeps
+    # crossing sources from stealing each other's tracks.
+    association: str = "nearest"
+    # soft association only: detection probability and clutter density
+    # [false events / m^2 / event]; their ratio sets how readily a
+    # measurement is explained as clutter vs an existing track
+    detect_prob: float = 0.9
+    clutter_density: float = 0.5
+    # soft association only: spawn a new track when the no-association
+    # posterior beta_0 exceeds this
+    spawn_b0: float = 0.5
 
 
 @jax.tree_util.register_dataclass
@@ -137,10 +150,31 @@ def step(
              + innov[:, 1] ** 2 * s00) / det
     maha2 = jnp.where(active, maha2, jnp.inf)
     best = jnp.argmin(maha2)
-    can_assoc = valid & (maha2[best] <= cfg.gate_maha2)
+    gated = active & (maha2 <= cfg.gate_maha2)  # [K]
 
-    # ---- Kalman update of the associated slot (masked) -------------------
-    slot_sel = (jnp.arange(k) == best) & can_assoc  # [K] one-hot or all-off
+    # ---- association weights b [K] and no-association weight b0 ----------
+    if cfg.association == "soft":
+        # PDA/JPDA-style posterior over {track 1..K, clutter} for this
+        # measurement: b_k ~ Pd N(innov_k; 0, S_k), b0 ~ clutter density.
+        like = jnp.where(
+            gated,
+            jnp.exp(-0.5 * jnp.minimum(maha2, 80.0))
+            / (2.0 * jnp.pi * jnp.sqrt(det)),
+            0.0)  # [K]
+        denom = cfg.clutter_density + cfg.detect_prob * jnp.sum(like)
+        b = valid * cfg.detect_prob * like / denom  # [K]
+        b0 = jnp.where(valid, cfg.clutter_density / denom, 1.0)
+        slot_sel = b > 0.5  # "assigned" semantics for hits / coast timer
+        spawn = valid & (b0 > cfg.spawn_b0)
+    else:
+        # hard nearest-neighbor: b is the one-hot winner (b in {0, 1}
+        # makes the weighted update below reduce to the plain KF update)
+        can_assoc = valid & gated[best]
+        slot_sel = (jnp.arange(k) == best) & can_assoc
+        b = slot_sel.astype(jnp.float32)
+        spawn = valid & ~can_assoc
+
+    # ---- weighted Kalman update (every gated track, weight b_k) ----------
     # gain K = P H^T S^-1 (H = position selector), done batched
     inv00 = s11 / det
     inv11 = s00 / det
@@ -149,18 +183,19 @@ def step(
     sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
                       jnp.stack([inv01, inv11], -1)], -2)  # [K, 2, 2]
     gain = jnp.einsum("kij,kjl->kil", pht, sinv)  # [K, 4, 2]
-    x_upd = xp + jnp.einsum("kij,kj->ki", gain, innov)
-    kh = jnp.einsum("kij->kij", gain)  # [K, 4, 2]
-    p_upd = pp - jnp.einsum("kij,kjl->kil", kh, pp[:, :2, :])
+    ky = jnp.einsum("kij,kj->ki", gain, innov)    # [K, 4] K @ innovation
+    x_new = xp + b[:, None] * ky
+    ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
+    # PDA covariance: P- - b KSK' + b(1-b) (Ky)(Ky)' (the spread-of-means
+    # term; zero in hard mode where b is 0/1)
+    spread = (b * (1.0 - b))[:, None, None] * (
+        ky[:, :, None] * ky[:, None, :])
+    p_new = pp - b[:, None, None] * ksk + spread
 
-    m = slot_sel[:, None]
-    x_new = jnp.where(m, x_upd, xp)
-    p_new = jnp.where(m[:, :, None], p_upd, pp)
     hits = state.hits + slot_sel.astype(jnp.int32)
     last_t = jnp.where(slot_sel, t, state.last_t)
 
-    # ---- spawn: a valid unassociated measurement takes a free slot -------
-    spawn = valid & ~can_assoc
+    # ---- spawn: an unexplained measurement takes a free slot -------------
     free = ~active
     spawn_slot = jnp.argmax(free)  # first free slot
     have_free = jnp.any(free)
@@ -191,7 +226,9 @@ def step(
         "track_active": active,
         "track_confirmed": active & (hits >= cfg.confirm_hits),
         "track_id": track_id,
-        "assigned": jnp.where(can_assoc, best, -1).astype(jnp.int32),
+        # soft mode: the dominant-weight slot (b > 0.5), if any
+        "assigned": jnp.where(jnp.any(slot_sel),
+                              jnp.argmax(slot_sel), -1).astype(jnp.int32),
     }
     return new_state, out
 

@@ -167,3 +167,75 @@ def test_streaming_pipeline_feeds_tracker():
     xy = np.asarray(tout["track_xy"])[k]
     # static source at the batch-path position
     assert np.linalg.norm(xy - plane_xy) < 0.05, (xy, plane_xy)
+
+
+# ----------------------------------------------------------------------
+# Soft (PDA/JPDA-style) association
+# ----------------------------------------------------------------------
+
+def test_soft_single_target_matches_hard():
+    """With one clean target the association posterior saturates (b ~ 1),
+    so the soft tracker reduces to the hard one."""
+    rng = np.random.default_rng(3)
+    base = dict(measurement_noise=0.02, process_noise=0.1)
+    hard = Tracker(TrackerConfig(**base))
+    soft = Tracker(TrackerConfig(association="soft", clutter_density=0.05,
+                                 **base))
+    sh, ss = hard.init(), soft.init()
+    p0, v = np.array([0.1, 0.2]), np.array([0.3, -0.25])
+    for t in np.cumsum(rng.uniform(0.08, 0.12, 30)):
+        z = p0 + v * t + rng.normal(0, 0.02, 2)
+        sh, oh = hard.step(sh, z, t)
+        ss, os_ = soft.step(ss, z, t)
+    assert int(np.asarray(ss.active).sum()) == 1
+    kh = int(np.argmax(np.asarray(sh.active)))
+    ks = int(np.argmax(np.asarray(ss.active)))
+    np.testing.assert_allclose(np.asarray(ss.x)[ks], np.asarray(sh.x)[kh],
+                               atol=0.02)
+
+
+def test_soft_crossing_sources_keep_identities():
+    """Two constant-velocity sources crossing paths: soft association keeps
+    both tracks alive with their original identities through the crossing
+    (no drop + respawn), and each ends on its own side."""
+    rng = np.random.default_rng(4)
+    cfg = TrackerConfig(association="soft", max_tracks=4,
+                        measurement_noise=0.02, process_noise=0.05,
+                        clutter_density=0.05, max_coast_s=3.0)
+    tr = Tracker(cfg)
+    st = tr.init()
+    # cross at t=1 at the origin, approaching along +-x
+    va, vb = np.array([0.5, 0.05]), np.array([-0.5, 0.05])
+    pa, pb = -va, -vb  # so both are at (0, ~0.05) at t=1
+    for t in np.arange(0.05, 2.0, 0.05):
+        for (p, v) in ((pa, va), (pb, vb)):
+            z = p + v * t + rng.normal(0, 0.02, 2)
+            st, out = tr.step(st, z, t)
+    ids = np.asarray(st.track_id)[np.asarray(st.active)]
+    assert len(ids) == 2
+    # no mid-run drop/respawn: only the two original ids were ever issued
+    assert int(st.next_id) == 3, int(st.next_id)
+    assert int(st.dropped) == 0
+    # tracks ended on opposite sides with opposite x-velocities
+    act = np.asarray(st.active)
+    vx = np.asarray(st.x)[act, 2]
+    assert (vx > 0.2).any() and (vx < -0.2).any(), vx
+
+
+def test_soft_clutter_does_not_refresh_tracks():
+    """A far-away (ungated) measurement must neither update the existing
+    track nor refresh its coast timer, but spawns its own track."""
+    cfg = TrackerConfig(association="soft", measurement_noise=0.02)
+    tr = Tracker(cfg)
+    st = tr.init()
+    for t in (0.1, 0.2, 0.3):
+        st, _ = tr.step(st, np.array([0.5, 0.5]), t)
+    x_before = np.asarray(st.x).copy()
+    st, out = tr.step(st, np.array([-1.5, -1.5]), 0.4)  # clutter/new source
+    k = int(np.argmax(np.asarray(st.track_id) == 1))
+    # original track coasted (predicted), not measurement-updated
+    assert abs(np.asarray(st.last_t)[k] - 0.3) < 1e-6
+    np.testing.assert_allclose(np.asarray(st.x)[k, :2], x_before[k, :2],
+                               atol=0.01)
+    # the unexplained measurement spawned a second track
+    assert int(np.asarray(st.active).sum()) == 2
