@@ -252,16 +252,19 @@ namespace {
 struct Source {
   Runtime* rt = nullptr;
   int kind = 0;
+  int reconnect = 0;  // survive producer EOF / disconnect and re-attach
   std::string address;
   std::thread thread;
   std::atomic<bool> stop{false};
   std::atomic<bool> running{false};
   std::atomic<long long> bytes{0};
   std::atomic<long long> tuples{0};
+  std::atomic<long long> reconnects{0};  // producer re-attachments observed
   std::atomic<int> bound_port{0};  // for listen sources (port 0 -> chosen)
   std::atomic<int> listen_fd{-1};
 
   void run();
+  void read_loop(int fd);
 };
 
 int open_fifo(const std::string& path) {
@@ -294,7 +297,7 @@ int open_tcp_connect(const std::string& addr) {
   return fd;
 }
 
-int open_tcp_listen(Source* src, const std::string& addr) {
+int bind_listen(Source* src, const std::string& addr) {
   const size_t colon = addr.rfind(':');
   const int port = colon == std::string::npos
                        ? atoi(addr.c_str())
@@ -315,38 +318,32 @@ int open_tcp_listen(Source* src, const std::string& addr) {
   getsockname(lfd, (sockaddr*)&sa, &len);
   src->bound_port.store(ntohs(sa.sin_port));
   src->listen_fd.store(lfd);
-  // accept with a poll loop so stop() works while waiting for the peer
+  return lfd;
+}
+
+int accept_peer(Source* src) {
+  // poll-accept loop so stop() works while waiting for a peer; the listen
+  // socket stays open across peers (reconnect re-accepts on the SAME port)
+  const int lfd = src->listen_fd.load();
+  if (lfd < 0) return -1;
   while (!src->stop.load()) {
     pollfd p{lfd, POLLIN, 0};
     const int r = poll(&p, 1, 100);
-    if (r > 0 && (p.revents & POLLIN)) {
-      const int fd = accept(lfd, nullptr, nullptr);
-      close(lfd);
-      src->listen_fd.store(-1);
-      return fd;
-    }
+    if (r > 0 && (p.revents & POLLIN))
+      return accept(lfd, nullptr, nullptr);
   }
-  close(lfd);
-  src->listen_fd.store(-1);
   return -1;
 }
 
-void Source::run() {
-  int fd = -1;
-  if (kind == 0)
-    fd = open_fifo(address);
-  else if (kind == 1)
-    fd = open_tcp_connect(address);
-  else if (kind == 2)
-    fd = open_tcp_listen(this, address);
-  if (fd < 0) {
-    running.store(false);
-    return;
-  }
+void Source::read_loop(int fd) {
+  // One producer session: read until stop / EOF / error.  With reconnect
+  // on a FIFO the fd survives writer churn (POLLHUP just means "no writer
+  // right now"), so this also spans successive writers in that mode.
   const int c = rt->channels;
   const size_t tuple_bytes = (size_t)c * sizeof(int16_t);
   std::vector<uint8_t> buf(tuple_bytes * 4096);
   size_t carry = 0;  // bytes of an incomplete tuple carried between reads
+  bool writer_gone = false;
   while (!stop.load()) {
     pollfd p{fd, POLLIN, 0};
     const int r = poll(&p, 1, 100);
@@ -354,14 +351,21 @@ void Source::run() {
     if (p.revents & (POLLERR | POLLNVAL)) break;
     const ssize_t n = read(fd, buf.data() + carry, buf.size() - carry);
     if (n == 0) {
-      if (kind != 0) break;    // socket EOF
-      if (p.revents & POLLHUP)  // FIFO: all writers gone
-        break;
+      if (kind != 0) break;     // socket EOF
+      if (p.revents & POLLHUP) {  // FIFO: all writers gone
+        if (!reconnect) break;
+        writer_gone = true;
+        poll(nullptr, 0, 20);   // POLLHUP returns instantly; avoid a spin
+      }
       continue;
     }
     if (n < 0) {
       if (errno == EAGAIN || errno == EINTR) continue;
       break;
+    }
+    if (writer_gone) {  // a new FIFO writer attached
+      reconnects.fetch_add(1);
+      writer_gone = false;
     }
     bytes.fetch_add(n);
     const size_t avail = carry + (size_t)n;
@@ -377,7 +381,35 @@ void Source::run() {
       carry = avail;
     }
   }
-  close(fd);
+}
+
+void Source::run() {
+  if (kind == 2 && bind_listen(this, address) < 0) {
+    running.store(false);
+    return;
+  }
+  bool connected_before = false;
+  while (!stop.load()) {
+    int fd = -1;
+    if (kind == 0)
+      fd = open_fifo(address);
+    else if (kind == 1)
+      fd = open_tcp_connect(address);
+    else
+      fd = accept_peer(this);  // -1 only when stopping
+    if (fd < 0) {
+      if (kind == 2 || !reconnect) break;
+      poll(nullptr, 0, 200);  // retry open/connect with a small backoff
+      continue;
+    }
+    if (connected_before) reconnects.fetch_add(1);
+    connected_before = true;
+    read_loop(fd);
+    close(fd);
+    if (!reconnect) break;
+  }
+  const int lfd = listen_fd.exchange(-1);
+  if (lfd >= 0) close(lfd);
   running.store(false);
 }
 
@@ -385,15 +417,21 @@ void Source::run() {
 
 extern "C" {
 
-void* atrt_source_start(void* h, int kind, const char* address) {
+void* atrt_source_start2(void* h, int kind, const char* address,
+                         int reconnect) {
   auto* src = new (std::nothrow) Source();
   if (!src) return nullptr;
   src->rt = static_cast<Runtime*>(h);
   src->kind = kind;
+  src->reconnect = reconnect;
   src->address = address ? address : "";
   src->running.store(true);
   src->thread = std::thread([src] { src->run(); });
   return src;
+}
+
+void* atrt_source_start(void* h, int kind, const char* address) {
+  return atrt_source_start2(h, kind, address, 0);
 }
 
 // For listen sources: the bound port (valid once > 0).
@@ -408,6 +446,11 @@ long long atrt_source_bytes(void* s) {
 }
 long long atrt_source_tuples(void* s) {
   return static_cast<Source*>(s)->tuples.load();
+}
+// Producer re-attachments survived (reconnect mode): FIFO writer churn,
+// TCP re-connects, listen re-accepts.
+long long atrt_source_reconnects(void* s) {
+  return static_cast<Source*>(s)->reconnects.load();
 }
 
 void atrt_source_stop(void* s) {

@@ -60,12 +60,16 @@ def _load_library():
         lib.atrt_source_start.restype = ctypes.c_void_p
         lib.atrt_source_start.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+        lib.atrt_source_start2.restype = ctypes.c_void_p
+        lib.atrt_source_start2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.atrt_source_stop.argtypes = [ctypes.c_void_p]
         for name in ("atrt_source_port", "atrt_source_running"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
             fn.argtypes = [ctypes.c_void_p]
-        for name in ("atrt_source_bytes", "atrt_source_tuples"):
+        for name in ("atrt_source_bytes", "atrt_source_tuples",
+                     "atrt_source_reconnects"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_longlong
             fn.argtypes = [ctypes.c_void_p]
@@ -143,18 +147,25 @@ class NativeIngestRuntime:
     SOURCE_KINDS = {"fifo": 0, "pipe": 0, "file": 0,
                     "tcp": 1, "socket": 1, "listen": 2, "socket-listen": 2}
 
-    def start_source(self, url: str) -> "NativeSource":
+    def start_source(self, url: str, *,
+                     reconnect: bool = False) -> "NativeSource":
         """Start a native reader thread feeding this runtime from a byte
         stream of interleaved little-endian int16 tuples.
 
         ``url``: fifo:///path | tcp://host:port (connect) |
         listen://:port (accept one peer; port 0 picks a free one; aliases:
-        socket:// = tcp://, pipe/file = fifo)."""
+        socket:// = tcp://, pipe/file = fifo).
+
+        ``reconnect=True`` makes the source survive producer churn: FIFO
+        writers may close and re-open, a dead TCP peer is re-dialed with
+        backoff, a listen source re-accepts the next peer on the same
+        port.  ``.reconnects`` counts the re-attachments."""
         scheme, _, rest = url.partition("://")
         if scheme not in self.SOURCE_KINDS:
             raise ValueError(f"unsupported source scheme {scheme!r}")
         kind = self.SOURCE_KINDS[scheme]
-        h = self._lib.atrt_source_start(self._h, kind, rest.encode())
+        h = self._lib.atrt_source_start2(
+            self._h, kind, rest.encode(), int(reconnect))
         if not h:
             raise RuntimeError(f"atrt_source_start failed for {url}")
         return NativeSource(self._lib, h)
@@ -179,7 +190,8 @@ class NativeSource:
         self._h = handle
         # final counter values, captured when the handle is freed so the
         # properties stay valid after stop()
-        self._final = {"port": 0, "running": False, "bytes": 0, "tuples": 0}
+        self._final = {"port": 0, "running": False, "bytes": 0, "tuples": 0,
+                       "reconnects": 0}
 
     @property
     def port(self) -> int:
@@ -217,6 +229,13 @@ class NativeSource:
             return self._final["tuples"]
         return self._lib.atrt_source_tuples(self._h)
 
+    @property
+    def reconnects(self) -> int:
+        """Producer re-attachments survived (reconnect mode)."""
+        if not self._h:
+            return self._final["reconnects"]
+        return self._lib.atrt_source_reconnects(self._h)
+
     def stop(self):
         if self._h:
             self._final = {
@@ -224,6 +243,7 @@ class NativeSource:
                 "running": False,
                 "bytes": self._lib.atrt_source_bytes(self._h),
                 "tuples": self._lib.atrt_source_tuples(self._h),
+                "reconnects": self._lib.atrt_source_reconnects(self._h),
             }
             self._lib.atrt_source_stop(self._h)
             self._h = None

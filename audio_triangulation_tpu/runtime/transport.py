@@ -39,15 +39,25 @@ from . import native_rt
 
 @dataclass
 class PySource:
-    """Python reader thread feeding ``rt.push`` from a file object."""
+    """Python reader thread feeding ``rt.push`` from a file object.
+
+    ``fifo_persist``: FIFO reconnect semantics — an empty read means "no
+    writer right now", not EOF; the fd stays open across writer churn (the
+    native reader's behavior).  ``reopen``: called after EOF to obtain the
+    next session's file object (TCP re-dial / listen re-accept); must
+    return None to retry later, and raise StopIteration to end."""
 
     rt: object
     fileobj: object
     channels: int
     proc: Optional[subprocess.Popen] = None
+    fifo_persist: bool = False
+    reopen: Optional[object] = None  # Callable[[], Optional[fileobj]]
+    closer: Optional[object] = None  # extra resource closed on stop()
     _stop: threading.Event = field(default_factory=threading.Event)
     bytes_read: int = 0
     tuples_pushed: int = 0
+    reconnects: int = 0
     running: bool = True
     port: int = 0
 
@@ -55,26 +65,72 @@ class PySource:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def _run(self):
+    def _read_session(self, fileobj):
+        """Read one producer session; returns on EOF / close / stop."""
+        import time
+
         tuple_bytes = 2 * self.channels
         carry = b""
+        writer_gone = False
+        while not self._stop.is_set():
+            try:
+                data = fileobj.read(tuple_bytes * 4096)
+            except (OSError, ValueError):
+                return
+            if data is None:  # non-blocking fd, nothing available
+                time.sleep(0.01)
+                continue
+            if not data:
+                if self.fifo_persist:
+                    writer_gone = True
+                    time.sleep(0.02)
+                    continue
+                return
+            if writer_gone:  # a new FIFO writer attached
+                self.reconnects += 1
+                writer_gone = False
+            self.bytes_read += len(data)
+            data = carry + data
+            n_tuples = len(data) // tuple_bytes
+            if n_tuples:
+                used = n_tuples * tuple_bytes
+                arr = np.frombuffer(
+                    data[:used], dtype="<i2").reshape(-1, self.channels)
+                self.rt.push(arr)
+                self.tuples_pushed += n_tuples
+                carry = data[used:]
+            else:
+                carry = data
+
+    def _run(self):
+        import time
+
+        fileobj = self.fileobj  # may be None: reopen() provides session 1
+        had_session = False
         try:
             while not self._stop.is_set():
-                data = self.fileobj.read(tuple_bytes * 4096)
-                if not data:
+                if fileobj is not None:
+                    had_session = True
+                    self._read_session(fileobj)
+                    try:
+                        fileobj.close()
+                    except Exception:
+                        pass
+                    fileobj = None
+                if self.reopen is None or self._stop.is_set():
                     break
-                self.bytes_read += len(data)
-                data = carry + data
-                n_tuples = len(data) // tuple_bytes
-                if n_tuples:
-                    used = n_tuples * tuple_bytes
-                    arr = np.frombuffer(
-                        data[:used], dtype="<i2").reshape(-1, self.channels)
-                    self.rt.push(arr)
-                    self.tuples_pushed += n_tuples
-                    carry = data[used:]
-                else:
-                    carry = data
+                try:
+                    fileobj = self.reopen()
+                except StopIteration:
+                    break
+                except Exception:
+                    fileobj = None
+                if fileobj is None:
+                    time.sleep(0.05)
+                    continue
+                self.fileobj = fileobj
+                if had_session:
+                    self.reconnects += 1
         finally:
             self.running = False
 
@@ -87,6 +143,11 @@ class PySource:
             self.fileobj.close()
         except Exception:
             pass
+        if self.closer is not None:
+            try:
+                self.closer.close()
+            except Exception:
+                pass
         if self.proc is not None:
             self.proc.terminate()
             self.proc.wait(timeout=5)
@@ -109,28 +170,50 @@ def _open_alsa(rt, url: str, sample_rate: int):
 
 
 def open_source(rt, url: str, *, sample_rate: int = 50_000,
-                prefer_native: bool = True):
+                prefer_native: bool = True, reconnect: bool = False):
     """Attach a live source to an ingest runtime; returns a source handle
-    with .running/.bytes_read/.tuples_pushed/.stop() (and .wait_port() for
-    listen sources)."""
+    with .running/.bytes_read/.tuples_pushed/.reconnects/.stop() (and
+    .wait_port() for listen sources).
+
+    ``reconnect=True`` survives producer churn: FIFO writers may close and
+    re-open, a dead TCP peer is re-dialed with backoff, a listen source
+    re-accepts the next peer on the same port (not supported for alsa://)."""
     scheme = url.partition("://")[0]
     if scheme == "alsa":
         return _open_alsa(rt, url, sample_rate)
     if (prefer_native
             and isinstance(rt, native_rt.NativeIngestRuntime)
             and scheme in native_rt.NativeIngestRuntime.SOURCE_KINDS):
-        return rt.start_source(url)
+        return rt.start_source(url, reconnect=reconnect)
     # Python fallback (PyIngestRuntime, or exotic runtimes)
     rest = url.partition("://")[2]
     if scheme in ("fifo", "pipe", "file"):
-        fileobj = open(rest, "rb")
-        return PySource(rt=rt, fileobj=fileobj, channels=rt.channels)
+        if reconnect:
+            import os
+
+            # non-blocking fd: empty reads mean "no writer", the fd
+            # survives writer churn (native reader semantics)
+            fd = os.open(rest, os.O_RDONLY | os.O_NONBLOCK)
+            return PySource(rt=rt, fileobj=open(fd, "rb", buffering=0),
+                            channels=rt.channels, fifo_persist=True)
+        return PySource(rt=rt, fileobj=open(rest, "rb"),
+                        channels=rt.channels)
     if scheme in ("tcp", "socket"):
         import socket as socket_mod
 
         host, _, port = rest.rpartition(":")
-        s = socket_mod.create_connection((host or "127.0.0.1", int(port)))
-        return PySource(rt=rt, fileobj=s.makefile("rb"), channels=rt.channels)
+        addr = (host or "127.0.0.1", int(port))
+
+        def dial():
+            try:
+                return socket_mod.create_connection(addr,
+                                                    timeout=1.0).makefile("rb")
+            except OSError:
+                return None  # retry later
+
+        first = socket_mod.create_connection(addr).makefile("rb")
+        return PySource(rt=rt, fileobj=first, channels=rt.channels,
+                        reopen=dial if reconnect else None)
     if scheme in ("listen", "socket-listen"):
         import socket as socket_mod
 
@@ -140,10 +223,28 @@ def open_source(rt, url: str, *, sample_rate: int = 50_000,
         srv.bind(("127.0.0.1", port))
         srv.listen(1)
         bound = srv.getsockname()[1]
-        conn, _ = srv.accept()
-        srv.close()
-        src = PySource(rt=rt, fileobj=conn.makefile("rb"),
-                       channels=rt.channels)
+        if reconnect:
+            # even the FIRST accept runs on the reader thread (the native
+            # reader's behavior): open_source returns immediately with the
+            # bound port, peers come and go on the same port
+            srv.settimeout(0.2)
+
+            def reaccept():
+                try:
+                    c, _ = srv.accept()
+                    return c.makefile("rb")
+                except TimeoutError:
+                    return None
+                except OSError:
+                    raise StopIteration
+
+            src = PySource(rt=rt, fileobj=None, channels=rt.channels,
+                           reopen=reaccept, closer=srv)
+        else:
+            conn, _ = srv.accept()
+            srv.close()
+            src = PySource(rt=rt, fileobj=conn.makefile("rb"),
+                           channels=rt.channels)
         src.port = bound
         return src
     raise ValueError(f"unsupported source url {url!r}")

@@ -178,3 +178,139 @@ def test_stream_cli_source_flag(tmp_path, capsys):
     xy_txt = lines[0].split("xy=(")[1].split(")")[0]
     xy = np.array([float(v) for v in xy_txt.split(",")])
     assert np.linalg.norm(xy - plane) < 0.1, (xy, plane)
+
+
+# ----------------------------------------------------------------------
+# Producer churn / reconnect (docs/ROADMAP validation item)
+# ----------------------------------------------------------------------
+
+def _wait_tuples(src, n, timeout_s=12.0):
+    t0 = time.time()
+    while src.tuples_pushed < n and time.time() - t0 < timeout_s:
+        time.sleep(0.01)
+    assert src.tuples_pushed == n, (src.tuples_pushed, n)
+
+
+def _poll_all(rt):
+    events = []
+    while True:
+        ev = rt.poll()
+        if ev is None:
+            return events
+        events.append(ev)
+
+
+@needs_native
+def test_fifo_writer_churn_reconnect_native(tmp_path):
+    """Three separate writer sessions (close + gap between each) into one
+    reconnecting FIFO source: every event survives, the source stays up."""
+    path = str(tmp_path / "churn.fifo")
+    os.mkfifo(path)
+    rt = native_rt.NativeIngestRuntime(3, 1024)
+    src = transport.open_source(rt, f"fifo://{path}", reconnect=True)
+    total = 0
+    for seed in range(3):
+        pcm, _ = _scene_pcm(seed=seed)
+        transport.stream_pcm_to_fifo(path, pcm).join()  # writer closes
+        total += len(pcm)
+        _wait_tuples(src, total)
+        time.sleep(0.15)  # deliberate producer gap (POLLHUP at the reader)
+    assert len(_poll_all(rt)) == 3
+    assert src.reconnects >= 2, src.reconnects
+    assert src.running  # still alive, ready for the next writer
+    src.stop()
+    rt.close()
+
+
+@needs_native
+def test_listen_reaccept_reconnect_native():
+    """A listen source re-accepts a second peer on the SAME port; the
+    stream continues mid-event across the disconnect."""
+    pcm, _ = _scene_pcm(seed=4)
+    half = 10_000  # splits the 9_000..10_024 burst across the two peers
+    rt = native_rt.NativeIngestRuntime(3, 1024)
+    src = transport.open_source(rt, "listen://:0", reconnect=True)
+    port = src.wait_port()
+    transport.stream_pcm_to_socket("127.0.0.1", port, pcm[:half]).join()
+    _wait_tuples(src, half)
+    transport.stream_pcm_to_socket("127.0.0.1", port, pcm[half:]).join()
+    _wait_tuples(src, len(pcm))
+    events = _poll_all(rt)
+    assert len(events) == 1  # the split burst was reassembled seamlessly
+    assert 9_000 <= events[0][1] <= 11_000
+    assert src.reconnects == 1, src.reconnects
+    src.stop()
+    rt.close()
+
+
+@needs_native
+def test_tcp_redial_reconnect_native():
+    """A tcp:// (connect) source re-dials after the server drops it."""
+    import socket as socket_mod
+
+    pcm, _ = _scene_pcm(seed=5)
+    half = len(pcm) // 2
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve(chunk):
+        def run():
+            conn, _ = srv.accept()
+            conn.sendall(np.ascontiguousarray(chunk, "<i2").tobytes())
+            conn.close()
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
+
+    serve(pcm[:half])
+    rt = native_rt.NativeIngestRuntime(3, 1024)
+    src = transport.open_source(rt, f"tcp://127.0.0.1:{port}",
+                                reconnect=True)
+    _wait_tuples(src, half)
+    serve(pcm[half:]).join()
+    _wait_tuples(src, len(pcm))
+    assert len(_poll_all(rt)) == 1
+    # >= 1: after session 2 closes the source immediately re-dials into the
+    # server's listen backlog, which may count one more by the time we read
+    assert src.reconnects >= 1, src.reconnects
+    src.stop()
+    rt.close()
+    srv.close()
+
+
+def test_fifo_writer_churn_python_fallback(tmp_path):
+    """The Python fallback reader has the same churn semantics."""
+    path = str(tmp_path / "churn_py.fifo")
+    os.mkfifo(path)
+    rt = native_rt.PyIngestRuntime(3, 1024)
+    src = transport.open_source(rt, f"fifo://{path}", prefer_native=False,
+                                reconnect=True)
+    total = 0
+    for seed in range(2):
+        pcm, _ = _scene_pcm(seed=seed)
+        transport.stream_pcm_to_fifo(path, pcm).join()
+        total += len(pcm)
+        _wait_tuples(src, total)
+        time.sleep(0.1)
+    assert len(_poll_all(rt)) == 2
+    assert src.reconnects >= 1, src.reconnects
+    assert src.running
+    src.stop()
+
+
+def test_listen_reaccept_python_fallback():
+    pcm, _ = _scene_pcm(seed=6)
+    half = 10_000
+    rt = native_rt.PyIngestRuntime(3, 1024)
+    src = transport.open_source(rt, "listen://:0", prefer_native=False,
+                                reconnect=True)
+    port = src.wait_port()
+    transport.stream_pcm_to_socket("127.0.0.1", port, pcm[:half]).join()
+    _wait_tuples(src, half)
+    transport.stream_pcm_to_socket("127.0.0.1", port, pcm[half:]).join()
+    _wait_tuples(src, len(pcm))
+    assert len(_poll_all(rt)) == 1
+    assert src.reconnects == 1, src.reconnects
+    src.stop()
