@@ -1,6 +1,8 @@
-"""Model families: frame-batch, streaming, DoA, calibration."""
+"""Model families: frame-batch, streaming, DoA, calibration, tracking."""
 
 from .localizer import Localizer, LocalizerParams, localize_frames  # noqa: F401
-from .streaming import StreamingLocalizer, StreamState  # noqa: F401
+from .streaming import (  # noqa: F401
+    StreamingLocalizer, StreamState, TwoRateStreamingLocalizer)
 from .doa import DoaEstimator  # noqa: F401
 from .calibration import CalibBatch, CalibParams, Calibrator  # noqa: F401
+from .tracking import Tracker, TrackerConfig, TrackState  # noqa: F401

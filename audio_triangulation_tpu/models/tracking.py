@@ -110,6 +110,42 @@ def _predict(x, p, dt, q):
     return xn, pn
 
 
+def _predict_all(state: TrackState, t, cfg: TrackerConfig):
+    """Coast-drop + predict every active track to time t; returns the
+    predicted states and innovation-covariance pieces shared by the
+    association variants."""
+    r2 = cfg.measurement_noise ** 2
+    stale = state.active & ((t - state.last_t) > cfg.max_coast_s)
+    active = state.active & ~stale
+    dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
+
+    dt = jnp.maximum(t - state.last_t, 0.0) * active  # [K]
+    xp, pp = jax.vmap(_predict, in_axes=(0, 0, 0, None))(
+        state.x, state.p, dt, cfg.process_noise)
+    s00 = pp[:, 0, 0] + r2
+    s11 = pp[:, 1, 1] + r2
+    s01 = pp[:, 0, 1]
+    det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
+    return active, dropped, xp, pp, s00, s11, s01, det
+
+
+def _spawn_cov(cfg: TrackerConfig) -> jnp.ndarray:
+    r2 = cfg.measurement_noise ** 2
+    return jnp.diag(jnp.asarray(
+        [r2, r2, cfg.init_vel_std ** 2, cfg.init_vel_std ** 2], jnp.float32))
+
+
+def _gain(pp, s00, s11, s01, det):
+    """Kalman gain K = P H^T S^-1 (H = position selector), batched [K]."""
+    inv00 = s11 / det
+    inv11 = s00 / det
+    inv01 = -s01 / det
+    pht = pp[:, :, :2]  # [K, 4, 2]
+    sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
+                      jnp.stack([inv01, inv11], -1)], -2)  # [K, 2, 2]
+    return jnp.einsum("kij,kjl->kil", pht, sinv)  # [K, 4, 2]
+
+
 def step(
     state: TrackState,
     z: jnp.ndarray,        # [2] measured xy (meters)
@@ -127,25 +163,13 @@ def step(
     - 'assigned' scalar int32: slot updated by this measurement (-1 none)
     """
     k = cfg.max_tracks
-    r2 = cfg.measurement_noise ** 2
     z = z.astype(jnp.float32)
     t = jnp.asarray(t, jnp.float32)
 
-    # ---- coast-drop, then predict every active track to time t ----------
-    stale = state.active & ((t - state.last_t) > cfg.max_coast_s)
-    active = state.active & ~stale
-    dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
-
-    dt = jnp.maximum(t - state.last_t, 0.0) * active  # [K]
-    xp, pp = jax.vmap(_predict, in_axes=(0, 0, 0, None))(
-        state.x, state.p, dt, cfg.process_noise)
+    active, dropped, xp, pp, s00, s11, s01, det = _predict_all(state, t, cfg)
 
     # ---- associate: Mahalanobis distance to each predicted position -----
     innov = z[None, :] - xp[:, :2]  # [K, 2]
-    s00 = pp[:, 0, 0] + r2
-    s11 = pp[:, 1, 1] + r2
-    s01 = pp[:, 0, 1]
-    det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
     maha2 = (innov[:, 0] ** 2 * s11 - 2.0 * innov[:, 0] * innov[:, 1] * s01
              + innov[:, 1] ** 2 * s00) / det
     maha2 = jnp.where(active, maha2, jnp.inf)
@@ -175,14 +199,7 @@ def step(
         spawn = valid & ~can_assoc
 
     # ---- weighted Kalman update (every gated track, weight b_k) ----------
-    # gain K = P H^T S^-1 (H = position selector), done batched
-    inv00 = s11 / det
-    inv11 = s00 / det
-    inv01 = -s01 / det
-    pht = pp[:, :, :2]  # [K, 4, 2]
-    sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
-                      jnp.stack([inv01, inv11], -1)], -2)  # [K, 2, 2]
-    gain = jnp.einsum("kij,kjl->kil", pht, sinv)  # [K, 4, 2]
+    gain = _gain(pp, s00, s11, s01, det)  # [K, 4, 2]
     ky = jnp.einsum("kij,kj->ki", gain, innov)    # [K, 4] K @ innovation
     x_new = xp + b[:, None] * ky
     ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
@@ -202,8 +219,7 @@ def step(
     do_spawn = spawn & have_free
     sm = (jnp.arange(k) == spawn_slot) & do_spawn
     x0 = jnp.concatenate([z, jnp.zeros((2,), jnp.float32)])
-    p0 = jnp.diag(jnp.asarray(
-        [r2, r2, cfg.init_vel_std ** 2, cfg.init_vel_std ** 2], jnp.float32))
+    p0 = _spawn_cov(cfg)
     x_new = jnp.where(sm[:, None], x0[None, :], x_new)
     p_new = jnp.where(sm[:, None, None], p0[None], p_new)
     active = active | sm
@@ -233,6 +249,117 @@ def step(
     return new_state, out
 
 
+def step_multi(
+    state: TrackState,
+    zs: jnp.ndarray,       # [N, 2] simultaneous measurements (meters)
+    t: jnp.ndarray,        # scalar time (seconds)
+    valids: jnp.ndarray,   # [N] bool
+    cfg: TrackerConfig,
+) -> tuple[TrackState, dict]:
+    """Joint (JPDA) update with N simultaneous measurements — the regime a
+    multi-event chunk produces (models.streaming max_events > 1), where the
+    single-measurement :func:`step` would have to process events serially
+    and could double-update one track.
+
+    Association weights use Fitzgerald's cheap-JPDA normalization
+
+        b[n,k] = L[n,k] / (sum_k' L[n,k'] + sum_n' L[n',k] - L[n,k] + B)
+
+    with B = clutter_density / detect_prob, which reduces EXACTLY to the
+    single-measurement PDA posterior of ``step(association='soft')`` at
+    N = 1.  Each track is updated once with its combined weighted
+    innovation (standard JPDA update); unexplained measurements spawn into
+    free slots.
+
+    Outputs as :func:`step`, plus 'assigned' is [N] (dominant track per
+    measurement, -1 if none with weight > 0.5).
+    """
+    k = cfg.max_tracks
+    n = zs.shape[0]
+    zs = zs.astype(jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    valids = valids.astype(bool)
+
+    active, dropped, xp, pp, s00, s11, s01, det = _predict_all(state, t, cfg)
+
+    # ---- likelihood matrix over (measurement, track) ---------------------
+    innov = zs[:, None, :] - xp[None, :, :2]  # [N, K, 2]
+    maha2 = (innov[..., 0] ** 2 * s11
+             - 2.0 * innov[..., 0] * innov[..., 1] * s01
+             + innov[..., 1] ** 2 * s00) / det  # [N, K]
+    gated = active[None, :] & (maha2 <= cfg.gate_maha2) & valids[:, None]
+    like = jnp.where(
+        gated,
+        jnp.exp(-0.5 * jnp.minimum(maha2, 80.0))
+        / (2.0 * jnp.pi * jnp.sqrt(det)),
+        0.0)  # [N, K]
+    b_const = cfg.clutter_density / cfg.detect_prob
+    denom = (jnp.sum(like, axis=1, keepdims=True)
+             + jnp.sum(like, axis=0, keepdims=True) - like + b_const)
+    beta = like / denom  # [N, K]
+
+    # ---- combined weighted Kalman update per track -----------------------
+    w_k = jnp.sum(beta, axis=0)  # [K] total association probability
+    ybar = jnp.einsum("nk,nki->ki", beta, innov)  # [K, 2]
+    gain = _gain(pp, s00, s11, s01, det)  # [K, 4, 2]
+    x_new = xp + jnp.einsum("kij,kj->ki", gain, ybar)
+    ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
+    # spread-of-innovations term: K (sum_n b y y' - ybar ybar') K'
+    yy = (jnp.einsum("nk,nki,nkj->kij", beta, innov, innov)
+          - ybar[:, :, None] * ybar[:, None, :])  # [K, 2, 2]
+    p_new = (pp - w_k[:, None, None] * ksk
+             + jnp.einsum("kij,kjl,kml->kim", gain, yy, gain))
+
+    updated = w_k > 0.5
+    hits = state.hits + updated.astype(jnp.int32)
+    last_t = jnp.where(updated, t, state.last_t)
+
+    # ---- spawn: unexplained measurements take free slots (in order) ------
+    leftover = 1.0 - jnp.sum(beta, axis=1)  # [N] no-association posterior
+    spawn_n = valids & (leftover > cfg.spawn_b0)
+    free = ~active
+    hits_new = hits
+    born_t = state.born_t
+    track_id = state.track_id
+    next_id = state.next_id
+    unassigned = state.unassigned
+    p0 = _spawn_cov(cfg)
+    for i in range(n):  # static unroll over the (small) measurement count
+        spawn_slot = jnp.argmax(free)
+        have_free = jnp.any(free)
+        do_spawn = spawn_n[i] & have_free
+        sm = (jnp.arange(k) == spawn_slot) & do_spawn
+        x0 = jnp.concatenate([zs[i], jnp.zeros((2,), jnp.float32)])
+        x_new = jnp.where(sm[:, None], x0[None, :], x_new)
+        p_new = jnp.where(sm[:, None, None], p0[None], p_new)
+        free = free & ~sm
+        hits_new = jnp.where(sm, 1, hits_new)
+        last_t = jnp.where(sm, t, last_t)
+        born_t = jnp.where(sm, t, born_t)
+        track_id = jnp.where(sm, next_id, track_id)
+        next_id = next_id + do_spawn.astype(jnp.int32)
+        unassigned = unassigned + (
+            spawn_n[i] & ~have_free).astype(jnp.int32)
+    active = active | (~free & ~active)  # slots consumed by spawns
+
+    new_state = TrackState(
+        x=x_new, p=p_new, active=active, hits=hits_new, last_t=last_t,
+        born_t=born_t, track_id=track_id, next_id=next_id, dropped=dropped,
+        unassigned=unassigned)
+    dominant = (jnp.max(beta, axis=1) > 0.5)  # [N]
+    out = {
+        "track_xy": x_new[:, :2],
+        "track_vel": x_new[:, 2:],
+        "track_active": active,
+        "track_confirmed": active & (hits_new >= cfg.confirm_hits),
+        "track_id": track_id,
+        "beta": beta,
+        "assigned": jnp.where(dominant, jnp.argmax(beta, axis=1),
+                              -1).astype(jnp.int32),
+    }
+    return new_state, out
+
+
 @dataclasses.dataclass(frozen=True)
 class Tracker:
     """Convenience wrapper: jitted single- and multi-stream stepping."""
@@ -257,6 +384,11 @@ class Tracker:
         return jax.jit(jax.vmap(functools.partial(step, cfg=self.cfg)),
                        donate_argnums=(0,))
 
+    @functools.cached_property
+    def _step_multi(self):
+        return jax.jit(functools.partial(step_multi, cfg=self.cfg),
+                       donate_argnums=(0,))
+
     def step(self, state, z, t, valid=True):
         return self._step(state, jnp.asarray(z, jnp.float32),
                           jnp.asarray(t, jnp.float32),
@@ -268,3 +400,12 @@ class Tracker:
         return self._step_many(
             states, jnp.asarray(zs, jnp.float32),
             jnp.asarray(ts, jnp.float32), jnp.asarray(valids, bool))
+
+    def step_multi(self, state, zs, t, valids=None):
+        """Joint JPDA update with N simultaneous measurements: zs [N, 2]."""
+        zs = jnp.asarray(zs, jnp.float32)
+        if valids is None:
+            valids = jnp.ones((zs.shape[0],), bool)
+        return self._step_multi(
+            state, zs, jnp.asarray(t, jnp.float32),
+            jnp.asarray(valids, bool))

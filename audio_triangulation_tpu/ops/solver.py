@@ -119,10 +119,13 @@ def solve_tdoa_batched(
         mic_positions.astype(dt))
     c = jnp.asarray(speed_of_sound, dt)
     h = jnp.asarray(height, dt)
-    pi = pairs[:, 0]
-    pj = pairs[:, 1]
     target = tdoas.astype(dt) * c  # [B, P] meters
     damp = jnp.asarray(cfg.damping, dt)
+    # pair differencing as a +-1 selection matmul instead of two gathers:
+    # TPU gathers over the pair axis are pathological at large P (the same
+    # finding as ops/srp.py's one-hot scoring); S is exact in f32
+    sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
+           - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
 
     def residual_jac(xy):
         v = jnp.concatenate(
@@ -145,8 +148,8 @@ def solve_tdoa_batched(
         d = jnp.linalg.norm(diff, axis=-1)  # [B, M]
         u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
         gd = jnp.einsum("...mi,...ij->...mj", u, js)  # [B, M, 2]
-        r = (jnp.take(d, pj, axis=-1) - jnp.take(d, pi, axis=-1)) - target
-        jac = jnp.take(gd, pj, axis=-2) - jnp.take(gd, pi, axis=-2)  # [B,P,2]
+        r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P]
+        jac = jnp.einsum("pm,...mj->...pj", sel, gd)  # [B, P, 2]
         if weights is not None:
             r = r * weights
             jac = jac * weights[..., None]
@@ -197,16 +200,18 @@ def solve_tdoa_xyz(
     mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
         mic_positions.astype(dt))
     c = jnp.asarray(speed_of_sound, dt)
-    pi, pj = pairs[:, 0], pairs[:, 1]
     target = tdoas.astype(dt) * c
     damp = jnp.asarray(damping, dt)
+    # +-1 selection matmul over pairs (see solve_tdoa_batched)
+    sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
+           - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
 
     def residual_jac(xyz):
         diff = xyz[..., None, :] - mic3  # [B, M, 3]
         d = jnp.linalg.norm(diff, axis=-1)
         u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
-        r = (jnp.take(d, pj, axis=-1) - jnp.take(d, pi, axis=-1)) - target
-        jac = jnp.take(u, pj, axis=-2) - jnp.take(u, pi, axis=-2)  # [B,P,3]
+        r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P]
+        jac = jnp.einsum("pm,...mj->...pj", sel, u)  # [B, P, 3]
         return r, jac
 
     def gn_step(_, xyz):

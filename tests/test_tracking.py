@@ -239,3 +239,92 @@ def test_soft_clutter_does_not_refresh_tracks():
                                atol=0.01)
     # the unexplained measurement spawned a second track
     assert int(np.asarray(st.active).sum()) == 2
+
+
+# ----------------------------------------------------------------------
+# Joint multi-measurement JPDA (step_multi)
+# ----------------------------------------------------------------------
+
+def test_step_multi_n1_matches_soft_step():
+    """Fitzgerald's normalization reduces to the PDA posterior at N=1, so
+    step_multi([z]) must equal step(z) in soft mode, state for state."""
+    rng = np.random.default_rng(7)
+    cfg = TrackerConfig(association="soft", measurement_noise=0.02,
+                        clutter_density=0.1)
+    a, b = Tracker(cfg), Tracker(cfg)
+    sa, sb = a.init(), b.init()
+    p0, v = np.array([0.0, 0.1]), np.array([0.2, -0.1])
+    for t in np.cumsum(rng.uniform(0.08, 0.12, 20)):
+        z = p0 + v * t + rng.normal(0, 0.02, 2)
+        sa, _ = a.step(sa, z, t)
+        sb, _ = b.step_multi(sb, z[None, :], t)
+    # identical math, different float op order (gain@yy@gain' vs
+    # b(1-b)(Ky)(Ky)') -> tolerance, not bit equality
+    np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sa.p), np.asarray(sb.p),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sa.hits), np.asarray(sb.hits))
+
+
+def test_step_multi_two_sources_one_update_each():
+    """Two simultaneous measurements near two established tracks update
+    both tracks jointly without double-counting either."""
+    rng = np.random.default_rng(8)
+    cfg = TrackerConfig(association="soft", measurement_noise=0.02,
+                        process_noise=0.05)
+    tr = Tracker(cfg)
+    st = tr.init()
+    pa, pb = np.array([0.5, 0.5]), np.array([-0.5, -0.5])
+    # establish both tracks (well separated -> unambiguous)
+    for t in np.arange(0.1, 1.0, 0.1):
+        for p in (pa, pb):
+            st, _ = tr.step(st, p + rng.normal(0, 0.02, 2), t)
+    assert int(np.asarray(st.active).sum()) == 2
+    hits0 = np.asarray(st.hits).copy()
+    st, out = tr.step_multi(
+        st, np.stack([pa + rng.normal(0, 0.02, 2),
+                      pb + rng.normal(0, 0.02, 2)]), 1.1)
+    assigned = np.asarray(out["assigned"])
+    assert set(assigned.tolist()) == {0, 1}  # one distinct track each
+    # each track got exactly one hit, no spawns
+    assert int(np.asarray(st.active).sum()) == 2
+    np.testing.assert_array_equal(
+        np.asarray(st.hits)[np.asarray(st.active)],
+        hits0[np.asarray(st.active)] + 1)
+
+
+def test_step_multi_spawns_multiple():
+    """Two unexplained simultaneous measurements spawn two tracks in one
+    call (distinct slots, distinct ids)."""
+    tr = Tracker(TrackerConfig(association="soft"))
+    st = tr.init()
+    st, out = tr.step_multi(
+        st, np.array([[0.4, 0.4], [-0.6, 0.2]]), 0.1)
+    assert int(np.asarray(st.active).sum()) == 2
+    ids = np.asarray(st.track_id)[np.asarray(st.active)]
+    assert sorted(ids.tolist()) == [1, 2]
+    xy = np.asarray(st.x)[np.asarray(st.active)][:, :2]
+    got = {tuple(round(float(v), 1) for v in r) for r in xy}
+    assert got == {(0.4, 0.4), (-0.6, 0.2)}, got
+
+
+def test_step_multi_shared_measurement_splits_weight():
+    """One measurement between two nearby tracks: weight splits, neither
+    track is fully captured (beta < 1 for both)."""
+    rng = np.random.default_rng(9)
+    cfg = TrackerConfig(association="soft", measurement_noise=0.03,
+                        process_noise=0.02)
+    tr = Tracker(cfg)
+    st = tr.init()
+    pa, pb = np.array([0.1, 0.0]), np.array([-0.1, 0.0])
+    for t in np.arange(0.1, 1.0, 0.1):
+        for p in (pa, pb):
+            st, _ = tr.step(st, p + rng.normal(0, 0.02, 2), t)
+    st, out = tr.step_multi(st, np.array([[0.0, 0.0]]), 1.05)
+    beta = np.asarray(out["beta"])[0]
+    act = np.asarray(st.active)
+    assert act.sum() >= 2
+    on = beta[act[: len(beta)]] if beta.shape[0] == act.shape[0] else beta
+    top2 = np.sort(beta)[-2:]
+    assert top2[0] > 0.1 and top2[1] < 0.9, beta
