@@ -159,6 +159,24 @@ class Localizer:
         """jax.jit lowering handle (for AOT compile / inspection)."""
         return self._jitted.lower(self.params, frames)
 
+    def extract(self, frames: jnp.ndarray, xy: jnp.ndarray | None = None,
+                *, method: str = "das", **kwargs) -> jnp.ndarray:
+        """Beamformed source-audio extraction at position(s) ``xy``
+        (localized from ``frames`` when omitted): after the pipeline says
+        WHERE, recover WHAT — an enhanced single-channel waveform
+        [..., N] via delay-and-sum ('das') or adaptive MVDR ('mvdr')
+        (see ops.beamform)."""
+        from ..ops import beamform
+
+        if xy is None:
+            xy = self(frames)["xy"]
+        delays = beamform.source_delays(
+            jnp.asarray(xy), np.asarray(self.params.mic_positions),
+            self.pipeline, height=self.grid.height_m)
+        fn = {"das": beamform.extract_das,
+              "mvdr": beamform.extract_mvdr}[method]
+        return fn(frames, delays, self.pipeline, **kwargs)
+
 
 # ----------------------------------------------------------------------
 # Functional pipeline (pure; jit/vmap/pjit-able)

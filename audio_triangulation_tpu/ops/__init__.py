@@ -1,6 +1,7 @@
 """Pure jittable ops: the DSP layer."""
 
 from . import (  # noqa: F401
+    beamform,
     conditioning,
     detector,
     framing,
