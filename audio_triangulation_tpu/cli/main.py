@@ -437,6 +437,12 @@ def main(argv=None):
     p.add_argument("wav")
     p.add_argument("--phat", action="store_true")
     p.add_argument("--max-events", type=int, default=16)
+    p.add_argument("--extract", metavar="OUT_WAV",
+                   help="also write a beamformed mono waveform of each "
+                        "event at its localized position (files get a "
+                        "_NNN suffix)")
+    p.add_argument("--extract-method", choices=("das", "mvdr"),
+                   default="das")
     p.set_defaults(fn=cmd_localize_wav)
 
     p = sub.add_parser("calibrate", help="array self-calibration demo")
@@ -484,6 +490,18 @@ def cmd_localize_wav(args):
         print(f"event @ {t / rate:8.3f}s (sample {t}): "
               f"xy=({xy[i, 0]:+.3f}, {xy[i, 1]:+.3f}) m  "
               f"shifts={np.asarray(out['best_shift'])[i]}")
+    if args.extract:
+        import os
+
+        waves = np.asarray(loc.extract(
+            frames, out["xy"], method=args.extract_method))  # [E, N]
+        stem, ext = os.path.splitext(args.extract)
+        for i, w in enumerate(waves):
+            peak = np.max(np.abs(w)) or 1.0
+            path = f"{stem}_{i:03d}{ext or '.wav'}"
+            audio_io.write_wav(
+                path, (w / peak * 0.9).astype(np.float32), rate)
+            print(f"extracted ({args.extract_method}): {path}")
 
 if __name__ == "__main__":
     main()

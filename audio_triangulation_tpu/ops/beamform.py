@@ -126,8 +126,10 @@ def extract_mvdr(
     eye = jnp.eye(m, dtype=r.dtype)
     r = r + (diagonal_loading * tr + 1e-20)[..., None, None] * eye
 
+    from . import linalg as cxlinalg
+
     ones = jnp.ones((m,), r.dtype)
-    rinv1 = jnp.linalg.solve(r, jnp.broadcast_to(
+    rinv1 = cxlinalg.complex_solve(r, jnp.broadcast_to(
         ones, r.shape[:-1])[..., None])[..., 0]      # [..., F2, M]
     den = jnp.real(jnp.sum(rinv1, axis=-1))          # 1^T R^-1 1
     den = jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)[..., None]

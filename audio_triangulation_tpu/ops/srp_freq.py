@@ -139,7 +139,11 @@ def mvdr_spectrum(
     tr = jnp.einsum("fmm->f", jnp.real(r)) / r.shape[-1]
     eye = jnp.eye(r.shape[-1], dtype=r.dtype)
     r = r + (diagonal_loading * tr)[:, None, None] * eye
-    ra = jnp.linalg.solve(r, steering)     # [Fk, M, G]
+    from . import linalg as cxlinalg
+
+    # complex solve via the real block embedding (the TPU backend has no
+    # complex LU: "UNIMPLEMENTED" on complex jnp.linalg.solve)
+    ra = cxlinalg.complex_solve(r, steering)  # [Fk, M, G]
     den = jnp.real(jnp.einsum("fmg,fmg->fg", jnp.conj(steering), ra))
     den = jnp.maximum(den, 1e-12)
     return jnp.sum(jnp.asarray(weights)[:, None] / den, axis=0)  # [G]

@@ -61,6 +61,16 @@ def test_localize_wav(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "event @" in out
 
+    # --extract writes a beamformed mono WAV per event
+    dst = str(tmp_path / "src.wav")
+    cli.main(["localize-wav", wav, "--extract", dst,
+              "--extract-method", "das"])
+    out = capsys.readouterr().out
+    assert "extracted (das)" in out
+    mono, rate2 = audio_io.read_wav(str(tmp_path / "src_000.wav"))
+    assert rate2 == 50_000 and mono.shape[0] == 1
+    assert mono.shape[1] == 1024
+
 
 def test_torch_interop():
     from audio_triangulation_tpu.utils import interop
