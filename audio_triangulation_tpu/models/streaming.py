@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..core.config import GridConfig, PipelineConfig, SolverConfig, StreamConfig
 
-from ..ops import detector, solver as solver_ops, srp, xcorr
+from ..ops import beamform, detector, solver as solver_ops, srp, xcorr
 from . import localizer as localizer_mod
 
 
@@ -405,6 +405,9 @@ class TwoRateStreamingLocalizer:
     srp_form: str
     event_capacity: int = 64
     with_solver: bool = True
+    # also return beamformed per-event source audio ('audio' [E, N]) from
+    # each accepted event's frame at its localized position (ops/beamform)
+    with_audio: bool = False
 
     @classmethod
     def create(
@@ -416,13 +419,15 @@ class TwoRateStreamingLocalizer:
         stream: StreamConfig = StreamConfig(),
         event_capacity: int = 64,
         with_solver: bool = True,
+        with_audio: bool = False,
         **kwargs,
     ) -> "TwoRateStreamingLocalizer":
         base = localizer_mod.Localizer.create(
             mic_positions, pipeline, grid, solver, **kwargs)
         return cls(pipeline=pipeline, grid=grid, solver=solver, stream=stream,
                    params=base.params, srp_form=base.srp_form,
-                   event_capacity=event_capacity, with_solver=with_solver)
+                   event_capacity=event_capacity, with_solver=with_solver,
+                   with_audio=with_audio)
 
     def init_states(self, n_streams: int) -> StreamState:
         one = StreamingLocalizer(
@@ -466,6 +471,7 @@ class TwoRateStreamingLocalizer:
             params=self.params, cfg=self.pipeline, grid_cfg=self.grid,
             solver_cfg=self.solver, srp_form=self.srp_form,
             capacity=self.event_capacity, with_solver=self.with_solver,
+            with_audio=self.with_audio,
         ), donate_argnums=(0,))
 
 
@@ -482,6 +488,7 @@ def _localize_triggered(
     srp_form: str,
     capacity: int,
     with_solver: bool,
+    with_audio: bool = False,
 ):
     k = cfg.max_shift
     e = capacity
@@ -542,6 +549,15 @@ def _localize_triggered(
             init_xy=xy_grid, cfg=solver_cfg)
         out["xy"] = xy
         out["rms_m"] = rms
+
+    if with_audio:
+        # beamformed source audio of each accepted event at its solved
+        # (or grid) position — serving-side "what did it say"
+        pos = out.get("xy", out["xy_grid"])
+        delays = beamform.source_delays(
+            pos, params.mic_positions, cfg, height=grid_cfg.height_m,
+            constrain_sphere=solver_cfg.constrain_to_sphere)
+        out["audio"] = beamform.extract_das(f_sel, delays, cfg)  # [E, N]
 
     # scatter the merged state back (unaccepted slots wrote ema_sel back
     # unchanged, so a plain scatter at sel is correct; sel has no dups)

@@ -99,3 +99,32 @@ def test_tworate_overflow_accounting():
             assert trig.shape == (2,)
     # four near-simultaneous bursts, capacity 2 -> someone overflowed
     assert overflowed > 0
+
+
+def test_tworate_with_audio_extracts_waveform():
+    """with_audio=True: localize_triggered also returns the beamformed
+    source waveform of each accepted event."""
+    from audio_triangulation_tpu.utils.synth import chirp_burst
+
+    streams = _streams(n_streams=4, burst_streams=(2,), seed=5)
+    tworate = TwoRateStreamingLocalizer.create(
+        MICS, CFG, stream=SC, event_capacity=2, with_solver=True,
+        with_audio=True)
+    st = tworate.init_states(4)
+    c = SC.chunk_size
+    sig = chirp_burst(1024, CFG.sample_rate_hz)
+    got = None
+    for i in range(0, streams.shape[-1], c):
+        st, det = tworate.detect_many(st, jnp.asarray(streams[:, :, i:i + c]))
+        if np.asarray(det["triggered"]).any():
+            st, ev = tworate.localize_triggered(st, det)
+            acc = np.asarray(ev["accepted"])
+            if acc.any():
+                got = np.asarray(ev["audio"])[np.argmax(acc)]
+    assert got is not None and got.shape == (CFG.frame_size,)
+    # extracted waveform correlates strongly with the emitted burst
+    a = got - got.mean()
+    b = sig - sig.mean()
+    cc = np.correlate(a, b, mode="full")
+    corr = np.max(np.abs(cc)) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert corr > 0.8, corr
