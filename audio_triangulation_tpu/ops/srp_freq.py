@@ -129,24 +129,168 @@ def mvdr_spectrum(
 
     with R_f the spatial covariance estimated from the snapshot axis of the
     spectra (re, im) [S, M, F] and diagonally loaded for robustness.  All
-    per-frequency M x M solves run batched (M is small); the quadratic form
-    is one einsum.  Super-resolves sources the delay-and-sum SRP merges."""
-    x = (re + 1j * im)[..., bins]          # [S, M, Fk]
-    x = jnp.moveaxis(x, -1, 0)             # [Fk, S, M]
-    s_count = x.shape[1]
-    r = jnp.einsum("fsm,fsn->fmn", x, jnp.conj(x)) / s_count  # [Fk, M, M]
-    # scale-invariant diagonal loading
-    tr = jnp.einsum("fmm->f", jnp.real(r)) / r.shape[-1]
-    eye = jnp.eye(r.shape[-1], dtype=r.dtype)
-    r = r + (diagonal_loading * tr)[:, None, None] * eye
-    from . import linalg as cxlinalg
+    per-frequency M x M solves run batched (M is small).
 
-    # complex solve via the real block embedding (the TPU backend has no
-    # complex LU: "UNIMPLEMENTED" on complex jnp.linalg.solve)
-    ra = cxlinalg.complex_solve(r, steering)  # [Fk, M, G]
-    den = jnp.real(jnp.einsum("fmg,fmg->fg", jnp.conj(steering), ra))
+    Everything is computed in REAL arithmetic via the block embedding
+    [[A, -B], [B, A]] of R = A + iB: the TPU backend has no complex LU at
+    all, and complex einsums sharing an XLA module with large matmuls
+    measured far slower to compile than the equivalent real contractions
+    (38 s vs 2 s back-to-back for this covariance alone).  Super-resolves
+    sources the delay-and-sum SRP merges."""
+    a, b = _spatial_covariance_reim(re, im, bins, diagonal_loading)
+    a_re, a_im = _split_steering(steering)
+    top = jnp.concatenate([a, -b], axis=-1)
+    bot = jnp.concatenate([b, a], axis=-1)
+    block = jnp.concatenate([top, bot], axis=-2)      # [Fk, 2M, 2M] real
+    rhs = jnp.concatenate([a_re, a_im], axis=-2)      # [Fk, 2M, G]
+    x = jnp.linalg.solve(block, rhs)                  # R^-1 a, embedded
+    m = a.shape[-1]
+    # den = Re(a^H R^-1 a) = a_re . x_re + a_im . x_im
+    den = (jnp.einsum("fmg,fmg->fg", a_re, x[..., :m, :])
+           + jnp.einsum("fmg,fmg->fg", a_im, x[..., m:, :]))
     den = jnp.maximum(den, 1e-12)
     return jnp.sum(jnp.asarray(weights)[:, None] / den, axis=0)  # [G]
+
+
+def _split_steering(steering) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(re, im) of a steering tensor; splits numpy hosts-side so no complex
+    constant ever enters the XLA module (see mvdr_spectrum docstring)."""
+    if isinstance(steering, np.ndarray):
+        return (jnp.asarray(np.real(steering).astype(np.float32)),
+                jnp.asarray(np.imag(steering).astype(np.float32)))
+    return jnp.real(steering), jnp.imag(steering)
+
+
+def _spatial_covariance_reim(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    bins: np.ndarray,
+    diagonal_loading: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(A, B) = (Re, Im) of the per-frequency spatial covariance
+    R_f = E_s[x x^H], x = re + i im, in real arithmetic:
+    A_mn = E[r_m r_n + i_m i_n], B_mn = E[i_m r_n - r_m i_n].
+    re/im: [S, M, F]; returns two [Fk, M, M] with scale-invariant diagonal
+    loading applied to A."""
+    rb = jnp.moveaxis(re[..., bins], -1, 0)  # [Fk, S, M]
+    ib = jnp.moveaxis(im[..., bins], -1, 0)
+    s_count = rb.shape[1]
+    a = (jnp.einsum("fsm,fsn->fmn", rb, rb)
+         + jnp.einsum("fsm,fsn->fmn", ib, ib)) / s_count
+    b = (jnp.einsum("fsm,fsn->fmn", ib, rb)
+         - jnp.einsum("fsm,fsn->fmn", rb, ib)) / s_count
+    if diagonal_loading:
+        m = a.shape[-1]
+        tr = jnp.einsum("fmm->f", a) / m
+        eye = jnp.eye(m, dtype=a.dtype)
+        a = a + (diagonal_loading * tr)[:, None, None] * eye
+    return a, b
+
+
+def music_spectrum(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    steering: jnp.ndarray,   # [Fk, M, G] complex64
+    bins: np.ndarray,
+    weights: np.ndarray,     # [Fk]
+    *,
+    n_sources: int = 1,
+    diagonal_loading: float = 0.0,
+) -> jnp.ndarray:
+    """Wideband (incoherent) MUSIC pseudo-spectrum over the grid (new
+    capability; the reference has no subspace method).
+
+        P(g) = sum_f w_f / (a_g^H E_n E_n^H a_g)
+             = sum_f w_f / (M - ||P_sig a_g||^2)
+
+    with E_n the noise subspace of the per-frequency spatial covariance
+    R_f (estimated from the snapshot axis of (re, im) [S, M, F]).  The
+    eigendecomposition runs on the real block embedding of R_f (the TPU
+    backend has no complex eigh — see ``ops.linalg.complex_eigh``), and the
+    signal-subspace quadratic form is four real einsums; no complex dtype
+    ever enters the XLA module (see the mvdr_spectrum docstring for why
+    that matters on TPU).  Sharper than both delay-and-sum SRP and MVDR
+    when n_sources < M and snapshots >= M.
+
+    ``n_sources`` is the assumed signal-subspace dimension (the classic
+    MUSIC model-order parameter).  Requires S snapshots (more than M for a
+    full-rank covariance; fewer still works with diagonal loading).
+    """
+    from . import linalg as cxlinalg
+
+    m = re.shape[-2]
+    if not 0 < n_sources < m:
+        raise ValueError(f"n_sources must be in [1, {m - 1}], "
+                         f"got {n_sources}")
+    a, b = _spatial_covariance_reim(re, im, bins, diagonal_loading)
+    a_re, a_im = _split_steering(steering)
+
+    # real symmetric embedding [[A, -B], [B, A]]; eigenvalues of R, doubled
+    top = jnp.concatenate([a, -b], axis=-1)
+    bot = jnp.concatenate([b, a], axis=-1)
+    block = jnp.concatenate([top, bot], axis=-2)   # [Fk, 2M, 2M]
+    _, v2 = jnp.linalg.eigh(block)                 # ascending eigenvalues
+    # signal subspace: top n_sources eigenvalues of R = last 2*n_sources
+    # columns of the embedding's eigenvectors
+    w_sig = v2[..., -2 * n_sources:]               # [Fk, 2M, 2K]
+    sig = cxlinalg.subspace_projector_quadform(
+        w_sig[..., :m, :], w_sig[..., m:, :], a_re, a_im)    # [Fk, G]
+    # ||a_g||^2 = M for unit-modulus steering; noise power = M - signal
+    den = jnp.maximum(m - sig, 1e-6)
+    return jnp.sum(jnp.asarray(weights)[:, None] / den, axis=0)  # [G]
+
+
+def localize_music(
+    frames: jnp.ndarray,
+    mic_positions: np.ndarray,
+    grid: GridConfig,
+    cfg: PipelineConfig,
+    *,
+    n_sources: int = 1,
+    bin_stride: int = 8,
+    diagonal_loading: float = 0.0,
+) -> dict:
+    """Snapshot frames [S, M, N] -> wideband MUSIC grid spectrum + peak.
+
+    The subspace analogue of :func:`localize_mvdr`: sharper pseudo-spectrum
+    (super-resolution beyond the array beamwidth) at the cost of an assumed
+    source count.  S snapshots estimate the spatial covariance.
+
+    Dispatched as THREE jitted stages (spectra | spectrum | peak): fusing
+    the batched eigh, the DFT matmuls, and the argmax/gather peak into one
+    XLA module repeatedly measured minutes of TPU compile time vs ~16 s
+    split (the axon compile service is also noisy, but the split was
+    consistently fastest), and this once-per-scene path gains nothing from
+    whole-graph fusion."""
+    from . import mxu_fft, srp as srp_lag
+    from . import window as window_ops
+    from ..models import localizer as localizer_mod
+
+    mic_positions = np.asarray(mic_positions, np.float32)
+    steer, bins, w = mic_steering_vectors(
+        grid, mic_positions, cfg, bin_stride=bin_stride)
+    win = jnp.asarray(window_ops.window_for(cfg))
+
+    @jax.jit
+    def spectra(fr):
+        x = localizer_mod.condition_frames(fr, win, cfg)
+        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+
+    @jax.jit
+    def spectrum(re, im):
+        return music_spectrum(
+            re, im, steer, bins, w,
+            n_sources=n_sources, diagonal_loading=diagonal_loading)
+
+    @jax.jit
+    def peak(scores):
+        return srp_lag.grid_peak_xy(
+            scores[None], (grid.height, grid.width),
+            (grid.half_cells_x, grid.half_cells_y), grid.cells_per_m,
+            refine=True)[0]
+
+    scores = spectrum(*spectra(frames))
+    return {"scores": scores, "xy_grid": peak(scores)}
 
 
 def localize_mvdr(
@@ -161,7 +305,11 @@ def localize_mvdr(
     """Snapshot frames [S, M, N] -> MVDR grid spectrum + peak.
 
     S snapshots (e.g. consecutive captures) estimate the spatial covariance;
-    more snapshots -> better interference rejection."""
+    more snapshots -> better interference rejection.
+
+    Three jitted stages, like :func:`localize_music` (one big XLA module
+    costs compile time for zero fusion benefit on this once-per-scene
+    path)."""
     from . import mxu_fft, srp as srp_lag
     from . import window as window_ops
     from ..models import localizer as localizer_mod
@@ -172,19 +320,25 @@ def localize_mvdr(
     win = jnp.asarray(window_ops.window_for(cfg))
 
     @jax.jit
-    def run(fr):
+    def spectra(fr):
         x = localizer_mod.condition_frames(fr, win, cfg)
-        re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
-        scores = mvdr_spectrum(
-            re, im, jnp.asarray(steer), bins, w,
+        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+
+    @jax.jit
+    def spectrum(re, im):
+        return mvdr_spectrum(
+            re, im, steer, bins, w,
             diagonal_loading=diagonal_loading)
-        xy = srp_lag.grid_peak_xy(
+
+    @jax.jit
+    def peak(scores):
+        return srp_lag.grid_peak_xy(
             scores[None], (grid.height, grid.width),
             (grid.half_cells_x, grid.half_cells_y), grid.cells_per_m,
             refine=True)[0]
-        return {"scores": scores, "xy_grid": xy}
 
-    return run(frames)
+    scores = spectrum(*spectra(frames))
+    return {"scores": scores, "xy_grid": peak(scores)}
 
 
 def localize_freq(
