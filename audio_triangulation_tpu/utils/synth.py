@@ -140,6 +140,8 @@ def synth_scene_reverb(
 ) -> np.ndarray:
     """Reverberant scene: direct path + ``n_echoes`` image sources at random
     farther positions with decaying gains (a cheap image-source model).
+    For geometrically-consistent echoes and physical RT60s use the shoebox
+    simulator in :mod:`audio_triangulation_tpu.utils.room` instead.
 
     This is the regime where PHAT whitening earns its keep: plain
     cross-correlation peaks get biased toward echo energy, while the
