@@ -1,4 +1,5 @@
-"""Model families: frame-batch, streaming, DoA, calibration, tracking."""
+"""Model families: frame-batch, streaming, DoA, calibration, tracking,
+learned (neural) localization."""
 
 from .localizer import Localizer, LocalizerParams, localize_frames  # noqa: F401
 from .streaming import (  # noqa: F401
@@ -6,3 +7,4 @@ from .streaming import (  # noqa: F401
 from .doa import DoaEstimator  # noqa: F401
 from .calibration import CalibBatch, CalibParams, Calibrator  # noqa: F401
 from .tracking import Tracker, TrackerConfig, TrackState  # noqa: F401
+from .neural import NeuralLocalizer  # noqa: F401
