@@ -364,7 +364,8 @@ def localize_frames(
             chunk = 128
         if chunk is not None and n_pairs > chunk:
             scores = srp.srp_scores_matmul_blocked(
-                corr_t, params.lut_flat, cfg.num_lags, chunk)
+                corr_t, params.lut_flat, cfg.num_lags, chunk,
+                dtype=cfg.srp_dtype)
         else:
             scores = srp.srp_scores_gather(corr_t, params.lut_flat)
     if params.score_bias is not None:

@@ -112,7 +112,16 @@ def solve_tdoa_batched(
     large elementwise ops per iteration instead of per-sample autodiff and
     tiny linear solves (which dominate wall-clock when batched via vmap).
 
-    tdoas: [B, P] seconds; init_xy: [B, 2].  Returns (xy [B, 2], rms [B])."""
+    tdoas: [B, P] seconds; init_xy: [B, 2].  Returns (xy [B, 2], rms [B]).
+
+    The GN iteration never touches the pair axis: with pair differencing
+    written as r = S d - t (S the [P, M] +-1 selection matrix), the normal
+    equations J^T J and J^T r only need the sufficient statistics
+    Q = S^T W S ([M, M], constant) and t2 = S^T W t ([B, M], computed once
+    per solve) — so per-iteration cost is O(B M^2) instead of O(B P M),
+    a ~30x FLOP cut for 64-mic/2016-pair arrays.  Only the final RMS
+    evaluates an explicit [B, P] residual (once), avoiding the f32
+    cancellation a quadratic-form RMS would have."""
     dt = init_xy.dtype
     m = mic_positions.shape[0]
     mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
@@ -126,8 +135,12 @@ def solve_tdoa_batched(
     # finding as ops/srp.py's one-hot scoring); S is exact in f32
     sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
            - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
+    w2 = None if weights is None else (weights * weights).astype(dt)  # [P]
+    sel_w = sel if w2 is None else sel * w2[:, None]
+    q = sel.T @ sel_w                                     # [M, M]
+    t2 = jnp.einsum("pm,...p->...m", sel_w, target)       # [B, M]
 
-    def residual_jac(xy):
+    def dist_grad(xy):
         v = jnp.concatenate(
             [xy, jnp.full(xy.shape[:-1] + (1,), h, dt)], axis=-1)  # [B, 3]
         if cfg.constrain_to_sphere:
@@ -148,17 +161,16 @@ def solve_tdoa_batched(
         d = jnp.linalg.norm(diff, axis=-1)  # [B, M]
         u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
         gd = jnp.einsum("...mi,...ij->...mj", u, js)  # [B, M, 2]
-        r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P]
-        jac = jnp.einsum("pm,...mj->...pj", sel, gd)  # [B, P, 2]
-        if weights is not None:
-            r = r * weights
-            jac = jac * weights[..., None]
-        return r, jac
+        return d, gd
 
     def gn_step(_, xy):
-        r, jac = residual_jac(xy)
-        a = jnp.einsum("...pi,...pj->...ij", jac, jac)  # [B, 2, 2]
-        b = jnp.einsum("...pi,...p->...i", jac, r)  # [B, 2]
+        d, gd = dist_grad(xy)
+        # normal equations from the M-space sufficient statistics:
+        # a = gd^T Q gd, b = gd^T (Q d - t2) — no [B, P] tensors
+        qgd = jnp.einsum("mn,...nj->...mj", q, gd)  # [B, M, 2]
+        a = jnp.einsum("...mi,...mj->...ij", gd, qgd)  # [B, 2, 2]
+        qd = jnp.einsum("mn,...n->...m", q, d)  # [B, M]
+        b = jnp.einsum("...mi,...m->...i", gd, qd - t2)  # [B, 2]
         a00 = a[..., 0, 0] + damp
         a11 = a[..., 1, 1] + damp
         a01 = a[..., 0, 1]
@@ -169,7 +181,10 @@ def solve_tdoa_batched(
         return xy - jnp.stack([dx, dy], axis=-1)
 
     xy = jax.lax.fori_loop(0, cfg.iterations, gn_step, init_xy.astype(dt))
-    r, _ = residual_jac(xy)
+    d, _ = dist_grad(xy)
+    r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P], final only
+    if weights is not None:
+        r = r * weights
     rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
     return xy, rms
 
@@ -202,29 +217,34 @@ def solve_tdoa_xyz(
     c = jnp.asarray(speed_of_sound, dt)
     target = tdoas.astype(dt) * c
     damp = jnp.asarray(damping, dt)
-    # +-1 selection matmul over pairs (see solve_tdoa_batched)
+    # +-1 selection matmul over pairs; the iteration uses only the M-space
+    # sufficient statistics Q = S^T S and t2 = S^T target (see
+    # solve_tdoa_batched) — per-iteration cost O(B M^2), pair-count-free
     sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
            - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
+    q = sel.T @ sel                                      # [M, M]
+    t2 = jnp.einsum("pm,...p->...m", sel, target)        # [B, M]
 
-    def residual_jac(xyz):
+    def dist_grad(xyz):
         diff = xyz[..., None, :] - mic3  # [B, M, 3]
         d = jnp.linalg.norm(diff, axis=-1)
         u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
-        r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P]
-        jac = jnp.einsum("pm,...mj->...pj", sel, u)  # [B, P, 3]
-        return r, jac
+        return d, u
 
     def gn_step(_, xyz):
-        r, jac = residual_jac(xyz)
-        a = jnp.einsum("...pi,...pj->...ij", jac, jac) \
+        d, u = dist_grad(xyz)
+        qu = jnp.einsum("mn,...nj->...mj", q, u)  # [B, M, 3]
+        a = jnp.einsum("...mi,...mj->...ij", u, qu) \
             + damp * jnp.eye(3, dtype=dt)
-        b = jnp.einsum("...pi,...p->...i", jac, r)
+        qd = jnp.einsum("mn,...n->...m", q, d)  # [B, M]
+        b = jnp.einsum("...mi,...m->...i", u, qd - t2)
         delta = jnp.linalg.solve(a, b[..., None])[..., 0]
         xyz = xyz - delta
         return xyz.at[..., 2].set(jnp.maximum(xyz[..., 2], z_min))
 
     xyz = jax.lax.fori_loop(0, iterations, gn_step, init_xyz.astype(dt))
-    r, _ = residual_jac(xyz)
+    d, _ = dist_grad(xyz)
+    r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P], final only
     rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
     return xyz, rms
 

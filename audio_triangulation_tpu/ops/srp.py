@@ -94,7 +94,7 @@ def srp_scores_gather_blocked(
 
 def srp_scores_matmul_blocked(
     correlograms: jnp.ndarray, lut_flat: jnp.ndarray, num_lags: int,
-    pair_chunk: int = 128,
+    pair_chunk: int = 128, dtype: str = "float32",
 ) -> jnp.ndarray:
     """Pair-blocked MXU scoring for large arrays.
 
@@ -102,7 +102,11 @@ def srp_scores_matmul_blocked(
     matmuls, so each pair chunk's one-hot steering block [chunk * L, G] is
     built on the fly (an equality compare against iota) and contracted on
     the MXU; a scan accumulates chunks.  Identical scores to the gather
-    forms (tested), ~1000x faster than the blocked gather at 2016 pairs."""
+    forms (tested), ~1000x faster than the blocked gather at 2016 pairs.
+
+    ``dtype`` = 'bfloat16' runs the contraction at 2x MXU rate (the one-hot
+    side is exact in bf16; accumulation stays f32 — same tradeoff as
+    ``srp_scores_matmul``'s srp_dtype, argmax cell unchanged in tests)."""
     import jax
 
     p, g = lut_flat.shape
@@ -132,11 +136,13 @@ def srp_scores_matmul_blocked(
     # lut values are < num_lags, so the padded lag rows are all-zero
     lag_iota = jnp.arange(l8, dtype=lut.dtype)
 
+    mm_dtype = jnp.dtype(dtype)
+
     def body(acc, args):
         c, l = args  # c: [..., chunk, L8], l: [chunk, G]
         onehot = (l[:, None, :] == lag_iota[None, :, None]).astype(
-            correlograms.dtype)  # [chunk, L8, G]
-        flat = c.reshape(*c.shape[:-2], pair_chunk * l8)
+            mm_dtype)  # [chunk, L8, G]
+        flat = c.reshape(*c.shape[:-2], pair_chunk * l8).astype(mm_dtype)
         w = onehot.reshape(pair_chunk * l8, g)
         return acc + jnp.matmul(
             flat, w, preferred_element_type=jnp.float32), None

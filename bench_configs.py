@@ -124,9 +124,12 @@ def main():
         frame_size_bits=12,
         max_shift_samples=geometry.max_lag_for_array(
             mics64, PipelineConfig()),
-        phat=True, fft_pad_mode="circular")
+        phat=True, fft_pad_mode="circular", srp_dtype="bfloat16")
     grid5 = GridConfig(half_cells_x=31, half_cells_y=31, cells_per_m=16.0)
-    loc64 = Localizer.create(mics64, cfg64, grid5)
+    # same accuracy-neutral settings as the headline bench: bf16 SRP
+    # contraction (one-hot exact; argmax cell unchanged) and a strided init
+    # grid (the GN solver supersedes grid resolution — BENCH_ACCURACY.json)
+    loc64 = Localizer.create(mics64, cfg64, grid5, init_grid_stride=2)
     chunk = 256
     one64 = synth.synth_scene(src, mics64, n=4096, seed=3)
     fr64 = jnp.asarray(
