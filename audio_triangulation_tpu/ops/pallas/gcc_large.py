@@ -41,10 +41,17 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
             re_ref, im_ref, sync_ref, syns_ref, out_ref,
-            rr_ref, jj_ref, *, tile_b, chunk):
+            rr_ref, jj_ref, *, tile_b, chunk, mm_dtype):
     # PHAT happens per mic in the wrapper (whiten_reim), ONCE per spectrum
     # instead of once per pair: 2016-pair arrays would otherwise rsqrt 31x
     # the data volume inside this loop.
+    #
+    # mm_dtype = bfloat16 runs the selection + synthesis matmuls in bf16
+    # with f32 accumulation.  On v5e-lite this measured NEUTRAL (24.2 vs
+    # 24.5 ms at 64 mics — its MXU runs f32 at bf16-class rate, consistent
+    # with docs/PERFORMANCE.md), so float32 stays the default; the knob
+    # exists for TPU generations where bf16 is 2x (v4/v5p).  Inputs are
+    # tame for bf16: whitened spectra unit-modulus, selections exact 0/1.
     ei = ei_ref[0]  # [chunk, M]
     ej = ej_ref[0]
     for b in range(tile_b):  # static unroll over the small batch tile
@@ -56,8 +63,8 @@ def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
         ij = jnp.dot(ej, im_b, preferred_element_type=jnp.float32)
         rr = ri * rj + ii * ij  # [chunk, F]
         jj = ri * ij - ii * rj
-        rr_ref[b * chunk:(b + 1) * chunk, :] = rr
-        jj_ref[b * chunk:(b + 1) * chunk, :] = jj
+        rr_ref[b * chunk:(b + 1) * chunk, :] = rr.astype(mm_dtype)
+        jj_ref[b * chunk:(b + 1) * chunk, :] = jj.astype(mm_dtype)
 
     corr = (jnp.dot(rr_ref[:], sync_ref[:],
                     preferred_element_type=jnp.float32)
@@ -75,9 +82,15 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
     n_chunks = sel_i.shape[0]
     k = cfg.max_shift
     l_pad = _round_up(2 * k + 1, 128)
-    sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
+    mm = jnp.dtype(cfg.matmul_dtype)
+    sync, syns = mxu_fft.lag_synthesis_matrices(
+        cfg.fft_length, k, cfg.matmul_dtype)
     sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
     syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])
+    re = re.astype(mm)
+    im = im.astype(mm)
+    sel_i = sel_i.astype(mm)  # 0/1: exact in bf16
+    sel_j = sel_j.astype(mm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -98,11 +111,12 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
             (tile_b, chunk, l_pad), lambda bi, ci: (bi, ci, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk * tile_b, f), jnp.float32),
-            pltpu.VMEM((chunk * tile_b, f), jnp.float32),
+            pltpu.VMEM((chunk * tile_b, f), mm),
+            pltpu.VMEM((chunk * tile_b, f), mm),
         ],
     )
-    kernel = functools.partial(_kernel, tile_b=tile_b, chunk=chunk)
+    kernel = functools.partial(_kernel, tile_b=tile_b, chunk=chunk,
+                               mm_dtype=mm)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -143,7 +157,21 @@ def xcorr_large(
 ) -> jnp.ndarray:
     """Correlograms [B, P, 2K+1] for large pair counts via the chunked Pallas
     kernel.  frames must already be conditioned (windowed); B must divide by
-    tile_b.  Matches `mxu_fft.xcorr_mxu_pairblocked` (tested)."""
+    tile_b.  Matches `mxu_fft.xcorr_mxu_pairblocked` (tested).
+
+    ``cfg.matmul_dtype`` = 'bfloat16' runs the selection and synthesis
+    matmuls in bf16 with f32 accumulation — measured NEUTRAL on v5e-lite
+    (f32 MXU already at bf16-class rate there) but available for chips
+    where bf16 is 2x.  Tile size (tile_b 4-16, chunk 64-256) is also
+    measured neutral (23.6-24.1 ms): the kernel is bound by Mosaic's
+    serialization of the VPU cross-power between the two matmul stages,
+    the same ceiling as the fused small-array kernel.
+
+    Negative result for the record: a phase-difference form (per-mic PHAT
+    makes spectra unit-modulus, so rr/jj = cos/sin(phi_j - phi_i) needs
+    only ONE +-1 selection matmul on phases) was built and measured 2x
+    SLOWER (44 ms vs 23 ms at 64 mics): the 2 * P * F * B cos/sin
+    transcendentals dominate everything the saved matmuls buy back."""
     b = frames.shape[0]
     if b % tile_b != 0:
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")

@@ -34,3 +34,33 @@ def test_large_kernel_multi_chunk(rng):
     ref = np.asarray(mxu_fft.xcorr_mxu(frames, jnp.asarray(pairs), cfg))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_large_kernel_bf16_matmul_close(rng):
+    """matmul_dtype='bfloat16' (for chips where bf16 outrates f32) stays
+    within bf16 tolerance of the f32 kernel and preserves the peak lag."""
+    from audio_triangulation_tpu.ops import xcorr as xcorr_ops
+
+    from audio_triangulation_tpu.utils import synth
+
+    m = 8
+    base = dict(fft_pad_mode="circular", phat=True, max_shift_samples=30)
+    mics = geometry.circular_array(m, 0.25)
+    src = np.array([0.5, 0.4, 1.2])
+    src = src * (1.2 / np.linalg.norm(src))
+    one = synth.synth_scene(src, mics, n=512, noise_rms=0.01, seed=9)
+    frames = jnp.asarray(np.broadcast_to(one, (4, m, 512)).copy(),
+                         jnp.float32)
+    pairs = geometry.mic_pairs(m)
+    ref = np.asarray(gcc_large.xcorr_large(
+        frames, pairs, PipelineConfig(**base), tile_b=2, chunk=32,
+        interpret=True))
+    got = np.asarray(gcc_large.xcorr_large(
+        frames, pairs, PipelineConfig(**base, matmul_dtype="bfloat16"),
+        tile_b=2, chunk=32, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
+    k = PipelineConfig(**base).max_shift
+    assert np.array_equal(
+        np.asarray(xcorr_ops.best_lag(jnp.asarray(got), k)),
+        np.asarray(xcorr_ops.best_lag(jnp.asarray(ref), k)))
