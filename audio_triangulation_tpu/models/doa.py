@@ -141,3 +141,92 @@ def estimate_doa(
         "tdoa_samples": tdoa_samples,
         "best_shift": shifts,
     }
+
+
+# ----------------------------------------------------------------------
+# Subspace (MUSIC) DoA — azimuth-domain analogue of
+# ops.srp_freq.localize_music (new capability; no reference equivalent)
+
+
+def azimuth_steering_vectors(
+    mic_positions: np.ndarray,
+    pipeline: PipelineConfig,
+    n_azimuths: int,
+    *,
+    bin_stride: int = 8,
+):
+    """Far-field per-mic steering a[Fk, M, A] over the bearing circle:
+    tau_m(az) = -(m . u(az)) / c, centered over mics.  Returns
+    (a complex64, bins, weights) matching ops.srp_freq's contract."""
+    mics = np.asarray(mic_positions, np.float64)[:, :2]
+    ang = 2 * np.pi * np.arange(n_azimuths) / n_azimuths
+    u = np.stack([np.cos(ang), np.sin(ang)], axis=-1)     # [A, 2]
+    tau = -(mics @ u.T) / pipeline.speed_of_sound_mps     # [M, A] seconds
+    tau = tau - tau.mean(axis=0, keepdims=True)
+
+    l = pipeline.fft_length
+    f_full = l // 2 + 1
+    bins = np.arange(1, f_full - 1, bin_stride)
+    w = np.full(bins.shape[0], 1.0 / bins.shape[0], np.float32)
+    phase = (-2.0 * np.pi * pipeline.sample_rate_hz / l
+             * bins[:, None, None] * tau[None])           # [Fk, M, A]
+    return np.exp(1j * phase).astype(np.complex64), bins, w
+
+
+def circular_peaks(scores: np.ndarray, n_peaks: int,
+                   min_separation: int) -> np.ndarray:
+    """Indices of the top ``n_peaks`` local maxima on a circular axis,
+    greedily NMS-suppressed within +-min_separation bins."""
+    s = np.asarray(scores, np.float64).copy()
+    a = s.shape[-1]
+    out = []
+    for _ in range(n_peaks):
+        i = int(np.argmax(s))
+        out.append(i)
+        idx = (np.arange(i - min_separation, i + min_separation + 1)) % a
+        s[idx] = -np.inf
+    return np.asarray(out)
+
+
+def estimate_doa_music(
+    frames: jnp.ndarray,
+    mic_positions: np.ndarray,
+    cfg: PipelineConfig,
+    *,
+    n_azimuths: int = 360,
+    n_sources: int = 1,
+    bin_stride: int = 8,
+    diagonal_loading: float = 0.0,
+    min_separation_deg: float = 10.0,
+) -> dict:
+    """Snapshot frames [S, M, N] -> wideband MUSIC azimuth spectrum and the
+    ``n_sources`` strongest bearings (degrees).
+
+    Subspace super-resolution on the bearing circle: resolves sources
+    closer than the array beamwidth where the lag-domain azimuth SRP
+    (:class:`DoaEstimator`) merges them.  S snapshots estimate the spatial
+    covariance; dispatched as split jitted stages like
+    ops.srp_freq.localize_music (same TPU compile-time reasoning)."""
+    from ..ops import mxu_fft, srp_freq
+
+    mic_positions = np.asarray(mic_positions, np.float32)
+    steer, bins, w = azimuth_steering_vectors(
+        mic_positions, cfg, n_azimuths, bin_stride=bin_stride)
+    win = jnp.asarray(window_ops.window_for(cfg))
+
+    @jax.jit
+    def spectra(fr):
+        x = localizer_mod.condition_frames(fr, win, cfg)
+        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+
+    @jax.jit
+    def spectrum(re, im):
+        return srp_freq.music_spectrum(
+            re, im, steer, bins, w,
+            n_sources=n_sources, diagonal_loading=diagonal_loading)
+
+    scores = spectrum(*spectra(frames))
+    sep = max(1, int(round(min_separation_deg * n_azimuths / 360.0)))
+    peaks = circular_peaks(np.asarray(scores), n_sources, sep)
+    az = peaks * (360.0 / n_azimuths)
+    return {"scores": scores, "azimuth_deg": az % 360.0}

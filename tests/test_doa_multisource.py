@@ -94,3 +94,68 @@ def test_multisource_scene_end_to_end():
     # each target matched by one of the two peaks within 25 cm
     for t in targets:
         assert min(np.linalg.norm(xys - t, axis=-1)) < 0.25, (xys, t)
+
+
+# ----------------------------------------------------------------------
+# Azimuth-domain MUSIC (subspace DoA)
+
+
+def _farfield_snapshots(az_list, n_snap=12, noise=0.02, seed=0):
+    """Independent (mutually uncorrelated) source signals per snapshot —
+    the standard multi-source model; fully coherent sources (identical
+    waveforms every snapshot) make the covariance rank-1 and defeat any
+    subspace method."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for s in range(n_snap):
+        acc = None
+        for k, az in enumerate(az_list):
+            sig = synth.colored_burst(
+                1024, 50_000.0, cutoff_hz=1500.0,
+                seed=seed + 1000 * (k + 1) + s)
+            ang = np.deg2rad(az_list[k])
+            src = np.array([60.0 * np.cos(ang), 60.0 * np.sin(ang), 0.0])
+            f = synth.synth_scene(src, MICS8, signal=sig, noise_rms=0.0,
+                                  seed=0)[0]
+            acc = f if acc is None else acc + f
+        frames.append(acc + rng.normal(0, noise, acc.shape))
+    return jnp.asarray(np.stack(frames), jnp.float32)
+
+
+def test_music_doa_recovers_azimuth():
+    from audio_triangulation_tpu.models.doa import estimate_doa_music
+
+    cfg = PipelineConfig()
+    for az in (20.0, 137.0, 301.5):
+        frames = _farfield_snapshots([az], seed=int(az))
+        out = estimate_doa_music(frames, MICS8, cfg, n_sources=1)
+        got = float(out["azimuth_deg"][0])
+        err = min(abs(got - az), 360 - abs(got - az))
+        assert err < 3.0, (az, got)
+
+
+def test_music_doa_resolves_close_sources():
+    """Two simultaneous sources 25 degrees apart: subspace MUSIC separates
+    them on the bearing circle."""
+    from audio_triangulation_tpu.models.doa import estimate_doa_music
+
+    cfg = PipelineConfig()
+    az_a, az_b = 90.0, 115.0
+    frames = _farfield_snapshots([az_a, az_b], n_snap=16, seed=3)
+    out = estimate_doa_music(frames, MICS8, cfg, n_sources=2,
+                             min_separation_deg=10.0)
+    got = sorted(float(a) for a in out["azimuth_deg"])
+    err_a = min(abs(got[0] - az_a), 360 - abs(got[0] - az_a))
+    err_b = min(abs(got[1] - az_b), 360 - abs(got[1] - az_b))
+    assert err_a < 6.0 and err_b < 6.0, (got, az_a, az_b)
+
+
+def test_circular_peaks_wraparound():
+    from audio_triangulation_tpu.models.doa import circular_peaks
+
+    s = np.zeros(360)
+    s[2] = 10.0   # peak near 0 wrap
+    s[359] = 9.0  # should be suppressed by the first (within +-10)
+    s[180] = 8.0
+    got = circular_peaks(s, 2, 10)
+    assert got[0] == 2 and got[1] == 180, got
