@@ -59,3 +59,59 @@ yv = np.asarray(y)[0] - np.asarray(y)[0].mean()
 c = np.correlate(yv, ref - ref.mean(), mode="full")
 fidelity = np.max(np.abs(c)) / (np.linalg.norm(yv) * np.linalg.norm(ref - ref.mean()))
 print(f"extraction: mvdr fidelity to source-1 waveform {fidelity:.2f}")
+
+# --- subspace super-resolution (MUSIC) ----------------------------------
+# snapshots of two INDEPENDENT sources (different waveform realizations
+# per snapshot — coherent sources make the covariance rank-1) resolved on
+# the grid beyond the delay-and-sum beamwidth
+from audio_triangulation_tpu.core.config import GridConfig
+from audio_triangulation_tpu.ops import srp_freq
+
+rng = np.random.default_rng(7)
+snaps = []
+for t in range(12):
+    acc = None
+    for k, s in enumerate((s1, s2)):
+        sig = synth.colored_burst(1024, 50_000.0, seed=100 * (k + 1) + t)
+        f = synth.synth_scene(s, mics8, signal=sig, noise_rms=0.0, seed=0)[0]
+        acc = f if acc is None else acc + f
+    snaps.append(acc + rng.normal(0, 0.02, acc.shape))
+snaps = jnp.asarray(np.stack(snaps), jnp.float32)
+grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
+mus = srp_freq.localize_music(snaps, mics8, grid, PipelineConfig(),
+                              n_sources=2)
+print(f"MUSIC peak: {np.round(np.asarray(mus['xy_grid']), 2)} "
+      f"(one of the two true sources)")
+
+# --- physical room simulation (image-source method) ---------------------
+# geometrically-consistent echoes + Sabine reverberation; PHAT keeps the
+# direct-path peak sharp where plain correlation gets reverb-biased
+from audio_triangulation_tpu.utils import room as room_mod
+
+mics4 = geometry.square_array(0.3)
+mics4_3d = np.concatenate([mics4, np.zeros((4, 1))], axis=-1)
+shift = np.array([3.0, 2.5, 0.3])  # place the array inside the room
+r = room_mod.ShoeboxRoom(size=(6.0, 5.0, 3.0), absorption=0.3, max_order=6)
+print(f"room RT60 (Sabine): {room_mod.rt60_sabine(r):.2f} s")
+src_r = np.array([0.5, 0.4, 1.2])
+rev = room_mod.simulate(src_r + shift, mics4_3d + shift, r,
+                        signal=synth.colored_burst(1024, 50_000.0, seed=5),
+                        noise_rms=0.005)
+loc4 = Localizer.create(mics4, PipelineConfig(phat=True))
+out_r = loc4(jnp.asarray(rev, jnp.float32))
+print(f"reverberant localization: true [0.5 0.4] -> "
+      f"{np.round(np.asarray(out_r['xy'])[0], 3)}")
+
+# --- learned localizer (neural model family) ----------------------------
+# a small MLP on the pipeline's own GCC features; fresh synthetic data
+# per step (trainable to ~dm accuracy in ~800 steps, see tests) — 40
+# steps here just to show the loop
+from audio_triangulation_tpu.models import neural
+
+net = neural.NeuralLocalizer.create(mics4, PipelineConfig(
+    frame_size_bits=9, phat=True), hidden=(64,), learning_rate=2e-3)
+data = neural.synthetic_batches(
+    mics4, n_batches=40, batch_size=64,
+    pipeline=net.pipeline, extent_m=0.9, seed=11)
+(params, _), losses = net.fit(data, seed=0)
+print(f"neural: loss {losses[0]:.3f} -> {losses[-1]:.3f} after 40 steps")
