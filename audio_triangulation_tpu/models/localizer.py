@@ -425,6 +425,11 @@ def localize_frames(
             )
         out["xy"] = xy
         out["rms_m"] = rms
+        # per-event position covariance sigma^2 (J^T J)^-1 at the solution:
+        # honest per-measurement noise for downstream trackers (z_cov)
+        out["xy_cov"] = solver_ops.solution_covariance(
+            xy, rms, params.mic_positions, params.pairs,
+            height=grid_cfg.height_m, cfg=solver_cfg)
     else:
         out["xy"] = xy_grid
         out["rms_m"] = jnp.zeros(tdoa_samples.shape[:-1], corr_t.dtype)

@@ -110,11 +110,17 @@ def _predict(x, p, dt, q):
     return xn, pn
 
 
-def _predict_all(state: TrackState, t, cfg: TrackerConfig):
+def _predict_all(state: TrackState, t, cfg: TrackerConfig, r_terms=None):
     """Coast-drop + predict every active track to time t; returns the
     predicted states and innovation-covariance pieces shared by the
-    association variants."""
-    r2 = cfg.measurement_noise ** 2
+    association variants.
+
+    ``r_terms`` = (r00, r11, r01) measurement-noise covariance components;
+    defaults to the isotropic cfg.measurement_noise**2."""
+    if r_terms is None:
+        r2 = cfg.measurement_noise ** 2
+        r_terms = (r2, r2, 0.0)
+    r00, r11, r01 = r_terms
     stale = state.active & ((t - state.last_t) > cfg.max_coast_s)
     active = state.active & ~stale
     dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
@@ -122,17 +128,28 @@ def _predict_all(state: TrackState, t, cfg: TrackerConfig):
     dt = jnp.maximum(t - state.last_t, 0.0) * active  # [K]
     xp, pp = jax.vmap(_predict, in_axes=(0, 0, 0, None))(
         state.x, state.p, dt, cfg.process_noise)
-    s00 = pp[:, 0, 0] + r2
-    s11 = pp[:, 1, 1] + r2
-    s01 = pp[:, 0, 1]
+    s00 = pp[:, 0, 0] + r00
+    s11 = pp[:, 1, 1] + r11
+    s01 = pp[:, 0, 1] + r01
     det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
     return active, dropped, xp, pp, s00, s11, s01, det
 
 
-def _spawn_cov(cfg: TrackerConfig) -> jnp.ndarray:
-    r2 = cfg.measurement_noise ** 2
-    return jnp.diag(jnp.asarray(
-        [r2, r2, cfg.init_vel_std ** 2, cfg.init_vel_std ** 2], jnp.float32))
+def _spawn_cov(cfg: TrackerConfig, r_terms=None) -> jnp.ndarray:
+    if r_terms is None:
+        r2 = cfg.measurement_noise ** 2
+        r_terms = (r2, r2, 0.0)
+    r00 = jnp.asarray(r_terms[0], jnp.float32)
+    r11 = jnp.asarray(r_terms[1], jnp.float32)
+    r01 = jnp.asarray(r_terms[2], jnp.float32)
+    v2 = jnp.asarray(cfg.init_vel_std ** 2, jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    row = lambda a, b, c, d: jnp.stack([a, b, c, d])
+    return jnp.stack([
+        row(r00, r01, zero, zero),
+        row(r01, r11, zero, zero),
+        row(zero, zero, v2, zero),
+        row(zero, zero, zero, v2)])
 
 
 def _gain(pp, s00, s11, s01, det):
@@ -152,8 +169,15 @@ def step(
     t: jnp.ndarray,        # scalar time (seconds)
     valid: jnp.ndarray,    # scalar bool: is this a real measurement?
     cfg: TrackerConfig,
+    z_cov: jnp.ndarray | None = None,  # [2, 2] per-measurement noise
 ) -> tuple[TrackState, dict]:
     """One event-driven tracker update (pure; jit/vmap-able).
+
+    ``z_cov`` (optional) is THIS measurement's noise covariance — e.g. the
+    localizer's ``xy_cov`` output (sigma^2 (J^T J)^-1 at the GN solution) —
+    replacing the global isotropic cfg.measurement_noise: events with weak
+    geometry then pull their track less and gate wider, exactly as their
+    actual uncertainty dictates.
 
     Returns (new_state, outputs) with outputs:
     - 'track_xy' [K, 2] predicted-at-t positions
@@ -166,7 +190,12 @@ def step(
     z = z.astype(jnp.float32)
     t = jnp.asarray(t, jnp.float32)
 
-    active, dropped, xp, pp, s00, s11, s01, det = _predict_all(state, t, cfg)
+    r_terms = None
+    if z_cov is not None:
+        z_cov = z_cov.astype(jnp.float32)
+        r_terms = (z_cov[0, 0], z_cov[1, 1], z_cov[0, 1])
+    active, dropped, xp, pp, s00, s11, s01, det = _predict_all(
+        state, t, cfg, r_terms)
 
     # ---- associate: Mahalanobis distance to each predicted position -----
     innov = z[None, :] - xp[:, :2]  # [K, 2]
@@ -219,7 +248,7 @@ def step(
     do_spawn = spawn & have_free
     sm = (jnp.arange(k) == spawn_slot) & do_spawn
     x0 = jnp.concatenate([z, jnp.zeros((2,), jnp.float32)])
-    p0 = _spawn_cov(cfg)
+    p0 = _spawn_cov(cfg, r_terms)
     x_new = jnp.where(sm[:, None], x0[None, :], x_new)
     p_new = jnp.where(sm[:, None, None], p0[None], p_new)
     active = active | sm
@@ -380,23 +409,50 @@ class Tracker:
                        donate_argnums=(0,))
 
     @functools.cached_property
+    def _step_cov(self):
+        return jax.jit(
+            lambda state, z, t, valid, z_cov: step(
+                state, z, t, valid, self.cfg, z_cov=z_cov),
+            donate_argnums=(0,))
+
+    @functools.cached_property
     def _step_many(self):
         return jax.jit(jax.vmap(functools.partial(step, cfg=self.cfg)),
                        donate_argnums=(0,))
+
+    @functools.cached_property
+    def _step_many_cov(self):
+        return jax.jit(
+            jax.vmap(lambda state, z, t, valid, z_cov: step(
+                state, z, t, valid, self.cfg, z_cov=z_cov)),
+            donate_argnums=(0,))
 
     @functools.cached_property
     def _step_multi(self):
         return jax.jit(functools.partial(step_multi, cfg=self.cfg),
                        donate_argnums=(0,))
 
-    def step(self, state, z, t, valid=True):
+    def step(self, state, z, t, valid=True, z_cov=None):
+        """``z_cov`` [2, 2] (e.g. the localizer's per-event ``xy_cov``)
+        replaces cfg.measurement_noise for this measurement."""
+        if z_cov is not None:
+            return self._step_cov(state, jnp.asarray(z, jnp.float32),
+                                  jnp.asarray(t, jnp.float32),
+                                  jnp.asarray(valid, bool),
+                                  jnp.asarray(z_cov, jnp.float32))
         return self._step(state, jnp.asarray(z, jnp.float32),
                           jnp.asarray(t, jnp.float32),
                           jnp.asarray(valid, bool))
 
-    def step_many(self, states, zs, ts, valids):
+    def step_many(self, states, zs, ts, valids, z_covs=None):
         """states stacked on a leading stream axis; zs [S, 2], ts [S],
-        valids [S]."""
+        valids [S]; z_covs (optional) [S, 2, 2] per-stream measurement
+        covariances."""
+        if z_covs is not None:
+            return self._step_many_cov(
+                states, jnp.asarray(zs, jnp.float32),
+                jnp.asarray(ts, jnp.float32), jnp.asarray(valids, bool),
+                jnp.asarray(z_covs, jnp.float32))
         return self._step_many(
             states, jnp.asarray(zs, jnp.float32),
             jnp.asarray(ts, jnp.float32), jnp.asarray(valids, bool))

@@ -189,6 +189,75 @@ def solve_tdoa_batched(
     return xy, rms
 
 
+def solution_covariance(
+    xy: jnp.ndarray,
+    rms: jnp.ndarray,
+    mic_positions: jnp.ndarray,
+    pairs: jnp.ndarray,
+    *,
+    height: float,
+    n_pairs: int | None = None,
+    cfg: SolverConfig = SolverConfig(),
+    min_sigma_m: float = 1e-4,
+) -> jnp.ndarray:
+    """Position covariance [..., 2, 2] of a GN solution (meters^2).
+
+    The standard nonlinear-least-squares estimate: Cov = sigma^2 (J^T J)^-1
+    evaluated at the solution, with the unit-weight variance
+    sigma^2 = ||r||^2 / (P - 2) taken from the solver's residual RMS.  The
+    same M-space sufficient statistic Q = S^T S as solve_tdoa_batched —
+    no [B, P] tensors.  ``min_sigma_m`` floors sigma (a perfectly-fitting
+    solve still has at least quantization-level uncertainty).
+
+    This is what a downstream tracker should use as its per-measurement
+    noise R (models.tracking step(..., z_cov=...)): events with weak
+    geometry (far off-axis, degenerate TDOAs) get honest, larger
+    ellipses instead of the global scalar default.
+    """
+    dt = xy.dtype
+    m = mic_positions.shape[0]
+    mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
+        mic_positions.astype(dt))
+    h = jnp.asarray(height, dt)
+    p_count = int(pairs.shape[0]) if n_pairs is None else int(n_pairs)
+    sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
+           - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))
+    q = sel.T @ sel
+
+    v = jnp.concatenate(
+        [xy, jnp.full(xy.shape[:-1] + (1,), h, dt)], axis=-1)
+    if cfg.constrain_to_sphere:
+        nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        vhat = v / jnp.maximum(nv, 1e-12)
+        s = h * vhat
+        scale = h / jnp.maximum(nv, 1e-12)
+        e = jnp.zeros((3, 2), dt).at[0, 0].set(1.0).at[1, 1].set(1.0)
+        js = scale[..., None] * (
+            e - vhat[..., None] * vhat[..., :2][..., None, :])
+    else:
+        s = v
+        js = jnp.broadcast_to(
+            jnp.zeros((3, 2), dt).at[0, 0].set(1.0).at[1, 1].set(1.0),
+            xy.shape[:-1] + (3, 2))
+    diff = s[..., None, :] - mic3
+    d = jnp.linalg.norm(diff, axis=-1)
+    u = diff / jnp.maximum(d[..., None], 1e-12)
+    gd = jnp.einsum("...mi,...ij->...mj", u, js)      # [..., M, 2]
+    qgd = jnp.einsum("mn,...nj->...mj", q, gd)
+    a = jnp.einsum("...mi,...mj->...ij", gd, qgd)     # [..., 2, 2] = J^T J
+    # sigma^2 = sum r^2 / (P - 2) = P * rms^2 / (P - 2)
+    dof = max(p_count - 2, 1)
+    sigma2 = jnp.maximum(rms, min_sigma_m) ** 2 * (p_count / dof)
+    a00 = a[..., 0, 0] + cfg.damping
+    a11 = a[..., 1, 1] + cfg.damping
+    a01 = a[..., 0, 1]
+    det = jnp.maximum(a00 * a11 - a01 * a01, 1e-20)
+    inv = jnp.stack([
+        jnp.stack([a11, -a01], axis=-1),
+        jnp.stack([-a01, a00], axis=-1)], axis=-2) / det[..., None, None]
+    return sigma2[..., None, None] * inv
+
+
 def solve_tdoa_xyz(
     tdoas: jnp.ndarray,
     mic_positions: jnp.ndarray,
