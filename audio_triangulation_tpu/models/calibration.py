@@ -126,6 +126,84 @@ def calib_loss(
     return loss
 
 
+def estimate_speed_of_sound(
+    frames: jnp.ndarray,
+    source_xy: jnp.ndarray,
+    mic_positions: np.ndarray,
+    pipeline: PipelineConfig = PipelineConfig(),
+    *,
+    height: float = 1.2,
+    min_pred_samples: float = 2.0,
+) -> tuple[float, dict]:
+    """Estimate the speed of sound from events at KNOWN positions with
+    KNOWN mic geometry — closed form, no iteration.
+
+    c and the geometry's overall scale are jointly unobservable from TDOAs
+    (scaling both leaves every tau = d/c invariant), so geometry stays
+    fixed and only c is estimated — the physically common case:
+    tape-measured geometry, unknown air temperature (c = 331.3 + 0.606 T
+    [degC] m/s varies ~3.5% over 0..30 degC, a direct range bias if
+    ignored).  With the model tau_p = K_p / c (K_p the geometric path
+    difference times the sample rate), least squares in 1/c gives
+
+        c* = sum_w K^2 / sum_w K * tau_meas
+
+    over every (event, pair) whose predicted |tau| clears
+    ``min_pred_samples`` (near-zero TDOAs carry no scale information,
+    only noise).  Measurements are sub-sample GCC peaks — the unbiased
+    estimator (soft-argmax carries shrinkage bias, fine for geometry
+    gradients but poisonous for a global scale fit).
+
+    frames: [B, M, N]; source_xy: [B, 2] plane coords (lifted to the
+    radius-``height`` sphere, the reference's source model).
+    Returns (c_mps, diagnostics) with diagnostics = {'n_used',
+    'rms_samples', 'c_samples': per-event c estimates}.
+    """
+    from ..ops import window as window_ops, xcorr
+    from . import localizer as localizer_mod
+
+    mic_xy = np.asarray(mic_positions, np.float32)
+    m = mic_xy.shape[0]
+    pairs = geometry.mic_pairs(m)
+    win = jnp.asarray(window_ops.window_for(pipeline))
+
+    x = localizer_mod.condition_frames(
+        jnp.asarray(frames, jnp.float32), win, pipeline)
+    corr = xcorr.xcorr_fft(x, jnp.asarray(pairs), pipeline)
+    meas, _ = xcorr.subsample_peak(corr, pipeline.max_shift)  # [B, P]
+    meas = np.asarray(meas, np.float64)
+
+    src3 = np.asarray(
+        solver_ops.lift_to_model(
+            jnp.asarray(source_xy, jnp.float32), height, True), np.float64)
+    mic3 = np.zeros((m, 3))
+    mic3[:, : mic_xy.shape[1]] = mic_xy
+    d = np.linalg.norm(src3[:, None, :] - mic3[None], axis=-1)  # [B, M]
+    k = ((d[:, pairs[:, 1]] - d[:, pairs[:, 0]])
+         * pipeline.sample_rate_hz)                             # [B, P]
+
+    mask = np.abs(k) / pipeline.speed_of_sound_mps >= min_pred_samples
+    kw = k[mask]
+    mw = meas[mask]
+    denom = float(np.sum(kw * mw))
+    if not mask.any() or denom <= 0:
+        raise ValueError(
+            "no informative (event, pair) TDOAs for a speed-of-sound fit "
+            "(all predicted TDOAs below min_pred_samples, or degenerate "
+            "measurements)")
+    c = float(np.sum(kw * kw) / denom)
+    resid = mw - kw / c
+    per_event = np.where(
+        np.sum(k * meas * mask, axis=1) > 0,
+        np.sum(k * k * mask, axis=1)
+        / np.maximum(np.sum(k * meas * mask, axis=1), 1e-12), np.nan)
+    return c, {
+        "n_used": int(mask.sum()),
+        "rms_samples": float(np.sqrt(np.mean(resid ** 2))),
+        "c_samples": per_event,
+    }
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class JointParams:
