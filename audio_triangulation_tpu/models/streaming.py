@@ -326,6 +326,11 @@ def stream_step(
             init_xy=xy_grid[None], cfg=solver_cfg)
         out["xy"] = xy[0]
         out["rms_m"] = rms[0]
+        # per-event position covariance — live consumers (the tracker's
+        # z_cov) get the same honest uncertainty as the batch path
+        out["xy_cov"] = solver_ops.solution_covariance(
+            xy, rms, params.mic_positions, params.pairs,
+            height=grid_cfg.height_m, cfg=solver_cfg)[0]
     return new_state, out
 
 

@@ -127,3 +127,25 @@ def test_localizer_cov_feeds_tracker_end_to_end():
     assert bool(tout["track_confirmed"][k])
     err = np.linalg.norm(np.asarray(tout["track_xy"])[k] - src[:2])
     assert err < 0.08, err
+
+
+def test_streaming_emits_xy_cov():
+    """The live path carries the same per-event covariance as batch."""
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+    from audio_triangulation_tpu.utils import synth as synth_mod
+
+    sl = StreamingLocalizer.create(MICS, PipelineConfig(phat=True))
+    src = np.array([0.4, 0.3, 1.2])
+    src = src * 1.2 / np.linalg.norm(src)
+    # 8-bit-scale stream (DC 128 + x110 burst), the detector's input model
+    rng = np.random.default_rng(0)
+    frame = synth_mod.synth_scene(src, MICS, noise_rms=0.0, seed=0)[0]
+    stream = rng.integers(127, 130, size=(4, 12_000)).astype(np.float64)
+    stream[:, 4_000: 5_024] += 110.0 * frame
+    stream = np.clip(np.round(stream), 0, 255)
+    state, outs = sl.run(stream)
+    covs = [np.asarray(o["xy_cov"]) for o in outs if o["event"]]
+    assert all("xy_cov" in o for o in outs)
+    assert covs, "no event detected"
+    ev = np.linalg.eigvalsh(covs[0])
+    assert covs[0].shape == (2, 2) and np.all(ev > 0)
