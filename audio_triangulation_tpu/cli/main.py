@@ -81,6 +81,9 @@ def cmd_simulate(args):
             status=render.status_text(
                 best_shifts=np.asarray(out["best_shift"])[0],
                 mic_positions=mics, pair_names=pair_names),
+            xy=np.asarray(out["xy"])[0] if "xy_cov" in out else None,
+            xy_cov=(np.asarray(out["xy_cov"])[0]
+                    if "xy_cov" in out else None),
         )
         png.write_png(args.out, img)
         print(f"dashboard -> {args.out}")

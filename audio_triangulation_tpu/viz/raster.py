@@ -106,6 +106,20 @@ class Canvas:
                 x -= 1
                 err += 2 * (y - x) + 1
 
+    def ellipse(self, cx: int, cy: int, rx: float, ry: float,
+                angle_rad: float = 0.0, color=15, segments: int = 48
+                ) -> None:
+        """Rotated ellipse outline (plotted as a closed polyline; the
+        reference's midpoint primitives stop at circles — this serves the
+        uncertainty-ellipse overlay)."""
+        t = np.linspace(0.0, 2.0 * np.pi, segments + 1)
+        ca, sa = np.cos(angle_rad), np.sin(angle_rad)
+        ex = rx * np.cos(t)
+        ey = ry * np.sin(t)
+        xs = np.round(cx + ca * ex - sa * ey).astype(np.int64)
+        ys = np.round(cy + sa * ex + ca * ey).astype(np.int64)
+        self.polyline(xs, ys, color)
+
     def polyline(self, xs: np.ndarray, ys: np.ndarray, color) -> None:
         for i in range(1, len(xs)):
             self.line(xs[i - 1], ys[i - 1], xs[i], ys[i], color)

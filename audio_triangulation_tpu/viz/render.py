@@ -89,6 +89,47 @@ def heatmap_rgb(
     return canvas.rgb
 
 
+def overlay_uncertainty(
+    img: np.ndarray,
+    grid: GridConfig,
+    xy: np.ndarray,
+    xy_cov: np.ndarray,
+    *,
+    cell_px: int = 4,
+    n_sigma: float = 2.0,
+    color=14,
+    cross_px: int = 3,
+) -> np.ndarray:
+    """Draw the n-sigma covariance ellipse (+ center cross) of a position
+    estimate onto a heatmap image rendered by :func:`heatmap_rgb`.
+
+    xy [2] meters; xy_cov [2, 2] meters^2 (the localizer's ``xy_cov``).
+    Mutates and returns ``img``.  The ellipse axes are
+    n_sigma * sqrt(eigenvalues), rotated to the eigenvector frame — the
+    standard confidence-region rendering (2 sigma ~ 86% for 2 dof)."""
+    canvas = Canvas(img.shape[1], img.shape[0])
+    canvas.rgb = img
+    cx = grid.half_cells_x * cell_px + cell_px // 2
+    cy = grid.half_cells_y * cell_px + cell_px // 2
+    px = cx + float(xy[0]) * grid.cells_per_m * cell_px
+    py = cy - float(xy[1]) * grid.cells_per_m * cell_px
+
+    cov = np.asarray(xy_cov, np.float64)
+    w, v = np.linalg.eigh(cov)
+    w = np.maximum(w, 0.0)
+    rx = n_sigma * np.sqrt(w[1]) * grid.cells_per_m * cell_px  # major
+    ry = n_sigma * np.sqrt(w[0]) * grid.cells_per_m * cell_px
+    # screen y is flipped relative to world y
+    ang = -np.arctan2(v[1, 1], v[0, 1])
+    canvas.ellipse(int(round(px)), int(round(py)),
+                   max(rx, 1.0), max(ry, 1.0), ang, color)
+    canvas.line(int(px) - cross_px, int(py), int(px) + cross_px, int(py),
+                color)
+    canvas.line(int(px), int(py) - cross_px, int(px), int(py) + cross_px,
+                color)
+    return img
+
+
 def waveform_panel(
     frames: np.ndarray,
     shifts: np.ndarray | None = None,
@@ -181,6 +222,8 @@ def dashboard(
     best_shifts: np.ndarray | None = None,
     heat_mode: str = "levels",
     status: str | None = None,
+    xy: np.ndarray | None = None,
+    xy_cov: np.ndarray | None = None,
 ) -> np.ndarray:
     """Compose the full 640x480 live view in the reference's screen layout:
     waveforms at (20, 200), correlograms at (20, 300), heatmap centered at
@@ -199,6 +242,9 @@ def dashboard(
     heat = heatmap_rgb(
         heat_levels_or_scores, grid, mode=heat_mode,
         mic_positions=mic_positions, cell_px=4)
+    if xy is not None and xy_cov is not None:
+        overlay_uncertainty(heat, grid, np.asarray(xy),
+                            np.asarray(xy_cov), cell_px=4)
     canvas.blit(heat, 420 - heat.shape[1] // 2, 240 - heat.shape[0] // 2)
 
     if status:

@@ -175,3 +175,55 @@ def test_canvas_text_multiline_and_clipping():
     # clipped draws must not raise or wrap
     c.text("CLIPPED", -3, 28, 15)
     c.text("OFF", 40, 40, 15)
+
+
+def test_ellipse_primitive_draws_closed_outline():
+    from audio_triangulation_tpu.viz.raster import Canvas
+
+    c = Canvas(100, 100)
+    c.ellipse(50, 50, 30, 15, np.deg2rad(30.0), 12)
+    drawn = np.argwhere((c.rgb != 0).any(axis=-1))
+    assert len(drawn) > 40
+    # all drawn pixels lie in the ellipse's bounding annulus
+    d = np.linalg.norm(drawn - np.array([50, 50]), axis=-1)
+    assert d.max() <= 31.5 and d.min() >= 13.0, (d.min(), d.max())
+
+
+def test_overlay_uncertainty_marks_position():
+    from audio_triangulation_tpu.core.config import GridConfig
+    from audio_triangulation_tpu.viz import render
+
+    grid = GridConfig()
+    levels = np.zeros(grid.num_cells, np.uint8)
+    img = render.heatmap_rgb(levels, grid, mode="levels")
+    before = img.copy()
+    xy = np.array([0.5, 0.4])
+    cov = np.diag([0.01, 0.0025])  # 10 cm / 5 cm sigmas
+    out = render.overlay_uncertainty(img, grid, xy, cov)
+    assert out is img
+    changed = np.argwhere((img != before).any(axis=-1))
+    assert len(changed) > 20
+    # changed pixels cluster around the projected position
+    cell = 4
+    cx = grid.half_cells_x * cell + cell // 2 + xy[0] * grid.cells_per_m * cell
+    cy = grid.half_cells_y * cell + cell // 2 - xy[1] * grid.cells_per_m * cell
+    d = np.linalg.norm(changed - np.array([cy, cx]), axis=-1)
+    # 2 sigma * 0.1 m * 24 cells/m * 4 px = ~19 px major axis
+    assert d.max() < 30, d.max()
+
+
+def test_dashboard_with_uncertainty_overlay():
+    from audio_triangulation_tpu.core.config import GridConfig
+    from audio_triangulation_tpu.viz import render
+
+    grid = GridConfig()
+    img = render.dashboard(
+        frames=np.random.default_rng(0).normal(size=(3, 1024)),
+        correlograms=np.random.default_rng(1).normal(size=(3, 93)),
+        heat_levels_or_scores=np.zeros(grid.num_cells, np.uint8),
+        grid=grid,
+        mic_positions=np.zeros((3, 2)),
+        xy=np.array([0.3, -0.2]),
+        xy_cov=np.diag([0.004, 0.004]),
+    )
+    assert img.shape == (480, 640, 3)
