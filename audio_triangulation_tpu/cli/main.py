@@ -89,6 +89,46 @@ def cmd_simulate(args):
         print(f"dashboard -> {args.out}")
 
 
+def _make_tracker(enabled: bool):
+    """(tracker, state, update_fn) for the stream commands' --track flag;
+    update_fn(xy, cov, t) -> one-line track summary (or '')."""
+    if not enabled:
+        return None
+
+    from ..models.tracking import Tracker, TrackerConfig
+
+    trk = Tracker(TrackerConfig())
+    holder = {"state": trk.init(), "n_active": 0}
+
+    def update(xy, cov, t):
+        holder["state"], out = trk.step(
+            holder["state"], np.asarray(xy, np.float32), float(t), True,
+            z_cov=None if cov is None else np.asarray(cov, np.float32))
+        k = int(out["assigned"])
+        n_active = int(np.asarray(out["track_active"]).sum())
+        spawned = n_active > holder["n_active"]
+        holder["n_active"] = n_active
+        if k < 0:
+            if spawned:
+                sm = int(np.argmax(np.asarray(out["track_active"])
+                                   & (np.asarray(out["track_id"])
+                                      == np.asarray(out["track_id"]).max())))
+                tid = int(np.asarray(out["track_id"])[sm])
+                return f"track #{tid}: spawned"
+            return "track: gated out (no free slot)"
+        tid = int(np.asarray(out["track_id"])[k])
+        txy = np.asarray(out["track_xy"])[k]
+        vel = np.asarray(out["track_vel"])[k]
+        conf = bool(np.asarray(out["track_confirmed"])[k])
+        sig = ("" if cov is None else
+               f" sigma={np.sqrt(max(np.trace(np.asarray(cov)) / 2, 0)):.3f}m")
+        return (f"track #{tid}{'*' if conf else ''}: "
+                f"({txy[0]:+.3f}, {txy[1]:+.3f}) m "
+                f"v=({vel[0]:+.2f}, {vel[1]:+.2f}) m/s{sig}")
+
+    return update
+
+
 def cmd_stream_live(args):
     """Live ingest: a transport source (fifo/socket/alsa) feeds the native
     detector; each event frame gets the full localization burst.
@@ -114,6 +154,7 @@ def cmd_stream_live(args):
 
     deadline = (time.time() + args.max_seconds
                 if args.max_seconds else None)
+    track = _make_tracker(getattr(args, "track", False))
     events = 0
     try:
         while True:
@@ -134,6 +175,10 @@ def cmd_stream_live(args):
             print(f"event @ sample {stamp}: xy=({xy[0]:+.3f}, {xy[1]:+.3f}) "
                   f"m  shifts={np.asarray(out['best_shift'])[0]}",
                   flush=True)
+            if track is not None:
+                cov = (np.asarray(out["xy_cov"])[0]
+                       if "xy_cov" in out else None)
+                print("  " + track(xy, cov, stamp / 50_000.0), flush=True)
     finally:
         src.stop()
         print(f"source closed: {src.tuples_pushed} tuples in, "
@@ -184,6 +229,7 @@ def cmd_stream(args):
             print(f"resumed from {args.checkpoint} "
                   f"(events so far: {int(state.event_count)})")
     meter = profiling.ThroughputMeter()
+    track = _make_tracker(getattr(args, "track", False))
     live = None
     if args.live:
         from ..viz import terminal
@@ -258,6 +304,13 @@ def cmd_stream(args):
                 print(f"event @ sample {int(out['trigger_abs'])}: "
                       f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
                       f"shifts={np.asarray(out['best_shift'])}")
+            if track is not None:
+                cov = (np.asarray(out["xy_cov"])
+                       if "xy_cov" in out else None)
+                line = track(xy, cov,
+                             int(out["trigger_abs"]) / 50_000.0)
+                if live is None:
+                    print("  " + line)
         if refresh_every is not None:
             while i + args.chunk > next_refresh:
                 _redraw(state, out, i)
@@ -395,6 +448,10 @@ def main(argv=None):
     common(p)
     p.add_argument("--chunk", type=int, default=512)
     p.add_argument("--duration-samples", type=int, default=50_000)
+    p.add_argument("--track", action="store_true",
+                   help="run the Kalman tracker over events (uses each "
+                        "event's xy_cov as measurement noise); prints "
+                        "track id/position/velocity per event")
     p.add_argument("--live", action="store_true",
                    help="in-place ANSI heatmap (the live VGA analogue)")
     p.add_argument("--refresh-hz", type=float, default=None,

@@ -132,3 +132,12 @@ def test_stream_refresh_hz_free_runs(tmp_path, capsys):
     # 15000 samples @50 kHz = 0.3 s -> 30 frames at 100 Hz
     assert len(frames) == 30, txt
     assert frames[0].stat().st_size > 100  # real PNGs
+
+
+def test_stream_track_flag(capsys):
+    cli.main(["stream", "--duration-samples", "28000", "--chunk", "512",
+              "--track"])
+    captured = capsys.readouterr().out
+    assert "track #1: spawned" in captured
+    # second event associates to the confirmed track with its covariance
+    assert "track #1*:" in captured and "sigma=" in captured
