@@ -19,6 +19,13 @@ import jax.numpy as jnp
 
 from ..core.config import SolverConfig
 
+# TPU's default matmul precision computes f32 contractions via bf16 MXU
+# passes — enough to stall Gauss-Newton cm-level away from the optimum
+# (measured: 5 cm max error at default precision vs 2e-6 at HIGHEST on the
+# same inputs; CPU f32 matches HIGHEST).  Every contraction in the solvers
+# is tiny (M <= 64), so full precision is free.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def lift_to_model(xy: jnp.ndarray, height: float,
                   constrain_sphere: bool) -> jnp.ndarray:
@@ -82,8 +89,8 @@ def solve_tdoa(
     def gn_step(_, xy):
         r = residual(xy)  # [P]
         jac = jax.jacfwd(residual)(xy)  # [P, 2]
-        jtj = jac.T @ jac
-        jtr = jac.T @ r
+        jtj = jnp.matmul(jac.T, jac, precision=_HI)
+        jtr = jnp.matmul(jac.T, r, precision=_HI)
         damp = cfg.damping * jnp.eye(2, dtype=xy.dtype)
         delta = jnp.linalg.solve(jtj + damp, jtr)
         return (xy - delta).astype(xy.dtype)
@@ -137,8 +144,9 @@ def solve_tdoa_batched(
            - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
     w2 = None if weights is None else (weights * weights).astype(dt)  # [P]
     sel_w = sel if w2 is None else sel * w2[:, None]
-    q = sel.T @ sel_w                                     # [M, M]
-    t2 = jnp.einsum("pm,...p->...m", sel_w, target)       # [B, M]
+    q = jnp.matmul(sel.T, sel_w, precision=_HI)           # [M, M]
+    t2 = jnp.einsum("pm,...p->...m", sel_w, target,
+                precision=_HI)                        # [B, M]
 
     def dist_grad(xy):
         v = jnp.concatenate(
@@ -160,17 +168,20 @@ def solve_tdoa_batched(
         diff = s[..., None, :] - mic3  # [B, M, 3]
         d = jnp.linalg.norm(diff, axis=-1)  # [B, M]
         u = diff / jnp.maximum(d[..., None], 1e-12)  # [B, M, 3]
-        gd = jnp.einsum("...mi,...ij->...mj", u, js)  # [B, M, 2]
+        gd = jnp.einsum("...mi,...ij->...mj", u, js,
+                        precision=_HI)  # [B, M, 2]
         return d, gd
 
     def gn_step(_, xy):
         d, gd = dist_grad(xy)
         # normal equations from the M-space sufficient statistics:
         # a = gd^T Q gd, b = gd^T (Q d - t2) — no [B, P] tensors
-        qgd = jnp.einsum("mn,...nj->...mj", q, gd)  # [B, M, 2]
-        a = jnp.einsum("...mi,...mj->...ij", gd, qgd)  # [B, 2, 2]
-        qd = jnp.einsum("mn,...n->...m", q, d)  # [B, M]
-        b = jnp.einsum("...mi,...m->...i", gd, qd - t2)  # [B, 2]
+        qgd = jnp.einsum("mn,...nj->...mj", q, gd, precision=_HI)
+        a = jnp.einsum("...mi,...mj->...ij", gd, qgd,
+                       precision=_HI)  # [B, 2, 2]
+        qd = jnp.einsum("mn,...n->...m", q, d, precision=_HI)
+        b = jnp.einsum("...mi,...m->...i", gd, qd - t2,
+                       precision=_HI)  # [B, 2]
         a00 = a[..., 0, 0] + damp
         a11 = a[..., 1, 1] + damp
         a01 = a[..., 0, 1]
@@ -182,7 +193,8 @@ def solve_tdoa_batched(
 
     xy = jax.lax.fori_loop(0, cfg.iterations, gn_step, init_xy.astype(dt))
     d, _ = dist_grad(xy)
-    r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P], final only
+    r = jnp.einsum("pm,...m->...p", sel, d,
+                   precision=_HI) - target  # [B, P], final only
     if weights is not None:
         r = r * weights
     rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
@@ -222,7 +234,7 @@ def solution_covariance(
     p_count = int(pairs.shape[0]) if n_pairs is None else int(n_pairs)
     sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
            - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))
-    q = sel.T @ sel
+    q = jnp.matmul(sel.T, sel, precision=_HI)
 
     v = jnp.concatenate(
         [xy, jnp.full(xy.shape[:-1] + (1,), h, dt)], axis=-1)
@@ -242,9 +254,11 @@ def solution_covariance(
     diff = s[..., None, :] - mic3
     d = jnp.linalg.norm(diff, axis=-1)
     u = diff / jnp.maximum(d[..., None], 1e-12)
-    gd = jnp.einsum("...mi,...ij->...mj", u, js)      # [..., M, 2]
-    qgd = jnp.einsum("mn,...nj->...mj", q, gd)
-    a = jnp.einsum("...mi,...mj->...ij", gd, qgd)     # [..., 2, 2] = J^T J
+    gd = jnp.einsum("...mi,...ij->...mj", u, js,
+                    precision=_HI)                    # [..., M, 2]
+    qgd = jnp.einsum("mn,...nj->...mj", q, gd, precision=_HI)
+    a = jnp.einsum("...mi,...mj->...ij", gd, qgd,
+                   precision=_HI)                     # [..., 2, 2] = J^T J
     # sigma^2 = sum r^2 / (P - 2) = P * rms^2 / (P - 2)
     dof = max(p_count - 2, 1)
     sigma2 = jnp.maximum(rms, min_sigma_m) ** 2 * (p_count / dof)
@@ -291,8 +305,9 @@ def solve_tdoa_xyz(
     # solve_tdoa_batched) — per-iteration cost O(B M^2), pair-count-free
     sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
            - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
-    q = sel.T @ sel                                      # [M, M]
-    t2 = jnp.einsum("pm,...p->...m", sel, target)        # [B, M]
+    q = jnp.matmul(sel.T, sel, precision=_HI)            # [M, M]
+    t2 = jnp.einsum("pm,...p->...m", sel, target,
+                    precision=_HI)                       # [B, M]
 
     def dist_grad(xyz):
         diff = xyz[..., None, :] - mic3  # [B, M, 3]
@@ -302,18 +317,19 @@ def solve_tdoa_xyz(
 
     def gn_step(_, xyz):
         d, u = dist_grad(xyz)
-        qu = jnp.einsum("mn,...nj->...mj", q, u)  # [B, M, 3]
-        a = jnp.einsum("...mi,...mj->...ij", u, qu) \
+        qu = jnp.einsum("mn,...nj->...mj", q, u, precision=_HI)
+        a = jnp.einsum("...mi,...mj->...ij", u, qu, precision=_HI) \
             + damp * jnp.eye(3, dtype=dt)
-        qd = jnp.einsum("mn,...n->...m", q, d)  # [B, M]
-        b = jnp.einsum("...mi,...m->...i", u, qd - t2)
+        qd = jnp.einsum("mn,...n->...m", q, d, precision=_HI)
+        b = jnp.einsum("...mi,...m->...i", u, qd - t2, precision=_HI)
         delta = jnp.linalg.solve(a, b[..., None])[..., 0]
         xyz = xyz - delta
         return xyz.at[..., 2].set(jnp.maximum(xyz[..., 2], z_min))
 
     xyz = jax.lax.fori_loop(0, iterations, gn_step, init_xyz.astype(dt))
     d, _ = dist_grad(xyz)
-    r = jnp.einsum("pm,...m->...p", sel, d) - target  # [B, P], final only
+    r = jnp.einsum("pm,...m->...p", sel, d,
+                   precision=_HI) - target  # [B, P], final only
     rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
     return xyz, rms
 
@@ -331,8 +347,8 @@ def farfield_bearing(
     d = (jnp.take(mic_positions, pairs[:, 1], axis=0)
          - jnp.take(mic_positions, pairs[:, 0], axis=0))  # [P, 2]
     rhs = -speed_of_sound * tdoas  # [..., P]
-    ata = d.T @ d  # [2, 2]
-    atb = jnp.einsum("pi,...p->...i", d, rhs)
+    ata = jnp.matmul(d.T, d, precision=_HI)  # [2, 2]
+    atb = jnp.einsum("pi,...p->...i", d, rhs, precision=_HI)
     u = jnp.linalg.solve(
         ata + 1e-9 * jnp.eye(2, dtype=d.dtype), atb[..., None]
     )[..., 0]
