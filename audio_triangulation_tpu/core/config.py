@@ -50,6 +50,14 @@ class PipelineConfig:
     # None -> reference formula: 2 << (2 * (frame_size_bits - 1))
     power_threshold: Optional[int] = None
     shift_gate: int = 4  # accept event iff sum of squared best shifts > this
+    # 'absolute': the reference rule out > threshold + inc (ratio ignored).
+    # 'relative': CFAR-style out > threshold + trigger_ratio * inc — the
+    # incoming half-window IS the local noise-floor estimate, so detection
+    # adapts when the floor varies (the fixed reference threshold either
+    # false-triggers or goes deaf there).  JAX detector paths only; the
+    # native ingest runtime takes its own trigger_ratio parameter.
+    trigger_mode: str = "absolute"
+    trigger_ratio: float = 4.0
 
     # --- conditioning (buffer.c:4-49) ---
     # 'shift8'     : the live reference behavior (fixed <<8 gain, buffer.c:15-18)

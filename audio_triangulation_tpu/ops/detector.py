@@ -80,7 +80,19 @@ def trigger_mask(
     out_sum = out.sum(axis=mic_axis)
     t = jnp.arange(streams.shape[-1])
     is_full = t >= cfg.frame_size - 1
-    return (out_sum > cfg.detect_threshold + inc_sum) & is_full
+    if cfg.trigger_mode == "relative":
+        # CFAR-style: the incoming half is the local noise-floor estimate.
+        # Compared in float32 — the ratio rule is a heuristic (no bit-exact
+        # reference to match), and f32's 7 digits dwarf any sane margin.
+        fire = (out_sum.astype(jnp.float32)
+                > jnp.float32(cfg.detect_threshold)
+                + jnp.float32(cfg.trigger_ratio)
+                * inc_sum.astype(jnp.float32))
+    elif cfg.trigger_mode == "absolute":
+        fire = out_sum > cfg.detect_threshold + inc_sum
+    else:
+        raise ValueError(f"unknown trigger_mode {cfg.trigger_mode!r}")
+    return fire & is_full
 
 
 def first_trigger(

@@ -129,6 +129,10 @@ struct Runtime {
   int frame_size = 0;
   int frame_bits = 0;
   int64_t threshold = 0;
+  // relative (CFAR-style) trigger ratio in 1/1000ths: trigger when
+  // out > threshold + ratio_milli * inc / 1000.  1000 (= 1.0) reproduces
+  // the reference rule out > threshold + inc exactly.
+  int64_t ratio_milli = 1000;
   int64_t sample_count = 0;
   int64_t suppress_until = 0;  // post-event ring-refill holdoff
   int64_t events_detected = 0;
@@ -149,13 +153,14 @@ inline int ilog2(int v) {
 extern "C" {
 
 void* atrt_create(int channels, int frame_size, long long threshold,
-                  int queue_capacity) {
+                  int queue_capacity, long long ratio_milli) {
   auto* rt = new (std::nothrow) Runtime();
   if (!rt) return nullptr;
   rt->channels = channels;
   rt->frame_size = frame_size;
   rt->frame_bits = ilog2(frame_size);
   rt->threshold = threshold;
+  rt->ratio_milli = ratio_milli > 0 ? ratio_milli : 1000;
   rt->rings.resize(channels);
   for (auto& r : rt->rings) r.init(frame_size);
   rt->scratch.assign((size_t)channels * frame_size, 0);
@@ -188,7 +193,11 @@ int atrt_push(void* h, const int16_t* interleaved, int n) {
       inc += rt->rings[m].incoming_power(half_bits);
       out += rt->rings[m].outgoing_power(half_bits);
     }
-    if (out > rt->threshold + inc) {
+    // 128-bit product: inc can reach ~2^48 and ratio_milli ~2^14
+    const int64_t floor_term = rt->ratio_milli == 1000
+        ? inc
+        : (int64_t)(((__int128)rt->ratio_milli * inc) / 1000);
+    if (out > rt->threshold + floor_term) {
       for (int m = 0; m < c; ++m)
         rt->rings[m].write_out(&rt->scratch[(size_t)m * rt->frame_size]);
       ++rt->events_detected;

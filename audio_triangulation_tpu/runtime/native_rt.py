@@ -40,7 +40,8 @@ def _load_library():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.atrt_create.restype = ctypes.c_void_p
         lib.atrt_create.argtypes = [
-            ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_longlong]
         lib.atrt_destroy.argtypes = [ctypes.c_void_p]
         lib.atrt_push.restype = ctypes.c_int
         lib.atrt_push.argtypes = [
@@ -89,7 +90,12 @@ class NativeIngestRuntime:
     """Native streaming ingest + event detection (libatrt.so)."""
 
     def __init__(self, channels: int, frame_size: int = 1024,
-                 threshold: Optional[int] = None, queue_capacity: int = 64):
+                 threshold: Optional[int] = None, queue_capacity: int = 64,
+                 trigger_ratio: float = 1.0):
+        """``trigger_ratio`` > 1 enables CFAR-style relative triggering:
+        out > threshold + ratio * inc — the incoming half-window IS the
+        local noise-floor estimate, so the detector adapts to it.  1.0 is
+        the reference's exact rule (sample_compute.h:89)."""
         if threshold is None:
             bits = int(np.log2(frame_size))
             threshold = 2 << (2 * (bits - 1))
@@ -97,8 +103,10 @@ class NativeIngestRuntime:
         self.channels = channels
         self.frame_size = frame_size
         self.threshold = threshold
+        self.trigger_ratio = float(trigger_ratio)
         self._h = self._lib.atrt_create(
-            channels, frame_size, threshold, queue_capacity)
+            channels, frame_size, threshold, queue_capacity,
+            int(round(trigger_ratio * 1000)))
         if not self._h:
             raise MemoryError("atrt_create failed")
         self._frame_buf = np.empty(channels * frame_size, np.int16)
@@ -259,12 +267,15 @@ class PyIngestRuntime:
     """Pure-NumPy fallback with the same API and semantics."""
 
     def __init__(self, channels: int, frame_size: int = 1024,
-                 threshold: Optional[int] = None, queue_capacity: int = 64):
+                 threshold: Optional[int] = None, queue_capacity: int = 64,
+                 trigger_ratio: float = 1.0):
         bits = int(np.log2(frame_size))
         self.channels = channels
         self.frame_size = frame_size
         self.threshold = (threshold if threshold is not None
                           else 2 << (2 * (bits - 1)))
+        self.trigger_ratio = float(trigger_ratio)
+        self._ratio_milli = int(round(trigger_ratio * 1000))
         self._half_bits = bits - 1
         self._events: list = []
         self._queue_capacity = queue_capacity
@@ -310,7 +321,9 @@ class PyIngestRuntime:
                        - self._inc_t ** 2).sum())
             out = int(((self._out_p << self._half_bits)
                        - self._out_t ** 2).sum())
-            if out > self.threshold + inc:
+            floor = (inc if self._ratio_milli == 1000
+                     else (self._ratio_milli * inc) // 1000)
+            if out > self.threshold + floor:
                 frame = np.concatenate(
                     [self._buf[:, self._head:], self._buf[:, : self._head]],
                     axis=1)
@@ -341,9 +354,11 @@ class PyIngestRuntime:
 def create_ingest_runtime(channels: int, frame_size: int = 1024,
                           threshold: Optional[int] = None,
                           queue_capacity: int = 64,
-                          prefer_native: bool = True):
+                          prefer_native: bool = True,
+                          trigger_ratio: float = 1.0):
     """Factory: native runtime when buildable, NumPy fallback otherwise."""
     if prefer_native and native_available():
         return NativeIngestRuntime(
-            channels, frame_size, threshold, queue_capacity)
-    return PyIngestRuntime(channels, frame_size, threshold, queue_capacity)
+            channels, frame_size, threshold, queue_capacity, trigger_ratio)
+    return PyIngestRuntime(
+        channels, frame_size, threshold, queue_capacity, trigger_ratio)
