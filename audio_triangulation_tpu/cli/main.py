@@ -215,8 +215,10 @@ def cmd_stream(args):
 
     rt = native_rt.create_ingest_runtime(mics.shape[0])
     kind = type(rt).__name__
+    pcfg = PipelineConfig(trigger_mode=args.trigger_mode,
+                          trigger_ratio=args.trigger_ratio)
     sl = StreamingLocalizer.create(
-        mics, stream=StreamConfig(chunk_size=args.chunk))
+        mics, pcfg, stream=StreamConfig(chunk_size=args.chunk))
     state = sl.init_state()
     if args.checkpoint:
         import os
@@ -448,6 +450,12 @@ def main(argv=None):
     common(p)
     p.add_argument("--chunk", type=int, default=512)
     p.add_argument("--duration-samples", type=int, default=50_000)
+    p.add_argument("--trigger-mode", choices=("absolute", "relative"),
+                   default="absolute",
+                   help="'absolute' = the reference's fixed threshold; "
+                        "'relative' = CFAR-style floor-tracking "
+                        "(out > threshold + ratio * incoming power)")
+    p.add_argument("--trigger-ratio", type=float, default=4.0)
     p.add_argument("--track", action="store_true",
                    help="run the Kalman tracker over events (uses each "
                         "event's xy_cov as measurement noise); prints "

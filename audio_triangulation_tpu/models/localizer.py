@@ -155,6 +155,58 @@ class Localizer:
             )
         )
 
+    def save(self, path: str) -> str:
+        """Persist this localizer's EXACT configuration to a small JSON
+        file (every derived tensor — window, LUTs, steering matrices — is
+        deterministic from it, so nothing else needs saving).  A deployed
+        service reconstructs the identical pipeline with
+        :meth:`Localizer.load`."""
+        import dataclasses as dc
+        import json
+
+        blob = {
+            "format": "audio_triangulation_tpu.Localizer/1",
+            "pipeline": dc.asdict(self.pipeline),
+            "grid": dc.asdict(self.grid),
+            "solver": dc.asdict(self.solver),
+            "srp_form": self.srp_form,
+            "with_solver": self.with_solver,
+            "with_heatmap": self.with_heatmap,
+            "mic_positions": np.asarray(
+                self.params.mic_positions).tolist(),
+        }
+        if not path.endswith(".json"):
+            path = path + ".json"
+        with open(path, "w") as f:
+            json.dump(blob, f, indent=1)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "Localizer":
+        """Reconstruct a localizer saved by :meth:`save`: numerically
+        identical outputs (tested).  The stored grid already reflects any
+        init_grid_stride coarsening, so it is used verbatim."""
+        import json
+
+        from ..core.config import GridConfig, PipelineConfig, SolverConfig
+
+        if not path.endswith(".json"):
+            path = path + ".json"
+        with open(path) as f:
+            blob = json.load(f)
+        fmt = blob.get("format", "")
+        if not fmt.startswith("audio_triangulation_tpu.Localizer/"):
+            raise ValueError(f"not a saved Localizer: {path} ({fmt!r})")
+        return cls.create(
+            np.asarray(blob["mic_positions"], np.float32),
+            PipelineConfig(**blob["pipeline"]),
+            GridConfig(**blob["grid"]),
+            SolverConfig(**blob["solver"]),
+            srp_form=blob["srp_form"],
+            with_solver=blob["with_solver"],
+            with_heatmap=blob["with_heatmap"],
+        )
+
     def lower(self, frames):
         """jax.jit lowering handle (for AOT compile / inspection)."""
         return self._jitted.lower(self.params, frames)

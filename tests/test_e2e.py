@@ -207,3 +207,49 @@ def test_init_grid_stride_guards():
         Localizer.create(mics, with_heatmap=True, init_grid_stride=3)
     with pytest.raises(ValueError):
         Localizer.create(mics, with_solver=False, init_grid_stride=3)
+
+
+def test_localizer_save_load_roundtrip(tmp_path):
+    """Localizer.save -> .load reconstructs a numerically identical
+    pipeline from the small JSON config blob."""
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import Localizer, PipelineConfig
+    from audio_triangulation_tpu.core.config import GridConfig
+    from audio_triangulation_tpu.core import geometry as geo
+    from audio_triangulation_tpu.utils import synth as synth_mod
+
+    mics = geo.square_array(0.3)
+    loc = Localizer.create(
+        mics, PipelineConfig(phat=True, fft_pad_mode="circular"),
+        GridConfig(half_cells_x=30, half_cells_y=30), init_grid_stride=3)
+    path = loc.save(str(tmp_path / "loc"))
+
+    loc2 = Localizer.load(path)
+    assert loc2.pipeline == loc.pipeline
+    assert loc2.grid == loc.grid          # stride already folded in
+    assert loc2.srp_form == loc.srp_form
+
+    src = np.array([0.4, 0.3, 1.2])
+    src = src * 1.2 / np.linalg.norm(src)
+    fr = jnp.asarray(
+        synth_mod.synth_scene(src, mics, noise_rms=0.01, seed=0),
+        jnp.float32)
+    a = loc(fr)
+    b = loc2(fr)
+    np.testing.assert_array_equal(np.asarray(a["xy"]), np.asarray(b["xy"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["scores"]), np.asarray(b["scores"]))
+
+
+def test_localizer_load_rejects_foreign_json(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from audio_triangulation_tpu import Localizer
+
+    p = tmp_path / "other.json"
+    p.write_text(json.dumps({"format": "something-else"}))
+    with _pytest.raises(ValueError):
+        Localizer.load(str(p))
