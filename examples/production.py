@@ -76,14 +76,18 @@ print(f"streaming: {n_ev} events from one chunk; "
       f"solver xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m")
 
 # --- 3. Kalman tracking over a moving source ----------------------------
+# each measurement carries its own covariance (the localizer's xy_cov):
+# noisy events pull the track less, exactly as their uncertainty dictates
 tracker = Tracker(TrackerConfig(measurement_noise=0.02, process_noise=0.1))
 tstate = tracker.init()
 p0, v = np.array([0.2, -0.3]), np.array([0.4, 0.25])
 t = 0.0
-for _ in range(25):
+for i in range(25):
     t += float(rng.uniform(0.06, 0.14))
-    z = p0 + v * t + rng.normal(0, 0.02, 2)
-    tstate, tout = tracker.step(tstate, z, t)
+    sigma = 0.02 if i % 4 else 0.08  # every 4th event is low-quality
+    z = p0 + v * t + rng.normal(0, sigma, 2)
+    tstate, tout = tracker.step(
+        tstate, z, t, z_cov=np.diag([sigma ** 2, sigma ** 2]))
 k = int(np.argmax(np.asarray(tout["track_confirmed"])))
 vel = np.asarray(tout["track_vel"])[k]
 print(f"tracking: confirmed track id {int(np.asarray(tout['track_id'])[k])}, "
