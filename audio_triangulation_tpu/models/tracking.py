@@ -284,6 +284,7 @@ def step_multi(
     t: jnp.ndarray,        # scalar time (seconds)
     valids: jnp.ndarray,   # [N] bool
     cfg: TrackerConfig,
+    z_covs: jnp.ndarray | None = None,  # [N, 2, 2] per-measurement noise
 ) -> tuple[TrackState, dict]:
     """Joint (JPDA) update with N simultaneous measurements — the regime a
     multi-event chunk produces (models.streaming max_events > 1), where the
@@ -302,6 +303,13 @@ def step_multi(
 
     Outputs as :func:`step`, plus 'assigned' is [N] (dominant track per
     measurement, -1 if none with weight > 0.5).
+
+    ``z_covs`` (optional, [N, 2, 2]) gives each measurement its own noise
+    covariance (the localizer's ``xy_cov``): the innovation covariance,
+    likelihoods, and Kalman gains become per-(measurement, track) — the
+    heterogeneous-R JPDA — so low-quality events weigh in less.  With
+    identical isotropic covs this reproduces the scalar path exactly
+    (tested).
     """
     k = cfg.max_tracks
     n = zs.shape[0]
@@ -310,8 +318,17 @@ def step_multi(
     valids = valids.astype(bool)
 
     active, dropped, xp, pp, s00, s11, s01, det = _predict_all(state, t, cfg)
+    if z_covs is not None:
+        # heterogeneous R: innovation covariance per (measurement, track)
+        z_covs = z_covs.astype(jnp.float32)
+        s00 = pp[None, :, 0, 0] + z_covs[:, None, 0, 0]  # [N, K]
+        s11 = pp[None, :, 1, 1] + z_covs[:, None, 1, 1]
+        s01 = pp[None, :, 0, 1] + z_covs[:, None, 0, 1]
+        det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
 
     # ---- likelihood matrix over (measurement, track) ---------------------
+    # with z_covs, s00/s11/s01/det are already [N, K]; without, [K]
+    # broadcasting against the [N, K] innovations below
     innov = zs[:, None, :] - xp[None, :, :2]  # [N, K, 2]
     maha2 = (innov[..., 0] ** 2 * s11
              - 2.0 * innov[..., 0] * innov[..., 1] * s01
@@ -329,15 +346,40 @@ def step_multi(
 
     # ---- combined weighted Kalman update per track -----------------------
     w_k = jnp.sum(beta, axis=0)  # [K] total association probability
-    ybar = jnp.einsum("nk,nki->ki", beta, innov)  # [K, 2]
-    gain = _gain(pp, s00, s11, s01, det)  # [K, 4, 2]
-    x_new = xp + jnp.einsum("kij,kj->ki", gain, ybar)
-    ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
-    # spread-of-innovations term: K (sum_n b y y' - ybar ybar') K'
-    yy = (jnp.einsum("nk,nki,nkj->kij", beta, innov, innov)
-          - ybar[:, :, None] * ybar[:, None, :])  # [K, 2, 2]
-    p_new = (pp - w_k[:, None, None] * ksk
-             + jnp.einsum("kij,kjl,kml->kim", gain, yy, gain))
+    if z_covs is None:
+        ybar = jnp.einsum("nk,nki->ki", beta, innov)  # [K, 2]
+        gain = _gain(pp, s00, s11, s01, det)  # [K, 4, 2]
+        x_new = xp + jnp.einsum("kij,kj->ki", gain, ybar)
+        ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
+        # spread-of-innovations term: K (sum_n b y y' - ybar ybar') K'
+        yy = (jnp.einsum("nk,nki,nkj->kij", beta, innov, innov)
+              - ybar[:, :, None] * ybar[:, None, :])  # [K, 2, 2]
+        p_new = (pp - w_k[:, None, None] * ksk
+                 + jnp.einsum("kij,kjl,kml->kim", gain, yy, gain))
+    else:
+        # per-(n, k) gains: K_nk = P_k H^T S_nk^-1 ([N, K, 4, 2])
+        inv00 = s11 / det
+        inv11 = s00 / det
+        inv01 = -s01 / det
+        sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
+                          jnp.stack([inv01, inv11], -1)], -2)  # [N, K, 2, 2]
+        pht = pp[None, :, :, :2]  # [1, K, 4, 2]
+        gain_nk = jnp.einsum("nkij,nkjl->nkil",
+                             jnp.broadcast_to(
+                                 pht, (zs.shape[0],) + pht.shape[1:]),
+                             sinv)  # [N, K, 4, 2]
+        ky = jnp.einsum("nkij,nkj->nki", gain_nk, innov)  # [N, K, 4]
+        kybar = jnp.einsum("nk,nki->ki", beta, ky)        # [K, 4]
+        x_new = xp + kybar
+        # P = P- - sum_n b K S K' + (sum_n b Ky Ky' - kybar kybar');
+        # K S K' = K (H P) since K = P H' S^-1
+        hp = pp[None, :, :2, :]  # [1, K, 2, 4]
+        ksk = jnp.einsum("nkij,nkjl->nkil", gain_nk,
+                         jnp.broadcast_to(
+                             hp, (zs.shape[0],) + hp.shape[1:]))
+        p_new = (pp - jnp.einsum("nk,nkil->kil", beta, ksk)
+                 + jnp.einsum("nk,nki,nkl->kil", beta, ky, ky)
+                 - kybar[:, :, None] * kybar[:, None, :])
 
     updated = w_k > 0.5
     hits = state.hits + updated.astype(jnp.int32)
@@ -432,6 +474,13 @@ class Tracker:
         return jax.jit(functools.partial(step_multi, cfg=self.cfg),
                        donate_argnums=(0,))
 
+    @functools.cached_property
+    def _step_multi_cov(self):
+        return jax.jit(
+            lambda state, zs, t, valids, z_covs: step_multi(
+                state, zs, t, valids, self.cfg, z_covs=z_covs),
+            donate_argnums=(0,))
+
     def step(self, state, z, t, valid=True, z_cov=None):
         """``z_cov`` [2, 2] (e.g. the localizer's per-event ``xy_cov``)
         replaces cfg.measurement_noise for this measurement."""
@@ -457,11 +506,18 @@ class Tracker:
             states, jnp.asarray(zs, jnp.float32),
             jnp.asarray(ts, jnp.float32), jnp.asarray(valids, bool))
 
-    def step_multi(self, state, zs, t, valids=None):
-        """Joint JPDA update with N simultaneous measurements: zs [N, 2]."""
+    def step_multi(self, state, zs, t, valids=None, z_covs=None):
+        """Joint JPDA update with N simultaneous measurements: zs [N, 2];
+        z_covs (optional) [N, 2, 2] per-measurement noise covariances
+        (heterogeneous-R JPDA)."""
         zs = jnp.asarray(zs, jnp.float32)
         if valids is None:
             valids = jnp.ones((zs.shape[0],), bool)
+        if z_covs is not None:
+            return self._step_multi_cov(
+                state, zs, jnp.asarray(t, jnp.float32),
+                jnp.asarray(valids, bool),
+                jnp.asarray(z_covs, jnp.float32))
         return self._step_multi(
             state, zs, jnp.asarray(t, jnp.float32),
             jnp.asarray(valids, bool))

@@ -149,3 +149,48 @@ def test_streaming_emits_xy_cov():
     assert covs, "no event detected"
     ev = np.linalg.eigvalsh(covs[0])
     assert covs[0].shape == (2, 2) and np.all(ev > 0)
+
+
+def test_step_multi_z_covs_matches_scalar_default():
+    """Identical isotropic z_covs reproduce the homogeneous JPDA path
+    exactly."""
+    cfg = TrackerConfig(max_tracks=4)
+    trk = Tracker(cfg)
+    r2 = cfg.measurement_noise ** 2
+    rng = np.random.default_rng(3)
+    zs_seq = [rng.normal([[0.2, 0.1], [-0.4, -0.3]], 0.02) for _ in range(4)]
+    covs = np.broadcast_to(np.diag([r2, r2]), (2, 2, 2)).copy()
+
+    sa = trk.init()
+    sb = trk.init()
+    valids = np.array([True, True])
+    for i, zs in enumerate(zs_seq):
+        sa, oa = trk.step_multi(sa, zs, 0.1 * (i + 1), valids)
+        sb, ob = trk.step_multi(sb, zs, 0.1 * (i + 1), valids,
+                                z_covs=covs)
+    np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.p), np.asarray(sb.p),
+                               atol=1e-5)
+
+
+def test_step_multi_heterogeneous_covs_weight_measurements():
+    """Two simultaneous measurements of ONE track: the tight one dominates
+    the update."""
+    trk = Tracker(TrackerConfig(max_tracks=2, clutter_density=0.05))
+    state = trk.init()
+    valids = np.array([True, False])
+    # establish one track at the origin
+    for i in range(3):
+        state, _ = trk.step_multi(
+            state, np.array([[0.0, 0.0], [9.9, 9.9]]), 0.1 * (i + 1),
+            valids)
+    valids = np.array([True, True])
+    # two conflicting measurements: +0.05 (tight) and -0.05 (very loose)
+    zs = np.array([[0.05, 0.0], [-0.05, 0.0]])
+    covs = np.stack([np.diag([1e-4, 1e-4]), np.diag([0.5, 0.5])])
+    state, out = trk.step_multi(state, zs, 0.4, valids, z_covs=covs)
+    k = int(np.argmax(np.asarray(out["track_active"])))
+    x = float(np.asarray(out["track_xy"])[k, 0])
+    # pulled clearly toward the tight measurement, not the average
+    assert x > 0.02, x
