@@ -356,15 +356,31 @@ def cmd_doa(args):
     from ..utils import synth
 
     mics = geometry.circular_array(args.mics, 0.15)
-    est = DoaEstimator.create(mics)
     ang = np.deg2rad(args.azimuth)
     src = 50.0 * np.array([np.cos(ang), np.sin(ang), 0.0])
+    print(f"true azimuth : {args.azimuth:7.2f} deg")
+    if args.method == "music":
+        from ..core.config import PipelineConfig
+        from ..models.doa import estimate_doa_music
+
+        snaps = np.concatenate([
+            synth.synth_scene(
+                src, mics,
+                signal=synth.colored_burst(1024, 50_000.0, seed=100 + i),
+                noise_rms=args.noise, seed=args.seed + i)
+            for i in range(args.snapshots)])
+        out = estimate_doa_music(
+            jnp.asarray(snaps, jnp.float32), mics, PipelineConfig(),
+            n_sources=1)
+        print(f"MUSIC estimate: {float(out['azimuth_deg'][0]):7.2f} deg "
+              f"({args.snapshots} snapshots)")
+        return
+    est = DoaEstimator.create(mics)
     frames = synth.synth_scene(src, mics, noise_rms=args.noise,
                                seed=args.seed)
     out = est(jnp.asarray(frames, jnp.float32))
     got = float(out["azimuth_deg"][0])
     u = np.asarray(out["bearing"])[0]
-    print(f"true azimuth : {args.azimuth:7.2f} deg")
     print(f"SRP estimate : {got:7.2f} deg")
     print(f"LS bearing   : {np.rad2deg(np.arctan2(u[1], u[0])) % 360:7.2f} deg")
 
@@ -489,6 +505,10 @@ def main(argv=None):
     p.add_argument("--azimuth", type=float, default=222.5)
     p.add_argument("--noise", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--method", choices=("srp", "music"), default="srp",
+                   help="'music' runs wideband subspace DoA over "
+                        "--snapshots independent bursts")
+    p.add_argument("--snapshots", type=int, default=12)
     p.set_defaults(fn=cmd_doa)
 
     p = sub.add_parser("gen-window", help="emit the Q15 DPSS window C table")

@@ -141,3 +141,14 @@ def test_stream_track_flag(capsys):
     assert "track #1: spawned" in captured
     # second event associates to the confirmed track with its covariance
     assert "track #1*:" in captured and "sigma=" in captured
+
+
+def test_doa_music_method(capsys):
+    cli.main(["doa", "--azimuth", "137", "--method", "music",
+              "--snapshots", "8"])
+    captured = capsys.readouterr().out
+    assert "MUSIC estimate" in captured
+    import re
+
+    got = float(re.search(r"MUSIC estimate:\s+([0-9.]+)", captured).group(1))
+    assert abs(got - 137.0) < 4.0, got
