@@ -195,6 +195,7 @@ def synthetic_batches(
     height_m: float = 1.2,
     noise_rms: tuple[float, float] = (0.005, 0.05),
     room=None,
+    bank: int = 0,
     seed: int = 0,
 ):
     """Generator of (frames [B, M, N], xy [B, 2]) training batches.
@@ -202,7 +203,15 @@ def synthetic_batches(
     Sources are uniform on the plane z = height_m within +-extent_m;
     anechoic by default, or simulated in a ``utils.room.ShoeboxRoom``
     (whose walls must enclose the sampled region — the array is placed at
-    the room's floor center automatically)."""
+    the room's floor center automatically).
+
+    ``bank > 0`` switches to the finite-scene-bank regime: ``bank`` scenes
+    are synthesized once up front (in chirp-varied chunks), then every
+    batch samples the bank with replacement and adds FRESH measurement
+    noise.  This amortizes the expensive image-source room simulation
+    (~15x faster wall-clock for room-trained models at equal step counts)
+    while noise re-draws keep the regressor from memorizing noise
+    realizations."""
     from ..utils import synth
 
     rng = np.random.default_rng(seed)
@@ -218,19 +227,37 @@ def synthetic_batches(
         mic3 = np.zeros((mics.shape[0], 3))
         mic3[:, : mics.shape[1]] = mics
 
-    for b in range(n_batches):
-        xy = rng.uniform(-extent_m, extent_m, (batch_size, 2))
+    def scenes(count: int, b: int):
+        """count noiseless scenes with a freshly drawn chirp."""
+        xy = rng.uniform(-extent_m, extent_m, (count, 2))
         src = np.concatenate(
-            [xy, np.full((batch_size, 1), height_m)], axis=-1)
+            [xy, np.full((count, 1), height_m)], axis=-1)
         sigs = synth.chirp_burst(
             n, fs, f0=rng.uniform(500, 1200), f1=rng.uniform(4000, 8000))
-        nr = rng.uniform(*noise_rms)
         if room is None:
             frames = synth.synth_scene(
-                src, mics, n=n, fs=fs, signal=sigs, noise_rms=nr,
+                src, mics, n=n, fs=fs, signal=sigs, noise_rms=0.0,
                 seed=seed + 31 * b)
         else:
             frames = np.asarray(room_mod.simulate_batch(
                 src + shift, mic3 + shift, room, n=n, fs=fs, signal=sigs))
-            frames = frames + rng.normal(0.0, nr, frames.shape)
+        return frames, xy
+
+    if bank:
+        chunks = [scenes(min(batch_size, bank - i), 1000 + j)
+                  for j, i in enumerate(range(0, bank, batch_size))]
+        bank_fr = np.concatenate([c[0] for c in chunks])
+        bank_xy = np.concatenate([c[1] for c in chunks])
+        for _ in range(n_batches):
+            idx = rng.integers(0, bank, batch_size)
+            nr = rng.uniform(*noise_rms)
+            frames = bank_fr[idx] + rng.normal(
+                0.0, nr, (batch_size,) + bank_fr.shape[1:])
+            yield frames.astype(np.float32), bank_xy[idx].astype(np.float32)
+        return
+
+    for b in range(n_batches):
+        frames, xy = scenes(batch_size, b)
+        nr = rng.uniform(*noise_rms)
+        frames = frames + rng.normal(0.0, nr, frames.shape)
         yield frames.astype(np.float32), xy.astype(np.float32)

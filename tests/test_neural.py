@@ -42,6 +42,46 @@ def test_training_converges_to_decimeter_accuracy():
     assert rms < 0.12, rms
 
 
+def test_room_trained_net_beats_physics_in_reverb():
+    """The flagship learned-localizer use case: in a reverberant room the
+    anechoic physics chain (PHAT + GN) carries a systematic multipath
+    bias; an MLP trained on scenes simulated in the SAME room absorbs it.
+    Uses the finite-scene-bank regime (bank=640 image-source scenes
+    simulated once, fresh noise each step) so the whole train+eval fits
+    CI (~20 s CPU)."""
+    from audio_triangulation_tpu import Localizer
+    from audio_triangulation_tpu.core.config import GridConfig
+    from audio_triangulation_tpu.utils import room as room_mod
+
+    r = room_mod.ShoeboxRoom(size=(6.0, 5.0, 3.0), absorption=0.25,
+                             max_order=4)
+    shift = np.array([3.0, 2.5, 0.0])
+    mic3 = np.concatenate([MICS, np.zeros((MICS.shape[0], 1))], axis=-1)
+
+    rng = np.random.default_rng(50)
+    xy_val = rng.uniform(-0.8, 0.8, (64, 2)).astype(np.float32)
+    src_val = np.concatenate([xy_val, np.full((64, 1), 1.2)], axis=-1)
+    fr_val = np.asarray(room_mod.simulate_batch(
+        src_val + shift, mic3 + shift, r, n=CFG.frame_size, fs=50_000.0))
+    fr_val = (fr_val + rng.normal(0, 0.01, fr_val.shape)).astype(np.float32)
+
+    loc = Localizer.create(MICS, CFG, GridConfig())
+    xy_p = np.asarray(loc(jnp.asarray(fr_val))["xy"])
+    rms_p = np.sqrt(np.mean(np.sum((xy_p - xy_val) ** 2, axis=-1)))
+    assert rms_p > 0.35, rms_p    # the reverberant bias is real here
+
+    net = neural.NeuralLocalizer.create(MICS, CFG, hidden=(128, 64),
+                                        learning_rate=3e-3)
+    data = neural.synthetic_batches(
+        MICS, n_batches=400, batch_size=64, pipeline=CFG, extent_m=0.9,
+        room=r, bank=640, seed=70)
+    (params, _), _ = net.fit(data, seed=1)
+    pred = np.asarray(net.predict(params, jnp.asarray(fr_val)))
+    rms_n = np.sqrt(np.mean(np.sum((pred - xy_val) ** 2, axis=-1)))
+    assert rms_n < 0.35, rms_n
+    assert rms_n < 0.75 * rms_p, (rms_n, rms_p)
+
+
 def test_fit_runs_on_generator():
     net = neural.NeuralLocalizer.create(MICS, CFG, hidden=(32,))
     data = neural.synthetic_batches(
