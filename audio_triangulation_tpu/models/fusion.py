@@ -1,0 +1,264 @@
+"""Multi-array fusion: spatially separated mic arrays scoring one world grid.
+
+New capability with no reference equivalent (the firmware is a single 3-mic
+triangle, ``src/components/vga/vga_heatmap.h``): K microphone arrays placed
+anywhere in a shared world frame each compute their own pairwise GCC
+correlograms, every array scores the SAME world-coordinate SRP grid through
+its own steering matrix, and the per-array score maps are fused (weighted
+sum) before the grid argmax.  A joint Gauss-Newton solve over ALL K*P
+hyperbolic TDOA constraints then refines the peak — separated arrays give
+the solve long baselines, fixing the range ambiguity a single compact array
+has for distant sources.
+
+Design notes (TPU-first):
+- Array geometry only enters through the steering matrices and the solver;
+  the correlogram stage is geometry-free, so frames [..., K, M, N] run the
+  SAME fused Pallas / MXU-DFT kernels as the flagship localizer with the
+  array axis folded into the batch.
+- Per-array scoring + fusion is ONE einsum ``[..., K, P*L] x [K, P*L, G] ->
+  [..., G]`` — MXU-shaped, no gathers.
+- The array axis K is a natural mesh axis: ``parallel.spmd.make_fusion_spmd``
+  shards arrays over ``model`` (each device holds only its arrays' steering
+  matrices), psums the fused scores and all-gathers the TDOAs for the
+  replicated joint solve.
+- The world grid uses the planar projection and the solver runs
+  unconstrained-plane mode: the reference's sphere-cap model
+  (vga_heatmap.h:57-60) is centered on ONE array and meaningless for a
+  multi-array world frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GridConfig, PipelineConfig, SolverConfig
+from ..core import geometry
+from ..ops import solver as solver_ops
+from ..ops import srp, window as window_ops, xcorr
+from . import localizer as localizer_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusionParams:
+    """Array-valued constants for the jitted fusion pipeline."""
+
+    mic_world: jnp.ndarray   # [K, M, 2] world-frame mic positions
+    pairs: jnp.ndarray       # [P, 2] per-array pair indices
+    window: jnp.ndarray      # [N]
+    onehot: jnp.ndarray      # [K, P*L, G] per-array steering matrices
+    cat_mics: jnp.ndarray    # [K*M, 2] concatenated mics (joint solve)
+    cat_pairs: jnp.ndarray   # [K*P, 2] pair indices into cat_mics
+
+
+@dataclasses.dataclass(frozen=True)
+class ArrayFusionLocalizer:
+    """Configured, jit-compiled multi-array fusion localizer.
+
+    >>> fus = ArrayFusionLocalizer.create([mics_a, mics_b])
+    >>> out = fus(frames)            # frames [B, K, M, N]
+    >>> out["xy"]                    # [B, 2] world-frame positions
+    """
+
+    pipeline: PipelineConfig
+    grid: GridConfig
+    solver: SolverConfig
+    params: FusionParams
+    with_solver: bool = True
+
+    @classmethod
+    def create(
+        cls,
+        arrays: Sequence[np.ndarray],
+        pipeline: PipelineConfig = PipelineConfig(),
+        grid: Optional[GridConfig] = None,
+        solver: Optional[SolverConfig] = None,
+        *,
+        with_solver: bool = True,
+        dtype=jnp.float32,
+    ) -> "ArrayFusionLocalizer":
+        """``arrays``: K mic arrays [M, 2] in WORLD coordinates (equal M so
+        the array axis batches; pad a smaller array by duplicating a mic if
+        needed — duplicate pairs contribute zero-lag constraints only to
+        their own array).  Grid/solver default to the planar world model."""
+        arrays = [np.asarray(a, np.float32) for a in arrays]
+        m = arrays[0].shape[0]
+        if any(a.shape != (m, 2) for a in arrays):
+            raise ValueError(
+                "all arrays must share shape [M, 2]; got "
+                f"{[a.shape for a in arrays]}")
+        if grid is None:
+            grid = GridConfig(projection="plane")
+        elif grid.projection != "plane":
+            raise ValueError(
+                "multi-array fusion needs GridConfig(projection='plane'): "
+                "the sphere projection is centered on a single array")
+        if solver is None:
+            solver = SolverConfig(constrain_to_sphere=False)
+        elif solver.constrain_to_sphere:
+            raise ValueError(
+                "multi-array fusion needs "
+                "SolverConfig(constrain_to_sphere=False)")
+
+        k = len(arrays)
+        pairs = geometry.mic_pairs(m)
+        onehots = []
+        for a in arrays:
+            lut = geometry.lag_lut(grid, a, pairs, pipeline)
+            onehots.append(geometry.lag_onehot(lut, pipeline.num_lags))
+        cat_mics = np.concatenate(arrays, axis=0)  # [K*M, 2]
+        cat_pairs = np.concatenate(
+            [pairs + i * m for i in range(k)], axis=0)  # [K*P, 2]
+        win = window_ops.window_for(pipeline)
+        params = FusionParams(
+            mic_world=jnp.asarray(np.stack(arrays)),
+            pairs=jnp.asarray(pairs),
+            window=jnp.asarray(win, dtype=dtype),
+            onehot=jnp.asarray(np.stack(onehots), dtype=dtype),
+            cat_mics=jnp.asarray(cat_mics),
+            cat_pairs=jnp.asarray(cat_pairs),
+        )
+        return cls(pipeline=pipeline, grid=grid, solver=solver,
+                   params=params, with_solver=with_solver)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_arrays(self) -> int:
+        return int(self.params.mic_world.shape[0])
+
+    def __call__(self, frames: jnp.ndarray,
+                 weights: jnp.ndarray | None = None) -> dict:
+        """frames [..., K, M, N]; optional per-array ``weights`` [K]
+        (e.g. zero out a faulted array, or de-rate a distant one)."""
+        k, m = self.params.mic_world.shape[:2]
+        n = self.pipeline.frame_size
+        if frames.ndim < 3 or frames.shape[-3:] != (k, m, n):
+            raise ValueError(
+                f"frames must be [..., {k} arrays, {m} mics, {n} samples]; "
+                f"got {frames.shape}")
+        w = (jnp.ones((k,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        return self._jitted(self.params, frames, w)
+
+    @functools.cached_property
+    def _jitted(self):
+        return jax.jit(
+            functools.partial(
+                fuse_frames,
+                cfg=self.pipeline,
+                grid_cfg=self.grid,
+                solver_cfg=self.solver,
+                with_solver=self.with_solver,
+                pairs_static=tuple(
+                    tuple(int(v) for v in row)
+                    for row in np.asarray(self.params.pairs)),
+            )
+        )
+
+
+# ----------------------------------------------------------------------
+# Functional pipeline (pure; jit/pjit-able)
+# ----------------------------------------------------------------------
+
+def fusion_correlograms(
+    params: FusionParams, frames: jnp.ndarray, cfg: PipelineConfig,
+    pairs_static: tuple | None = None,
+):
+    """frames [..., K, M, N] -> (corr_t [..., K, P, L], shifts, tdoa, psr).
+
+    The array axis rides the batch through the shared GCC kernels."""
+    loc_params = localizer_mod.LocalizerParams(
+        mic_positions=jnp.zeros((0, 2), jnp.float32),
+        pairs=params.pairs, window=params.window,
+        lut_flat=jnp.zeros((params.pairs.shape[0], 1), jnp.int32),
+        onehot=None, score_bias=None)
+    corr = localizer_mod._conditioned_correlograms(
+        loc_params, frames, cfg, pairs_static)  # [..., K, P, L]
+    kk = cfg.max_shift
+    shifts = xcorr.best_lag(corr, kk)
+    tdoa, _ = xcorr.subsample_peak(corr, kk)
+    if not cfg.subsample_peak:
+        tdoa = shifts.astype(corr.dtype)
+    psr = xcorr.peak_confidence(corr, kk)
+    corr_t = (xcorr.peak_taper(corr, kk, cfg.taper_denom, shifts)
+              if cfg.taper_enabled else corr)
+    return corr_t, shifts, tdoa, psr
+
+
+def fused_scores(corr_t: jnp.ndarray, onehot: jnp.ndarray,
+                 weights: jnp.ndarray, dtype: str = "float32") -> jnp.ndarray:
+    """Weighted-sum fusion of per-array SRP maps in one contraction:
+    corr_t [..., K, P, L] x onehot [K, P*L, G] -> [..., G]."""
+    *lead, k, p, l = corr_t.shape
+    flat = corr_t.reshape(*lead, k, p * l) * weights[:, None]
+    if dtype == "bfloat16":
+        return jnp.einsum(
+            "...kf,kfg->...g", flat.astype(jnp.bfloat16),
+            onehot.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    return jnp.einsum("...kf,kfg->...g", flat, onehot)
+
+
+def fuse_frames(
+    params: FusionParams,
+    frames: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    with_solver: bool = True,
+    pairs_static: tuple | None = None,
+) -> dict:
+    """Full fusion pipeline on frames [..., K, M, N].  Returns:
+
+    - 'tdoa_samples' [..., K, P]: per-array sub-sample TDOAs
+    - 'scores'       [..., G]: fused world-grid SRP scores
+    - 'xy_grid'      [..., 2]: fused grid peak (meters, world frame)
+    - 'xy'           [..., 2]: joint Gauss-Newton refined position
+    - 'rms_m'        [...]: joint solve residual (meters)
+    - 'xy_cov'       [..., 2, 2]: position covariance at the solution
+    - 'confidence'   [..., K]: per-array weakest-pair peak-to-sidelobe
+    """
+    corr_t, shifts, tdoa, psr = fusion_correlograms(
+        params, frames, cfg, pairs_static)
+
+    scores = fused_scores(corr_t, params.onehot, weights, cfg.srp_dtype)
+    refine = (grid_cfg.refine_peak == "on"
+              or (grid_cfg.refine_peak == "auto" and not with_solver))
+    xy_grid = srp.grid_peak_xy(
+        scores, (grid_cfg.height, grid_cfg.width),
+        (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+        grid_cfg.cells_per_m, refine=refine)
+
+    out = {
+        "tdoa_samples": tdoa,
+        "best_shift": shifts,
+        "scores": scores,
+        "xy_grid": xy_grid,
+        "confidence": jnp.min(psr, axis=-1),
+    }
+    if with_solver:
+        *lead, k, p = tdoa.shape
+        tdoa_s = tdoa.reshape(*lead, k * p) / cfg.sample_rate_hz
+        pair_w = jnp.repeat(weights, p)  # [K*P]
+        xy, rms = solver_ops.solve_tdoa_batched(
+            tdoa_s, params.cat_mics, params.cat_pairs,
+            speed_of_sound=cfg.speed_of_sound_mps,
+            height=grid_cfg.height_m, init_xy=xy_grid,
+            weights=pair_w, cfg=solver_cfg)
+        out["xy"] = xy
+        out["rms_m"] = rms
+        out["xy_cov"] = solver_ops.solution_covariance(
+            xy, rms, params.cat_mics, params.cat_pairs,
+            height=grid_cfg.height_m, cfg=solver_cfg)
+    else:
+        out["xy"] = xy_grid
+        out["rms_m"] = jnp.zeros(tdoa.shape[:-2], corr_t.dtype)
+    return out

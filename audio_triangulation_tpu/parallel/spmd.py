@@ -192,3 +192,79 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
         return {"scores": scores, "xy_grid": xy}
 
     return fn
+
+
+def make_fusion_spmd(fus, mesh):
+    """Multi-array fusion (``models.fusion``) with the ARRAY axis sharded
+    over ``model`` and frames over ``data``.
+
+    Each device holds only its arrays' steering matrices and computes their
+    correlograms + partial world-grid scores; a ``psum`` over the model axis
+    fuses the score maps, an ``all_gather`` assembles the joint TDOA vector,
+    and the joint Gauss-Newton solve runs replicated (it is tiny next to
+    the scoring matmuls).  Requires K divisible by the model-axis size."""
+    from ..models import fusion as fusion_mod
+    from ..ops import solver as solver_ops, srp as srp_ops
+
+    cfg = fus.pipeline
+    grid_cfg = fus.grid
+    solver_cfg = fus.solver
+    params = fus.params
+    model_n = mesh.shape[mesh_lib.MODEL_AXIS]
+    k = int(params.mic_world.shape[0])
+    p = int(params.pairs.shape[0])
+    if k % model_n:
+        raise ValueError(f"{k} arrays not divisible by model axis {model_n}")
+    pairs_static = tuple(
+        tuple(int(v) for v in row) for row in np.asarray(params.pairs))
+
+    onehot_dev = jax.device_put(
+        params.onehot,
+        jax.sharding.NamedSharding(mesh, P(mesh_lib.MODEL_AXIS, None, None)))
+
+    def per_device(frames_shard, onehot_shard, weights_shard):
+        """frames_shard [b/data, K/model, M, N]."""
+        corr_t, shifts, tdoa, psr = fusion_mod.fusion_correlograms(
+            params, frames_shard, cfg, pairs_static)
+        partial = fusion_mod.fused_scores(
+            corr_t, onehot_shard, weights_shard, cfg.srp_dtype)
+        scores = jax.lax.psum(partial, mesh_lib.MODEL_AXIS)      # [b, G]
+        xy_grid = srp_ops.grid_peak_xy(
+            scores, (grid_cfg.height, grid_cfg.width),
+            (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+            grid_cfg.cells_per_m, refine=False)
+        # joint solve needs every array's TDOAs and weights
+        tdoa_all = jax.lax.all_gather(
+            tdoa, mesh_lib.MODEL_AXIS, axis=1, tiled=True)       # [b, K, P]
+        w_all = jax.lax.all_gather(
+            weights_shard, mesh_lib.MODEL_AXIS, tiled=True)      # [K]
+        b = tdoa_all.shape[0]
+        tdoa_s = tdoa_all.reshape(b, k * p) / cfg.sample_rate_hz
+        xy, rms = solver_ops.solve_tdoa_batched(
+            tdoa_s, params.cat_mics, params.cat_pairs,
+            speed_of_sound=cfg.speed_of_sound_mps,
+            height=grid_cfg.height_m, init_xy=xy_grid,
+            weights=jnp.repeat(w_all, p), cfg=solver_cfg)
+        return scores, xy_grid, xy, rms, tdoa_all
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS, None, None),
+                  P(mesh_lib.MODEL_AXIS, None, None),
+                  P(mesh_lib.MODEL_AXIS)),
+        out_specs=(P(mesh_lib.DATA_AXIS, None), P(mesh_lib.DATA_AXIS, None),
+                   P(mesh_lib.DATA_AXIS, None), P(mesh_lib.DATA_AXIS),
+                   P(mesh_lib.DATA_AXIS, None, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(frames, weights=None):
+        w = (jnp.ones((k,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        scores, xy_grid, xy, rms, tdoa = mapped(frames, onehot_dev, w)
+        return {"scores": scores, "xy_grid": xy_grid, "xy": xy,
+                "rms_m": rms, "tdoa_samples": tdoa}
+
+    return fn
