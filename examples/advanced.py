@@ -115,3 +115,18 @@ data = neural.synthetic_batches(
     pipeline=net.pipeline, extent_m=0.9, seed=11)
 (params, _), losses = net.fit(data, seed=0)
 print(f"neural: loss {losses[0]:.3f} -> {losses[-1]:.3f} after 40 steps")
+
+# --- multi-array fusion (world-grid) -------------------------------------
+# two compact arrays 2 m apart fuse one world grid; the joint GN solve
+# uses the inter-array baseline to pin range for off-axis sources
+from audio_triangulation_tpu.models.fusion import ArrayFusionLocalizer
+
+arr_a = geometry.square_array(0.25) + np.array([-1.0, 0.0], np.float32)
+arr_b = geometry.square_array(0.25) + np.array([1.0, 0.0], np.float32)
+fus = ArrayFusionLocalizer.create([arr_a, arr_b], PipelineConfig(phat=True))
+src_f = np.array([[0.3, 1.5, 1.2]])
+fr = synth.synth_scene(src_f, np.concatenate([arr_a, arr_b]), noise_rms=0.01,
+                       seed=13)
+out_f = fus(jnp.asarray(fr.reshape(1, 2, 4, -1), jnp.float32))
+print(f"fusion: true [0.3 1.5] -> {np.round(np.asarray(out_f['xy'])[0], 3)} "
+      f"(rms {float(out_f['rms_m'][0]) * 100:.1f} cm)")
