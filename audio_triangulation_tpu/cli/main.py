@@ -440,6 +440,48 @@ def cmd_calibrate(args):
           f"({time.time() - t0:.1f}s)")
 
 
+def cmd_design(args):
+    import jax.numpy as jnp
+
+    from ..core import design, geometry
+    from ..core.config import GridConfig
+
+    rng = np.random.default_rng(args.seed)
+    k = args.cells  # coverage half-cells
+    cells_per_m = k / args.extent
+    xs = np.linspace(-args.extent, args.extent, 2 * k + 1)
+    pts = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2).astype(np.float32)
+
+    init = rng.uniform(
+        -args.aperture / 3, args.aperture / 3,
+        (args.mics, 2)).astype(np.float32)
+    t0 = time.time()
+    opt, hist = design.optimize_array(
+        init, pts, aperture_m=args.aperture,
+        min_separation_m=args.min_sep, steps=args.steps,
+        sigma_tau_s=args.sigma_tau_us * 1e-6)
+    print(f"coverage mean CRLB rms: {hist[0] * 100:.2f} cm -> "
+          f"{hist[-1] * 100:.2f} cm over {args.steps} steps "
+          f"({time.time() - t0:.1f}s)")
+    for i, (x, y) in enumerate(opt):
+        print(f"  mic {i}: ({x:+.4f}, {y:+.4f}) m")
+
+    if args.out:
+        from ..viz import png as png_mod, render
+
+        rms = np.asarray(design.crlb_rms_m(
+            jnp.asarray(opt), jnp.asarray(pts),
+            sigma_tau_s=args.sigma_tau_us * 1e-6, height=args.height))
+        # bright = better achievable accuracy
+        grid = GridConfig(half_cells_x=k, half_cells_y=k,
+                          cells_per_m=cells_per_m, projection="plane")
+        img = render.heatmap_rgb(
+            -rms.reshape(2 * k + 1, 2 * k + 1)[::-1], grid,
+            mode="continuous", mic_positions=opt)
+        png_mod.write_png(args.out, img)
+        print(f"CRLB map (bright = lower bound) -> {args.out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="audio_triangulation_tpu",
@@ -532,6 +574,24 @@ def main(argv=None):
     p.add_argument("--extract-method", choices=("das", "mvdr"),
                    default="das")
     p.set_defaults(fn=cmd_localize_wav)
+
+    p = sub.add_parser(
+        "design", help="CRLB-driven mic placement over a coverage region")
+    p.add_argument("--mics", type=int, default=4)
+    p.add_argument("--aperture", type=float, default=0.15,
+                   help="max mic radius from array center (m)")
+    p.add_argument("--min-sep", type=float, default=0.05)
+    p.add_argument("--extent", type=float, default=1.5,
+                   help="coverage half-extent (m)")
+    p.add_argument("--cells", type=int, default=16)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--sigma-tau-us", type=float, default=2.0,
+                   help="per-pair TDOA noise (microseconds RMS)")
+    p.add_argument("--height", type=float, default=1.2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="",
+                   help="optional CRLB-map PNG path")
+    p.set_defaults(fn=cmd_design)
 
     p = sub.add_parser("calibrate", help="array self-calibration demo")
     common(p)

@@ -50,6 +50,9 @@ def heatmap_rgb(
     if mode == "levels":
         img = LEVEL_COLORS[np.clip(a, 0, 4).astype(np.int64)]
     elif mode == "continuous":
+        # float64: in float32 the clip bound 4 - 1e-9 rounds to 4.0 and
+        # the max cell would index past the last ramp stop
+        a = a.astype(np.float64)
         lo, hi = float(a.min()), float(a.max())
         t = (a - lo) / (hi - lo + 1e-30)
         # black -> blue -> red -> yellow -> white ramp
