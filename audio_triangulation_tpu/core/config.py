@@ -240,6 +240,12 @@ class StreamConfig:
     chunk_size: int = 256  # samples consumed per stream step
     max_events_per_chunk: int = 1  # events extracted per step (masked)
     refractory_samples: int = 0  # extra post-trigger holdoff
+    # > 1 resolves simultaneous sources per event (SRP top-K on the RAW
+    # per-event correlograms + per-source GN refine; see
+    # models.localizer.localize_frames_multi) into 'multi_*' outputs
+    n_sources: int = 1
+    multi_min_separation_m: float = 0.4  # top-K NMS suppression radius
+    multi_assoc_window_samples: float = 3.0  # TDOA re-measurement gate
 
 
 @dataclasses.dataclass(frozen=True)

@@ -211,6 +211,59 @@ class Localizer:
         """jax.jit lowering handle (for AOT compile / inspection)."""
         return self._jitted.lower(self.params, frames)
 
+    def localize_multi(
+        self,
+        frames: jnp.ndarray,
+        n_sources: int = 2,
+        *,
+        min_separation_m: float = 0.4,
+        assoc_window_samples: float = 3.0,
+    ) -> dict:
+        """Resolve up to ``n_sources`` SIMULTANEOUS sources per frame
+        (cm-level, like the single-source path): SRP top-K peaks ->
+        per-source TDOA disambiguation near each peak's predicted lags ->
+        per-source Gauss-Newton refine.  See :func:`localize_frames_multi`
+        for the output dict ('xy' is [..., n_sources, 2], strongest
+        first; 'source_score' ranks/validates the slots)."""
+        m = self.params.mic_positions.shape[0]
+        n = self.pipeline.frame_size
+        if frames.ndim < 2 or frames.shape[-2] != m or frames.shape[-1] != n:
+            raise ValueError(
+                f"frames must be [..., {m} mics, {n} samples]; "
+                f"got {frames.shape}")
+        fn = self._jitted_multi(
+            n_sources, float(min_separation_m), float(assoc_window_samples))
+        return fn(self.params, frames)
+
+    @functools.cached_property
+    def _multi_cache(self) -> dict:
+        # per-instance jit cache keyed by the static multi-source knobs
+        # (lru_cache can't be used: params holds unhashable arrays)
+        return {}
+
+    def _jitted_multi(self, n_sources, min_separation_m,
+                      assoc_window_samples):
+        key = (n_sources, min_separation_m, assoc_window_samples)
+        fn = self._multi_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    localize_frames_multi,
+                    cfg=self.pipeline,
+                    grid_cfg=self.grid,
+                    solver_cfg=self.solver,
+                    srp_form=self.srp_form,
+                    n_sources=n_sources,
+                    min_separation_m=min_separation_m,
+                    assoc_window_samples=assoc_window_samples,
+                    pairs_static=tuple(
+                        tuple(int(v) for v in row)
+                        for row in np.asarray(self.params.pairs)),
+                )
+            )
+            self._multi_cache[key] = fn
+        return fn
+
     def extract(self, frames: jnp.ndarray, xy: jnp.ndarray | None = None,
                 *, method: str = "das", **kwargs) -> jnp.ndarray:
         """Beamformed source-audio extraction at position(s) ``xy``
@@ -487,6 +540,94 @@ def localize_frames(
         out["rms_m"] = jnp.zeros(tdoa_samples.shape[:-1], corr_t.dtype)
 
     return out
+
+
+def localize_frames_multi(
+    params: LocalizerParams,
+    frames: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    srp_form: str,
+    n_sources: int = 2,
+    min_separation_m: float = 0.4,
+    assoc_window_samples: float = 3.0,
+    pairs_static: tuple | None = None,
+) -> dict:
+    """Simultaneous multi-source pipeline on frames [..., M, N].
+
+    Where :func:`localize_frames` assumes one dominant source (its taper
+    and argmax follow the reference's single-event semantics,
+    ``vga_heatmap.h:99-108``), this resolves up to ``n_sources`` concurrent
+    sources per frame:
+
+    1. correlograms stay RAW (no peak taper — it would erase the weaker
+       source's peaks) and score the SRP grid;
+    2. ``srp.top_k_peaks`` extracts K spatially-separated grid peaks
+       (greedy NMS with a ``min_separation_m`` suppression radius);
+    3. each candidate's per-pair TDOA is re-measured as the correlogram's
+       local max within ``assoc_window_samples`` of the lag that candidate
+       PREDICTS (ops.multisource.windowed_subsample_peak) — the spatial
+       hypothesis picks which correlogram peak belongs to which source;
+    4. a per-source Gauss-Newton solve refines each candidate.
+
+    Returns (all leading dims preserved, S = n_sources):
+
+    - 'xy'           [..., S, 2]: refined positions, strongest first
+    - 'xy_grid'      [..., S, 2]: the SRP peak candidates
+    - 'tdoa_samples' [..., S, P]: per-source disambiguated TDOAs
+    - 'source_score' [..., S]: SRP peak score (ranking / validity)
+    - 'rms_m'        [..., S]: per-source solver residual
+    - 'xy_cov'       [..., S, 2, 2]: per-source position covariance
+      (feed ``models.tracking.Tracker.step_multi(zs, z_covs=...)``)
+    - 'scores'       [..., G]: the (untapered) SRP grid scores
+    """
+    from ..ops import multisource
+
+    k = cfg.max_shift
+    corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
+
+    if srp_form == "matmul":
+        scores = srp.srp_scores_matmul(corr, params.onehot, cfg.srp_dtype)
+    else:
+        scores = srp.srp_scores_gather(corr, params.lut_flat)
+    if params.score_bias is not None:
+        scores = scores + params.score_bias
+
+    g = grid_cfg.num_cells
+    cell_xy = jnp.asarray(multisource.cell_centers_xy(grid_cfg))
+    peak_xy, peak_score = srp.top_k_peaks(
+        scores[..., :g], cell_xy, n_sources, min_separation_m)
+
+    # per-candidate predicted lags -> windowed local TDOA re-measurement
+    mic3 = jnp.zeros((params.mic_positions.shape[0], 3), jnp.float32)
+    mic3 = mic3.at[:, :2].set(params.mic_positions)
+    pred_s = solver_ops.predicted_tdoas(
+        peak_xy, mic3, params.pairs, cfg.speed_of_sound_mps,
+        grid_cfg.height_m, solver_cfg.constrain_to_sphere)  # [..., S, P] s
+    pred_lags = pred_s * cfg.sample_rate_hz
+    tdoa_samples, peak_val = multisource.windowed_subsample_peak(
+        corr[..., None, :, :], k, pred_lags, assoc_window_samples)
+
+    xy, rms = solver_ops.solve_tdoa_batched(
+        tdoa_samples / cfg.sample_rate_hz, params.mic_positions,
+        params.pairs, speed_of_sound=cfg.speed_of_sound_mps,
+        height=grid_cfg.height_m, init_xy=peak_xy, cfg=solver_cfg)
+    xy_cov = solver_ops.solution_covariance(
+        xy, rms, params.mic_positions, params.pairs,
+        height=grid_cfg.height_m, cfg=solver_cfg)
+
+    return {
+        "xy": xy,
+        "xy_grid": peak_xy,
+        "tdoa_samples": tdoa_samples,
+        "peak_value": peak_val,
+        "source_score": peak_score,
+        "rms_m": rms,
+        "xy_cov": xy_cov,
+        "scores": scores,
+    }
 
 
 # ----------------------------------------------------------------------

@@ -119,6 +119,9 @@ class StreamingLocalizer:
                 max_events=self.stream.max_events_per_chunk,
                 refractory=self.stream.refractory_samples,
                 with_solver=self.with_solver,
+                n_sources=self.stream.n_sources,
+                multi_min_separation_m=self.stream.multi_min_separation_m,
+                multi_assoc_window=self.stream.multi_assoc_window_samples,
             ),
             donate_argnums=(0,),
         )
@@ -153,6 +156,9 @@ class StreamingLocalizer:
                     max_events=self.stream.max_events_per_chunk,
                     refractory=self.stream.refractory_samples,
                     with_solver=self.with_solver,
+                    n_sources=self.stream.n_sources,
+                    multi_min_separation_m=self.stream.multi_min_separation_m,
+                    multi_assoc_window=self.stream.multi_assoc_window_samples,
                 )
             ),
             donate_argnums=(0,),
@@ -237,6 +243,9 @@ def stream_step(
     max_events: int = 1,
     refractory: int = 0,
     with_solver: bool = False,
+    n_sources: int = 1,
+    multi_min_separation_m: float = 0.4,
+    multi_assoc_window: float = 3.0,
 ):
     """One streaming step: returns (new_state, outputs dict).
 
@@ -244,7 +253,14 @@ def stream_step(
     reference's full-frame refill holdoff plus ``refractory`` extra samples,
     sample_compute.h:55-57) and EMA-merges every accepted event in stream
     order.  ``with_solver`` adds a Gauss-Newton refine of the smoothed
-    correlogram peak (the batch path's flagship ``xy``) to the outputs."""
+    correlogram peak (the batch path's flagship ``xy``) to the outputs.
+
+    ``n_sources`` > 1 additionally resolves simultaneous sources per event
+    slot from the RAW (untapered) per-event correlograms — SRP top-K +
+    per-source TDOA disambiguation + GN refine, the streaming form of
+    :func:`..localizer.localize_frames_multi` — into 'multi_xy'
+    [K, S, 2] / 'multi_score' / 'multi_xy_cov' / 'multi_valid' outputs
+    sized for :meth:`..tracking.Tracker.step_multi`."""
     n = cfg.frame_size
     c_len = chunk.shape[-1]
     fs = cfg.sample_rate_hz
@@ -331,6 +347,42 @@ def stream_step(
         out["xy_cov"] = solver_ops.solution_covariance(
             xy, rms, params.mic_positions, params.pairs,
             height=grid_cfg.height_m, cfg=solver_cfg)[0]
+
+    if n_sources > 1:
+        # simultaneous-source resolution per event slot, from the RAW
+        # per-event correlograms (the tapered/EMA'd state above keeps its
+        # reference single-source semantics untouched)
+        from ..ops import multisource
+
+        g = grid_cfg.num_cells
+        if srp_form == "matmul":
+            mscores = srp.srp_scores_matmul(corr, params.onehot)
+        else:
+            mscores = srp.srp_scores_gather(corr, params.lut_flat)
+        cell_xy = jnp.asarray(multisource.cell_centers_xy(grid_cfg))
+        pk_xy, pk_score = srp.top_k_peaks(
+            mscores[..., :g], cell_xy, n_sources,
+            multi_min_separation_m)  # [K, S, 2], [K, S]
+        mic3 = jnp.zeros((params.mic_positions.shape[0], 3), jnp.float32)
+        mic3 = mic3.at[:, :2].set(params.mic_positions)
+        pred_lags = solver_ops.predicted_tdoas(
+            pk_xy, mic3, params.pairs, cfg.speed_of_sound_mps,
+            grid_cfg.height_m, solver_cfg.constrain_to_sphere) * fs
+        m_tdoa, _ = multisource.windowed_subsample_peak(
+            corr[:, None], cfg.max_shift, pred_lags, multi_assoc_window)
+        m_xy, m_rms = solver_ops.solve_tdoa_batched(
+            m_tdoa / fs, params.mic_positions, params.pairs,
+            speed_of_sound=cfg.speed_of_sound_mps,
+            height=grid_cfg.height_m, init_xy=pk_xy, cfg=solver_cfg)
+        out["multi_xy"] = m_xy  # [K, S, 2] strongest first
+        out["multi_score"] = pk_score
+        out["multi_rms_m"] = m_rms
+        out["multi_tdoa_samples"] = m_tdoa
+        out["multi_xy_cov"] = solver_ops.solution_covariance(
+            m_xy, m_rms, params.mic_positions, params.pairs,
+            height=grid_cfg.height_m, cfg=solver_cfg)
+        out["multi_valid"] = accepts[:, None] & jnp.ones(
+            (n_sources,), bool)[None, :]
     return new_state, out
 
 
