@@ -339,6 +339,17 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
     return gcc_kernel.pick_tile_b(n_mics, n, cfg, cfg.fused_tile_b)
 
 
+def _static_batch(lead) -> int | None:
+    """Total leading-batch size as a Python int, or None when a dimension
+    is symbolic (jax.export shape polymorphism) — in which case the
+    batch-size-dependent kernel dispatch falls back to the unfused XLA
+    path, which is shape-polymorphic."""
+    try:
+        return int(np.prod(lead)) if lead else 1
+    except Exception:  # TypeError / InconclusiveDimensionOperation
+        return None
+
+
 def _conditioned_correlograms(
     params: LocalizerParams, frames: jnp.ndarray, cfg: PipelineConfig,
     pairs_static: tuple | None = None,
@@ -350,9 +361,9 @@ def _conditioned_correlograms(
     unrolls over pairs at trace time; without it the unfused path runs."""
     m, n = frames.shape[-2:]
     lead = frames.shape[:-2]
-    b_total = int(np.prod(lead)) if lead else 1
+    b_total = _static_batch(lead)
     tile = _fused_tile(cfg, m, n) if pairs_static is not None else None
-    if (tile is not None
+    if (tile is not None and b_total is not None
             # tiny batches pad up to a full tile — the unfused path wins there
             and b_total * 2 >= tile):
         from ..ops.pallas import gcc_kernel
@@ -372,12 +383,13 @@ def _conditioned_correlograms(
         return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
     if (pairs_static is not None and len(pairs_static) > 256
             and cfg.xcorr_mode == "mxu"
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and _static_batch(lead) is not None):
         # large-array chunked Pallas kernel: spectra tile stays in VMEM
         # across pair chunks (2.1x over the XLA pair-blocked path)
         from ..ops.pallas import gcc_large
 
-        b = int(np.prod(lead)) if lead else 1
+        b = _static_batch(lead)
         tile = 4
         pad = (-b) % tile
         x = condition_frames(frames.reshape(b, m, n), params.window, cfg)
@@ -418,10 +430,10 @@ def localize_frames(
     k = cfg.max_shift
     m, n = frames.shape[-2:]
     lead = frames.shape[:-2]
-    b_total = int(np.prod(lead)) if lead else 1
+    b_total = _static_batch(lead)
     tile = _fused_tile(cfg, m, n) if pairs_static is not None else None
     fully_fused = (
-        tile is not None
+        tile is not None and b_total is not None
         and cfg.taper_enabled and cfg.subsample_peak
         # tiny batches pad up to a full tile — the unfused path wins there
         and b_total * 2 >= tile
@@ -508,7 +520,9 @@ def localize_frames(
             and jax.default_backend() == "tpu"
             # the kernel unrolls statically over pairs; large arrays blow
             # the VMEM stack and compile time — use the XLA solver there
-            and len(pairs_static) <= 64)
+            and len(pairs_static) <= 64
+            # symbolic batch (jax.export) -> shape-polymorphic XLA solver
+            and _static_batch(tdoa_s.shape[:-1]) is not None)
         if use_gn_kernel:
             from ..ops.pallas import gn_kernel
 
