@@ -58,6 +58,15 @@ class TrackerConfig:
     # soft association only: spawn a new track when the no-association
     # posterior beta_0 exceeds this
     spawn_b0: float = 0.5
+    # step_multi association weights:
+    # 'cheap': Fitzgerald's normalization (O(N K), the default);
+    # 'exact': true JPDA — enumerate every joint association event
+    # (injective measurement->track mappings + clutter), weight each by
+    # prod Pd L[n,k] * lambda^{#clutter}, and marginalize.  Exact mutual
+    # exclusivity; cost grows combinatorially but the event table is a
+    # static constant and the marginalization is one einsum, so it jits
+    # and vmaps like everything else (fine for N, K <= ~6).
+    joint_association: str = "cheap"
 
 
 @jax.tree_util.register_dataclass
@@ -91,6 +100,45 @@ def init_state(cfg: TrackerConfig) -> TrackState:
         dropped=jnp.zeros((), jnp.int32),
         unassigned=jnp.zeros((), jnp.int32),
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _joint_event_tables(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Enumerate every joint association event for N measurements x K tracks.
+
+    An event assigns each measurement to one track or to clutter, with each
+    track taking at most one measurement (the mutual-exclusivity constraint
+    the cheap normalization only approximates).  Returns
+
+    - onehot [E, N, K] float32: onehot[e, n, k] = 1 iff event e assigns
+      measurement n to track k;
+    - n_clutter [E] float32: number of clutter-assigned measurements.
+
+    E = sum_m C(N, m) * P(K, m); for the default N = K = 4 bank that's 209
+    events — a static constant folded into the jitted program.
+    """
+    import itertools
+
+    events = []
+    for choice in itertools.product(range(-1, k), repeat=n):
+        used = [c for c in choice if c >= 0]
+        if len(used) != len(set(used)):
+            continue
+        events.append(choice)
+    e = len(events)
+    if e > 200_000:
+        raise ValueError(
+            f"exact JPDA event table has {e} events for N={n}, K={k}; "
+            "use joint_association='cheap' at this scale")
+    onehot = np.zeros((e, n, k), np.float32)
+    n_clutter = np.zeros((e,), np.float32)
+    for ei, choice in enumerate(events):
+        for ni, c in enumerate(choice):
+            if c < 0:
+                n_clutter[ei] += 1.0
+            else:
+                onehot[ei, ni, c] = 1.0
+    return onehot, n_clutter
 
 
 def _predict(x, p, dt, q):
@@ -291,15 +339,26 @@ def step_multi(
     single-measurement :func:`step` would have to process events serially
     and could double-update one track.
 
-    Association weights use Fitzgerald's cheap-JPDA normalization
+    Association weights (``cfg.joint_association``):
 
-        b[n,k] = L[n,k] / (sum_k' L[n,k'] + sum_n' L[n',k] - L[n,k] + B)
+    - ``'cheap'`` (default): Fitzgerald's normalization
 
-    with B = clutter_density / detect_prob, which reduces EXACTLY to the
-    single-measurement PDA posterior of ``step(association='soft')`` at
-    N = 1.  Each track is updated once with its combined weighted
-    innovation (standard JPDA update); unexplained measurements spawn into
-    free slots.
+          b[n,k] = L[n,k] / (sum_k' L[n,k'] + sum_n' L[n',k] - L[n,k] + B)
+
+      with B = clutter_density / detect_prob — O(N K), reduces EXACTLY to
+      the single-measurement PDA posterior of ``step(association='soft')``
+      at N = 1.
+    - ``'exact'``: full joint-hypothesis JPDA — every joint association
+      event (injective measurement->track mapping, remainder clutter) is
+      enumerated into a static table, weighted by
+      prod_assigned L[n,k] * B^{#clutter}, and marginalized.  Mutual
+      exclusivity is exact (a measurement claimed by one track cannot
+      also fully claim another); also reduces to the PDA posterior at
+      N = 1.  Cost is combinatorial but static (209 events at N = K = 4).
+
+    Each track is updated once with its combined weighted innovation
+    (standard JPDA update); unexplained measurements spawn into free
+    slots.
 
     Outputs as :func:`step`, plus 'assigned' is [N] (dominant track per
     measurement, -1 if none with weight > 0.5).
@@ -340,9 +399,27 @@ def step_multi(
         / (2.0 * jnp.pi * jnp.sqrt(det)),
         0.0)  # [N, K]
     b_const = cfg.clutter_density / cfg.detect_prob
-    denom = (jnp.sum(like, axis=1, keepdims=True)
-             + jnp.sum(like, axis=0, keepdims=True) - like + b_const)
-    beta = like / denom  # [N, K]
+    if cfg.joint_association == "exact":
+        # true JPDA: marginalize over every joint association event.
+        # log-weight of event e = sum_{n assigned k} log L[n,k]
+        #                         + (#clutter in e) * log(lambda / Pd);
+        # gated-out (n, k) cells get a -1e30 log-likelihood so any event
+        # using them vanishes under softmax (the all-clutter event always
+        # has finite weight, so the softmax is well-defined).
+        onehot_np, nclut_np = _joint_event_tables(n, k)
+        onehot = jnp.asarray(onehot_np)
+        nclut = jnp.asarray(nclut_np)
+        loglike = jnp.where(
+            like > 0.0, jnp.log(jnp.maximum(like, 1e-38)), -1e30)
+        logw = (jnp.einsum("enk,nk->e", onehot, loglike)
+                + nclut * jnp.log(b_const))
+        p_e = jax.nn.softmax(logw)
+        beta = jnp.einsum("e,enk->nk", p_e, onehot)  # [N, K]
+    else:
+        # Fitzgerald's cheap-JPDA normalization (exact at N = 1)
+        denom = (jnp.sum(like, axis=1, keepdims=True)
+                 + jnp.sum(like, axis=0, keepdims=True) - like + b_const)
+        beta = like / denom  # [N, K]
 
     # ---- combined weighted Kalman update per track -----------------------
     w_k = jnp.sum(beta, axis=0)  # [K] total association probability

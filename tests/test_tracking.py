@@ -309,6 +309,131 @@ def test_step_multi_spawns_multiple():
     assert got == {(0.4, 0.4), (-0.6, 0.2)}, got
 
 
+def _bruteforce_joint_beta(like, b_const):
+    """Independent brute-force JPDA marginalization (pure Python/NumPy):
+    enumerate injective partial assignments, weight = prod L * B^#clutter."""
+    import itertools
+
+    n, k = like.shape
+    num = np.zeros((n, k))
+    tot = 0.0
+    for choice in itertools.product(range(-1, k), repeat=n):
+        used = [c for c in choice if c >= 0]
+        if len(used) != len(set(used)):
+            continue
+        w = 1.0
+        for ni, c in enumerate(choice):
+            w *= b_const if c < 0 else like[ni, c]
+        tot += w
+        for ni, c in enumerate(choice):
+            if c >= 0:
+                num[ni, c] += w
+    return num / tot
+
+
+def test_step_multi_exact_beta_matches_bruteforce():
+    """The einsum-marginalized exact-JPDA posterior equals an independent
+    itertools enumeration of the same joint-event weights."""
+    rng = np.random.default_rng(11)
+    cfg = TrackerConfig(association="soft", joint_association="exact",
+                        measurement_noise=0.03, process_noise=0.02,
+                        gate_maha2=1e9)  # no gating: every cell live
+    tr = Tracker(cfg)
+    st = tr.init()
+    # establish 3 tracks
+    pts = [np.array([0.3, 0.0]), np.array([-0.3, 0.0]), np.array([0.0, 0.4])]
+    for t in np.arange(0.1, 1.0, 0.1):
+        for p in pts:
+            st, _ = tr.step(st, p + rng.normal(0, 0.02, 2), t)
+    assert int(np.asarray(st.active).sum()) == 3
+
+    # recompute the likelihood matrix the way step_multi does
+    t1 = 1.05
+    zs = np.array([[0.25, 0.05], [-0.05, 0.2]])
+    active, _, xp, pp, s00, s11, s01, det = tracking._predict_all(
+        st, jnp.float32(t1), cfg)
+    innov = zs[:, None, :] - np.asarray(xp)[None, :, :2]
+    s00, s11, s01, det = (np.asarray(v) for v in (s00, s11, s01, det))
+    maha2 = (innov[..., 0] ** 2 * s11
+             - 2 * innov[..., 0] * innov[..., 1] * s01
+             + innov[..., 1] ** 2 * s00) / det
+    like = np.where(np.asarray(active)[None, :],
+                    np.exp(-0.5 * np.minimum(maha2, 80.0))
+                    / (2 * np.pi * np.sqrt(det)), 0.0)
+    want = _bruteforce_joint_beta(like,
+                                  cfg.clutter_density / cfg.detect_prob)
+
+    _, out = tr.step_multi(st, zs, t1)
+    got = np.asarray(out["beta"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_step_multi_exact_n1_matches_cheap():
+    """Both normalizations are the PDA posterior at N = 1, so exact and
+    cheap step_multi must agree measurement-for-measurement."""
+    rng = np.random.default_rng(12)
+    mk = lambda ja: Tracker(TrackerConfig(
+        association="soft", joint_association=ja, measurement_noise=0.02))
+    a, b = mk("cheap"), mk("exact")
+    sa, sb = a.init(), b.init()
+    p0, v = np.array([0.1, -0.2]), np.array([0.15, 0.1])
+    for t in np.cumsum(rng.uniform(0.08, 0.12, 15)):
+        z = (p0 + v * t + rng.normal(0, 0.02, 2))[None, :]
+        sa, oa = a.step_multi(sa, z, t)
+        sb, ob = b.step_multi(sb, z, t)
+        np.testing.assert_allclose(np.asarray(oa["beta"]),
+                                   np.asarray(ob["beta"]),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_step_multi_exact_enforces_exclusivity():
+    """Two tracks, two measurements: m0 sits ON track A, m1 halfway between
+    A and B.  Exact JPDA knows A is claimed by m0, so m1's posterior mass
+    shifts toward B relative to the cheap normalization."""
+    rng = np.random.default_rng(13)
+
+    def run(ja):
+        cfg = TrackerConfig(association="soft", joint_association=ja,
+                            measurement_noise=0.04, process_noise=0.02)
+        tr = Tracker(cfg)
+        st = tr.init()
+        pa, pb = np.array([0.12, 0.0]), np.array([-0.12, 0.0])
+        for t in np.arange(0.1, 1.0, 0.1):
+            for p in (pa, pb):
+                st, _ = tr.step(st, p + rng.normal(0, 0.015, 2), t)
+        assert int(np.asarray(st.active).sum()) == 2
+        ia = int(np.argmin(np.abs(np.asarray(st.x)[:, 0] - 0.12)))
+        ib = int(np.argmin(np.abs(np.asarray(st.x)[:, 0] + 0.12)))
+        zs = np.array([[0.12, 0.0],    # on A
+                       [0.0, 0.0]])    # ambiguous between A and B
+        _, out = tr.step_multi(st, zs, 1.05)
+        beta = np.asarray(out["beta"])
+        return beta[1, ia], beta[1, ib]
+
+    cheap_a, cheap_b = run("cheap")
+    exact_a, exact_b = run("exact")
+    # exact: the ambiguous measurement leans to B (A is taken by m0)
+    assert exact_b > exact_a, (exact_a, exact_b)
+    # and leans to B strictly more than the cheap approximation does
+    assert exact_b - exact_a > (cheap_b - cheap_a) + 0.02, (
+        (cheap_a, cheap_b), (exact_a, exact_b))
+
+
+def test_joint_event_tables():
+    onehot, nclut = tracking._joint_event_tables(4, 4)
+    assert onehot.shape == (209, 4, 4)  # sum_m C(4,m) P(4,m)
+    # each event: per-measurement at most one track; injective
+    assert (onehot.sum(axis=2) <= 1).all()
+    assert (onehot.sum(axis=1) <= 1).all()
+    np.testing.assert_allclose(
+        nclut, 4 - onehot.sum(axis=(1, 2)))
+    # events are unique
+    flat = onehot.reshape(209, -1)
+    assert len({tuple(r) for r in flat.astype(int)}) == 209
+
+
 def test_step_multi_shared_measurement_splits_weight():
     """One measurement between two nearby tracks: weight splits, neither
     track is fully captured (beta < 1 for both)."""
