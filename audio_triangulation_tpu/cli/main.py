@@ -58,7 +58,8 @@ def cmd_simulate(args):
     mics = _mic_array(args)
     plane, frames = _build_scene(args, mics)
     loc = Localizer.create(
-        mics, PipelineConfig(phat=args.phat), with_heatmap=True)
+        mics, PipelineConfig(phat=args.phat, weighting=args.weighting),
+        with_heatmap=True)
     out = loc(jnp.asarray(frames, jnp.float32))
 
     xy = np.asarray(out["xy"])[0]
@@ -501,6 +502,10 @@ def main(argv=None):
     p = sub.add_parser("simulate", help="synthetic scene -> localization")
     common(p)
     p.add_argument("--phat", action="store_true")
+    p.add_argument("--weighting", default="auto",
+                   choices=("auto", "none", "phat", "scot", "roth", "ml"),
+                   help="GCC frequency weighting (Knapp & Carter); "
+                        "'auto' follows --phat")
     p.add_argument("--out", default="dashboard.png")
     p.set_defaults(fn=cmd_simulate)
 
@@ -566,6 +571,10 @@ def main(argv=None):
     common(p)
     p.add_argument("wav")
     p.add_argument("--phat", action="store_true")
+    p.add_argument("--weighting", default="auto",
+                   choices=("auto", "none", "phat", "scot", "roth", "ml"),
+                   help="GCC frequency weighting (Knapp & Carter); "
+                        "'auto' follows --phat")
     p.add_argument("--max-events", type=int, default=16)
     p.add_argument("--extract", metavar="OUT_WAV",
                    help="also write a beamformed mono waveform of each "
@@ -619,7 +628,8 @@ def cmd_localize_wav(args):
         raise SystemExit(
             f"wav has {samples.shape[0]} channels, array has "
             f"{mics.shape[0]} mics")
-    cfg = PipelineConfig(sample_rate_hz=rate, phat=args.phat)
+    cfg = PipelineConfig(sample_rate_hz=rate, phat=args.phat,
+                         weighting=args.weighting)
     loc = Localizer.create(mics, cfg)
 
     x = jnp.asarray(samples.astype(np.int64))[None]

@@ -99,6 +99,20 @@ class PipelineConfig:
     # no whitening -- set False for reference parity).
     phat: bool = False
     phat_eps: float = 1e-12
+    # Generalized cross-correlation weighting (Knapp & Carter 1976).
+    # 'auto' derives from ``phat`` ('phat' when set, else 'none'); the other
+    # values select a frequency-weighting of the cross-spectrum:
+    #   'scot' : 1/sqrt(Gaa Gbb)      (Smoothed Coherence Transform)
+    #   'roth' : 1/Gaa                (Roth impulse-response weighting)
+    #   'ml'   : |g|^2/(|Gab|(1-|g|^2)), g^2 = coherence (Hannan-Thomson /
+    #            approximate maximum-likelihood; emphasizes coherent bins)
+    # scot/roth/ml estimate Gaa/Gbb/Gab by a moving average over
+    # ``2*coherence_bins + 1`` frequency bins (per-frame periodograms make
+    # SCOT == PHAT and coherence == 1 exactly; smoothing is what gives
+    # these weightings their distinct behavior).  These run on the XLA-FFT
+    # correlation path (robustness-oriented, not the fused hot path).
+    weighting: str = "auto"
+    coherence_bins: int = 16
     # 'linear'  : zero-padded FFT -> exact linear correlation (= reference's
     #             overlap-only sum, correlations.c:9-18)
     # 'circular': N-point circular correlation (cheaper; valid with windowing)
@@ -108,7 +122,14 @@ class PipelineConfig:
     # --- peak post-processing (correlations.c:20-33) ---
     taper_enabled: bool = True
     taper_denom: float = 36.0  # exp(-(s - s_best)^2 / taper_denom)
-    subsample_peak: bool = True  # parabolic interpolation (new capability)
+    subsample_peak: bool = True  # sub-sample interpolation (new capability)
+    # 'parabolic': 3-point interpolation of the correlogram peak (hot path,
+    #              folded into the fused kernel)
+    # 'phase'    : coherence-weighted cross-spectrum phase-slope regression
+    #              (ops/xcorr.tdoa_phase_slope) — lower bias for band-limited
+    #              signals; runs an extra FFT pass and disables the fused
+    #              kernel (precision tool, like the smoothed weightings)
+    subsample_method: str = "parabolic"
 
     # --- temporal smoothing (correlations.c:38-49) ---
     ema_tau_s: float = 0.5
@@ -144,6 +165,13 @@ class PipelineConfig:
         return 2 << (2 * (self.frame_size_bits - 1))
 
     @property
+    def effective_weighting(self) -> str:
+        """The resolved GCC weighting: 'auto' maps to 'phat' iff ``phat``."""
+        if self.weighting == "auto":
+            return "phat" if self.phat else "none"
+        return self.weighting
+
+    @property
     def fft_length(self) -> int:
         if self.fft_size is not None:
             return self.fft_size
@@ -161,6 +189,8 @@ class PipelineConfig:
             "fused_kernel": ("auto", "on", "off"),
             "srp_dtype": ("float32", "bfloat16"),
             "fft_pad_mode": ("linear", "circular"),
+            "weighting": ("auto", "none", "phat", "scot", "roth", "ml"),
+            "subsample_method": ("parabolic", "phase"),
         }
         for field, allowed in _check.items():
             v = getattr(self, field)
@@ -223,6 +253,13 @@ class SolverConfig:
     # grid-cell-accurate init; 3-4 suffice, 5 adds margin)
     damping: float = 1e-3  # Levenberg damping
     constrain_to_sphere: bool = True  # match the reference's sphere-cap model
+    # --- robust (outlier-resistant) estimation ---
+    # 'huber' / 'cauchy' run IRLS rounds after the plain GN solve: pairs are
+    # reweighted by their TDOA residuals so multipath / spurious-peak pairs
+    # stop dragging the fit (M-estimation).  'none' = plain least squares.
+    robust: str = "none"
+    robust_scale_m: float = 0.0  # residual scale (m); 0 = adaptive 1.4826*MAD
+    irls_iterations: int = 2  # reweight rounds (each re-runs the GN loop)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -304,6 +304,10 @@ def condition_frames(frames: jnp.ndarray, window: jnp.ndarray,
 def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
                      cfg: PipelineConfig) -> jnp.ndarray:
     """Conditioned frames [..., M, N] -> correlograms [..., P, L]."""
+    if cfg.effective_weighting in ("scot", "roth", "ml"):
+        # smoothed-spectral-estimate weightings live on the XLA-FFT path
+        # (robustness-oriented; PHAT/none stay on the MXU/fused hot paths)
+        return xcorr.xcorr_fft(frames, params.pairs, cfg)
     if cfg.xcorr_mode == "mxu":
         n_pairs = params.pairs.shape[0]
         chunk = cfg.pair_chunk
@@ -332,6 +336,10 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
         return None
     if cfg.normalize_mode not in ("shift8", "none"):
         return None  # full-range normalization is not folded into the kernel
+    if cfg.effective_weighting in ("scot", "roth", "ml"):
+        return None  # smoothed weightings run on the XLA-FFT path
+    if cfg.subsample_method == "phase" and cfg.subsample_peak:
+        return None  # phase-slope regression needs the spectra
     if cfg.fused_kernel == "on":
         return cfg.fused_tile_b
     if jax.default_backend() != "tpu":
@@ -467,6 +475,13 @@ def localize_frames(
         psr = xcorr.peak_confidence(corr, k)  # raw, pre-taper
         if not cfg.subsample_peak:
             tdoa_samples = shifts.astype(corr.dtype)
+        elif cfg.subsample_method == "phase":
+            cond = condition_frames(frames, params.window, cfg)
+            spectra = xcorr.rfft_frames(cond, cfg.fft_length)
+            tdoa_samples = xcorr.tdoa_phase_slope(
+                spectra, params.pairs, shifts,
+                fft_length=cfg.fft_length,
+                half_width=cfg.coherence_bins, eps=cfg.phat_eps)
         corr_t = (
             xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
             if cfg.taper_enabled else corr

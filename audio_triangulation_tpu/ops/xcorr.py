@@ -95,6 +95,68 @@ def correlogram_from_cross_power(
     return jnp.concatenate([neg, pos], axis=-1)
 
 
+def freq_smooth(x: jnp.ndarray, half_width: int) -> jnp.ndarray:
+    """Moving average over ``2*half_width + 1`` bins along the last
+    (frequency) axis, edge bins normalized by their actual support —
+    the spectral-density estimator behind the smoothed GCC weightings
+    (same role as Welch averaging, but within one frame)."""
+    if half_width <= 0:
+        return x
+    w = 2 * half_width + 1
+    pad = [(0, 0)] * (x.ndim - 1) + [(half_width, half_width)]
+    c = jnp.cumsum(jnp.pad(x, pad), axis=-1)
+    c = jnp.pad(c, [(0, 0)] * (x.ndim - 1) + [(1, 0)])
+    total = c[..., w:] - c[..., :-w]
+    f = x.shape[-1]
+    counts = np.minimum(np.arange(f) + half_width + 1, f) - np.maximum(
+        np.arange(f) - half_width, 0)
+    return total / jnp.asarray(counts, x.dtype)
+
+
+def gcc_weight(
+    spectra: jnp.ndarray,
+    pairs: jnp.ndarray,
+    weighting: str,
+    *,
+    half_width: int = 16,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Classic GCC frequency weights psi [..., P, F] (Knapp & Carter 1976)
+    from per-mic spectra [..., M, F], using frequency-smoothed spectral
+    estimates (see :func:`freq_smooth`):
+
+    - 'roth': psi = 1/Gaa — deconvolves mic a's spectrum (the GCC that
+      estimates the a->b impulse response).
+    - 'scot': psi = 1/sqrt(Gaa Gbb) — symmetric pre-whitening; equals PHAT
+      when the spectra are raw per-frame periodograms (|Gab| = sqrt(Gaa
+      Gbb) there), distinct once smoothed.
+    - 'ml': psi = g2/(|Gab| (1 - g2)), g2 = |Gab|^2/(Gaa Gbb) the magnitude-
+      squared coherence — the Hannan-Thomson approximate-ML weighting that
+      up-weights bins where the mics actually cohere (reverb/noise
+      robustness).
+    """
+    auto = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2  # [..., M, F]
+    auto_s = freq_smooth(auto, half_width)
+    gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)  # [..., P, F]
+    gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
+    if weighting == "roth":
+        return 1.0 / (gaa + eps)
+    if weighting == "scot":
+        return jax.lax.rsqrt(gaa * gbb + eps * eps)
+    if weighting == "ml":
+        xi = jnp.take(spectra, pairs[:, 0], axis=-2)
+        xj = jnp.take(spectra, pairs[:, 1], axis=-2)
+        gab = jnp.conj(xi) * xj
+        gab_s_re = freq_smooth(jnp.real(gab), half_width)
+        gab_s_im = freq_smooth(jnp.imag(gab), half_width)
+        gab_mag2 = gab_s_re ** 2 + gab_s_im ** 2
+        denom_pw = gaa * gbb + eps * eps
+        g2 = jnp.clip(gab_mag2 / denom_pw, 0.0, 1.0 - 1e-4)
+        gab_mag = jnp.sqrt(gab_mag2)
+        return g2 / ((gab_mag + eps) * (1.0 - g2))
+    raise ValueError(f"unknown GCC weighting {weighting!r}")
+
+
 def xcorr_fft(
     frames: jnp.ndarray,
     pairs: jnp.ndarray,
@@ -102,7 +164,14 @@ def xcorr_fft(
 ) -> jnp.ndarray:
     """GCC correlograms [..., P, 2K+1] from frames [..., M, N]."""
     spectra = rfft_frames(frames, cfg.fft_length)
-    r = cross_power(spectra, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps)
+    weighting = cfg.effective_weighting
+    if weighting in ("roth", "scot", "ml"):
+        psi = gcc_weight(spectra, pairs, weighting,
+                         half_width=cfg.coherence_bins, eps=cfg.phat_eps)
+        r = cross_power(spectra, pairs, phat=False) * psi
+    else:
+        r = cross_power(spectra, pairs, phat=weighting == "phat",
+                        phat_eps=cfg.phat_eps)
     return correlogram_from_cross_power(r, cfg.fft_length, cfg.max_shift)
 
 
@@ -230,6 +299,71 @@ def subsample_peak(
     delta = jnp.where((p >= 1) & (p <= n_lags - 2), delta, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
     return (p - max_shift) + delta, peak
+
+
+def tdoa_phase_slope(
+    spectra: jnp.ndarray,
+    pairs: jnp.ndarray,
+    coarse_lag: jnp.ndarray,
+    *,
+    fft_length: int,
+    half_width: int = 16,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Sub-sample TDOA by coherence-weighted phase-slope regression
+    (new capability; the reference stops at integer shifts,
+    correlations.c:20-23).
+
+    A pure delay d puts phase -2*pi*k*d/N on cross-power bin k (the
+    convention of :func:`cross_power`: positive lag = mic j lags mic i).
+    Starting from the integer ``coarse_lag`` d0 of the correlogram argmax,
+    each iteration derotates the cross-power by the current estimate so the
+    residual phase is slope -2*pi*k*delta/N with |delta| < 1 — inside
+    (-pi, pi) for every bin, no unwrapping needed — and takes the
+    weighted-least-squares slope.  Bins are weighted by |R|^2 * gamma^2
+    (raw cross-power magnitude-squared times the smoothed magnitude-squared
+    coherence): SNR^2-proportional weighting with incoherent bins gated
+    off, which measured best across delay/seed/noise sweeps (pure-coherence
+    ML weights lose because per-frame coherence estimates saturate).
+
+    Honest accounting: on wideband bursts this beats 3-point parabolic
+    interpolation by ~30% at high SNR (true linear delays) and loses
+    slightly at low SNR, where both are noise-limited rather than
+    interpolation-limited — hence parabolic remains the default
+    (``PipelineConfig(subsample_method='parabolic')``).
+
+    spectra: [..., M, F]; pairs [P, 2]; coarse_lag [..., P] (samples).
+    Returns fractional TDOA [..., P] in samples.
+    """
+    xi = jnp.take(spectra, pairs[:, 0], axis=-2)  # [..., P, F]
+    xj = jnp.take(spectra, pairs[:, 1], axis=-2)
+    r = jnp.conj(xi) * xj
+    f = spectra.shape[-1]
+    k = jnp.arange(f, dtype=jnp.float32)
+
+    auto = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2
+    auto_s = freq_smooth(auto, half_width)
+    gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)
+    gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
+    gab_re = freq_smooth(jnp.real(r), half_width)
+    gab_im = freq_smooth(jnp.imag(r), half_width)
+    g2 = jnp.clip((gab_re ** 2 + gab_im ** 2) / (gaa * gbb + eps * eps),
+                  0.0, 1.0)
+    mag2 = jnp.real(r) ** 2 + jnp.imag(r) ** 2
+    w = mag2 * g2
+    # Nyquist's phase is sign-only (real bin) — exclude it from the fit
+    w = w * (k < (f - 1))
+    den = jnp.sum(w * k * k, axis=-1)
+
+    d = coarse_lag.astype(jnp.float32)
+    for _ in range(2):  # Gauss-Newton on the wrapped-phase model
+        ang = (2.0 * jnp.pi / fft_length) * k * d[..., None]
+        rr = r * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        phi = jnp.arctan2(jnp.imag(rr), jnp.real(rr))  # [..., P, F]
+        num = jnp.sum(w * k * phi, axis=-1)
+        delta = -(fft_length / (2.0 * jnp.pi)) * num / jnp.maximum(den, eps)
+        d = d + jnp.clip(delta, -1.0, 1.0)
+    return d
 
 
 def peak_confidence(
