@@ -128,7 +128,13 @@ def solve_tdoa_batched(
     per solve) — so per-iteration cost is O(B M^2) instead of O(B P M),
     a ~30x FLOP cut for 64-mic/2016-pair arrays.  Only the final RMS
     evaluates an explicit [B, P] residual (once), avoiding the f32
-    cancellation a quadratic-form RMS would have."""
+    cancellation a quadratic-form RMS would have.
+
+    With ``cfg.robust`` set ('huber'/'cauchy'), IRLS rounds follow the
+    plain solve: per-pair robust weights from the residuals (adaptive MAD
+    scale by default), per-batch sufficient statistics, GN re-run — so
+    multipath-corrupted pairs are down-weighted instead of dragging the
+    fit (new capability; no reference analogue)."""
     dt = init_xy.dtype
     m = mic_positions.shape[0]
     mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
@@ -172,31 +178,67 @@ def solve_tdoa_batched(
                         precision=_HI)  # [B, M, 2]
         return d, gd
 
-    def gn_step(_, xy):
-        d, gd = dist_grad(xy)
-        # normal equations from the M-space sufficient statistics:
-        # a = gd^T Q gd, b = gd^T (Q d - t2) — no [B, P] tensors
-        qgd = jnp.einsum("mn,...nj->...mj", q, gd, precision=_HI)
-        a = jnp.einsum("...mi,...mj->...ij", gd, qgd,
-                       precision=_HI)  # [B, 2, 2]
-        qd = jnp.einsum("mn,...n->...m", q, d, precision=_HI)
-        b = jnp.einsum("...mi,...m->...i", gd, qd - t2,
-                       precision=_HI)  # [B, 2]
-        a00 = a[..., 0, 0] + damp
-        a11 = a[..., 1, 1] + damp
-        a01 = a[..., 0, 1]
-        det = a00 * a11 - a01 * a01
-        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
-        dx = (a11 * b[..., 0] - a01 * b[..., 1]) * inv_det
-        dy = (a00 * b[..., 1] - a01 * b[..., 0]) * inv_det
-        return xy - jnp.stack([dx, dy], axis=-1)
+    def gn_loop(q_, t2_, xy0):
+        # q_ may be the shared [M, M] statistic or a per-batch [B, M, M]
+        # (robust IRLS rounds); the einsums broadcast either way
+        def gn_step(_, xy):
+            d, gd = dist_grad(xy)
+            # normal equations from the M-space sufficient statistics:
+            # a = gd^T Q gd, b = gd^T (Q d - t2) — no [B, P] tensors
+            qgd = jnp.einsum("...mn,...nj->...mj", q_, gd, precision=_HI)
+            a = jnp.einsum("...mi,...mj->...ij", gd, qgd,
+                           precision=_HI)  # [B, 2, 2]
+            qd = jnp.einsum("...mn,...n->...m", q_, d, precision=_HI)
+            b = jnp.einsum("...mi,...m->...i", gd, qd - t2_,
+                           precision=_HI)  # [B, 2]
+            a00 = a[..., 0, 0] + damp
+            a11 = a[..., 1, 1] + damp
+            a01 = a[..., 0, 1]
+            det = a00 * a11 - a01 * a01
+            inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+            dx = (a11 * b[..., 0] - a01 * b[..., 1]) * inv_det
+            dy = (a00 * b[..., 1] - a01 * b[..., 0]) * inv_det
+            return xy - jnp.stack([dx, dy], axis=-1)
 
-    xy = jax.lax.fori_loop(0, cfg.iterations, gn_step, init_xy.astype(dt))
-    d, _ = dist_grad(xy)
-    r = jnp.einsum("pm,...m->...p", sel, d,
-                   precision=_HI) - target  # [B, P], final only
-    if weights is not None:
-        r = r * weights
+        return jax.lax.fori_loop(0, cfg.iterations, gn_step, xy0)
+
+    def pair_residual(xy):
+        d, _ = dist_grad(xy)
+        r = jnp.einsum("pm,...m->...p", sel, d,
+                       precision=_HI) - target  # [B, P] meters
+        return r if weights is None else r * weights
+
+    xy = gn_loop(q, t2, init_xy.astype(dt))
+
+    if cfg.robust != "none":
+        # IRLS: reweight pairs by their residuals and re-run the GN loop.
+        # Each round rebuilds PER-BATCH sufficient statistics ([B, M, M])
+        # from the robust weights — the one place the pair axis re-enters,
+        # once per round, as a single einsum.
+        base_w2 = jnp.ones(pairs.shape[0], dt) if w2 is None else w2
+        for _ in range(cfg.irls_iterations):
+            r = pair_residual(xy)  # [B, P] (base-weighted) meters
+            ar = jnp.abs(r)
+            if cfg.robust_scale_m > 0:
+                delta = jnp.asarray(cfg.robust_scale_m, dt)
+            else:
+                # adaptive: 1.4826 * MAD, the standard robust sigma
+                delta = jnp.asarray(1.345 * 1.4826, dt) * jnp.maximum(
+                    jnp.median(ar, axis=-1, keepdims=True), 1e-6)
+            if cfg.robust == "huber":
+                w_rob = jnp.minimum(1.0, delta / jnp.maximum(ar, 1e-12))
+            elif cfg.robust == "cauchy":
+                w_rob = 1.0 / (1.0 + (ar / delta) ** 2)
+            else:
+                raise ValueError(f"unknown robust mode {cfg.robust!r}")
+            w2_tot = base_w2 * w_rob  # [B, P]
+            q_b = jnp.einsum("pm,pn,...p->...mn", sel, sel, w2_tot,
+                             precision=_HI)  # [B, M, M]
+            t2_b = jnp.einsum("pm,...p,...p->...m", sel, w2_tot, target,
+                              precision=_HI)  # [B, M]
+            xy = gn_loop(q_b, t2_b, xy)
+
+    r = pair_residual(xy)  # final only
     rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
     return xy, rms
 
