@@ -34,6 +34,14 @@ def _build_scene(args, mics):
     return plane, frames
 
 
+def _parse_band(spec):
+    """'LO:HI' (Hz) -> (lo, hi) tuple, or None."""
+    if not spec:
+        return None
+    lo, hi = spec.split(":")
+    return (float(lo), float(hi))
+
+
 def _mic_array(args):
     from ..core import geometry
 
@@ -58,7 +66,9 @@ def cmd_simulate(args):
     mics = _mic_array(args)
     plane, frames = _build_scene(args, mics)
     loc = Localizer.create(
-        mics, PipelineConfig(phat=args.phat, weighting=args.weighting),
+        mics, PipelineConfig(phat=args.phat, weighting=args.weighting,
+                             band_hz=_parse_band(args.band),
+                             phat_beta=args.phat_beta),
         with_heatmap=True)
     out = loc(jnp.asarray(frames, jnp.float32))
 
@@ -506,6 +516,11 @@ def main(argv=None):
                    choices=("auto", "none", "phat", "scot", "roth", "ml"),
                    help="GCC frequency weighting (Knapp & Carter); "
                         "'auto' follows --phat")
+    p.add_argument("--band", metavar="LO:HI",
+                   help="band-limit the cross-power to LO:HI Hz "
+                        "(e.g. 800:6000)")
+    p.add_argument("--phat-beta", type=float, default=1.0,
+                   help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--out", default="dashboard.png")
     p.set_defaults(fn=cmd_simulate)
 
@@ -575,6 +590,11 @@ def main(argv=None):
                    choices=("auto", "none", "phat", "scot", "roth", "ml"),
                    help="GCC frequency weighting (Knapp & Carter); "
                         "'auto' follows --phat")
+    p.add_argument("--band", metavar="LO:HI",
+                   help="band-limit the cross-power to LO:HI Hz "
+                        "(e.g. 800:6000)")
+    p.add_argument("--phat-beta", type=float, default=1.0,
+                   help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--max-events", type=int, default=16)
     p.add_argument("--extract", metavar="OUT_WAV",
                    help="also write a beamformed mono waveform of each "
@@ -629,7 +649,9 @@ def cmd_localize_wav(args):
             f"wav has {samples.shape[0]} channels, array has "
             f"{mics.shape[0]} mics")
     cfg = PipelineConfig(sample_rate_hz=rate, phat=args.phat,
-                         weighting=args.weighting)
+                         weighting=args.weighting,
+                         band_hz=_parse_band(args.band),
+                         phat_beta=args.phat_beta)
     loc = Localizer.create(mics, cfg)
 
     x = jnp.asarray(samples.astype(np.int64))[None]

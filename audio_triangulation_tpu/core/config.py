@@ -113,6 +113,17 @@ class PipelineConfig:
     # correlation path (robustness-oriented, not the fused hot path).
     weighting: str = "auto"
     coherence_bins: int = 16
+    # Partial PHAT: whiten by |X|^-beta (1.0 = full PHAT, the hot path's
+    # rsqrt form).  beta < 1 keeps some magnitude weighting — more robust
+    # when the source is band-limited (out-of-band bins stay down-weighted
+    # instead of being equalized up to the signal's level).
+    phat_beta: float = 1.0
+    # (lo_hz, hi_hz): band-limit the cross-power before lag synthesis.
+    # Folded into the lag-synthesis matrices on the MXU and fused-Pallas
+    # paths (zero runtime cost); fixes PHAT's classic failure on
+    # band-limited sources (whitened out-of-band noise swamping the peak).
+    # None = full band.
+    band_hz: Optional[tuple] = None
     # 'linear'  : zero-padded FFT -> exact linear correlation (= reference's
     #             overlap-only sum, correlations.c:9-18)
     # 'circular': N-point circular correlation (cheaper; valid with windowing)
@@ -197,6 +208,14 @@ class PipelineConfig:
             if v not in allowed:
                 raise ValueError(
                     f"{field}={v!r} not in {allowed}")
+        if not 0.0 < self.phat_beta <= 1.0:
+            raise ValueError(f"phat_beta={self.phat_beta} not in (0, 1]")
+        if self.band_hz is not None:
+            lo, hi = self.band_hz
+            if not 0.0 <= lo < hi <= self.sample_rate_hz / 2:
+                raise ValueError(
+                    f"band_hz={self.band_hz} must satisfy "
+                    f"0 <= lo < hi <= nyquist")
 
     def lag_axis(self):
         """Integer lags [-max_shift .. max_shift] as a Python range."""

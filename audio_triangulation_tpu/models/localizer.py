@@ -340,6 +340,8 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
         return None  # smoothed weightings run on the XLA-FFT path
     if cfg.subsample_method == "phase" and cfg.subsample_peak:
         return None  # phase-slope regression needs the spectra
+    if cfg.phat and cfg.phat_beta != 1.0:
+        return None  # the kernel's whitening is the rsqrt (beta = 1) form
     if cfg.fused_kernel == "on":
         return cfg.fused_tile_b
     if jax.default_backend() != "tpu":
@@ -481,7 +483,8 @@ def localize_frames(
             tdoa_samples = xcorr.tdoa_phase_slope(
                 spectra, params.pairs, shifts,
                 fft_length=cfg.fft_length,
-                half_width=cfg.coherence_bins, eps=cfg.phat_eps)
+                half_width=cfg.coherence_bins, eps=cfg.phat_eps,
+                weight_mask=xcorr.band_mask(cfg))
         corr_t = (
             xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
             if cfg.taper_enabled else corr

@@ -82,6 +82,21 @@ def lag_synthesis_matrices(fft_length: int, max_shift: int,
     return c.astype(dtype), s.astype(dtype)
 
 
+def masked_synthesis(cfg: PipelineConfig, matmul_dtype: str = "float32"):
+    """Lag-synthesis matrices with ``cfg.band_hz`` folded in: rows of
+    out-of-band frequency bins are zeroed, so band-limiting costs nothing
+    at run time (the matmul shape is unchanged)."""
+    from . import xcorr
+
+    syn_c, syn_s = lag_synthesis_matrices(
+        cfg.fft_length, cfg.max_shift, matmul_dtype)
+    mask = xcorr.band_mask(cfg)
+    if mask is not None:
+        syn_c = syn_c * mask[:, None].astype(syn_c.dtype)
+        syn_s = syn_s * mask[:, None].astype(syn_s.dtype)
+    return syn_c, syn_s
+
+
 def rdft(frames: jnp.ndarray, cos: jnp.ndarray, msin: jnp.ndarray):
     """Real DFT via MXU: frames [..., N] -> (re, im) [..., F], f32 accum."""
     dt = cos.dtype
@@ -109,26 +124,30 @@ def forward_spectra(frames: jnp.ndarray, fft_length: int,
     return jnp.real(spec), jnp.imag(spec)
 
 
-def whiten_reim(re: jnp.ndarray, im: jnp.ndarray, eps: float = 1e-12):
+def whiten_reim(re: jnp.ndarray, im: jnp.ndarray, eps: float = 1e-12,
+                beta: float = 1.0):
     """Per-mic PHAT whitening on (re, im) spectra [..., M, F]: the pair
     weight 1/|X_i X_j*| factorizes into per-mic normalization (see
-    ops.xcorr.whiten_spectra) — O(M F) rsqrts instead of O(P F)."""
-    inv = jax.lax.rsqrt(re * re + im * im + eps * eps)
+    ops.xcorr.whiten_spectra) — O(M F) rsqrts instead of O(P F).
+    ``beta`` < 1 is partial (PHAT-beta) whitening."""
+    mag2 = re * re + im * im + eps * eps
+    inv = jax.lax.rsqrt(mag2) if beta == 1.0 else mag2 ** (-0.5 * beta)
     return re * inv, im * inv
 
 
 def cross_power_reim(
     re: jnp.ndarray, im: jnp.ndarray, pairs: jnp.ndarray,
-    *, phat: bool = False, phat_eps: float = 1e-12,
+    *, phat: bool = False, phat_eps: float = 1e-12, phat_beta: float = 1.0,
 ):
     """conj(X_i) * X_j per pair on (re, im) [..., M, F] -> [..., P, F],
     optionally PHAT-whitened (per-mic factorization when M >= 3, see
-    ops.xcorr.phat_per_mic; per-pair for 2-mic arrays)."""
+    ops.xcorr.phat_per_mic; per-pair for 2-mic arrays; ``phat_beta`` < 1
+    is partial whitening)."""
     from . import xcorr
 
     per_mic = phat and xcorr.phat_per_mic(re.shape[-2])
     if per_mic:
-        re, im = whiten_reim(re, im, phat_eps)
+        re, im = whiten_reim(re, im, phat_eps, phat_beta)
     ri = jnp.take(re, pairs[:, 0], axis=-2)
     ii = jnp.take(im, pairs[:, 0], axis=-2)
     rj = jnp.take(re, pairs[:, 1], axis=-2)
@@ -136,7 +155,9 @@ def cross_power_reim(
     rr = ri * rj + ii * ij
     jj = ri * ij - ii * rj
     if phat and not per_mic:
-        inv = jax.lax.rsqrt(rr * rr + jj * jj + phat_eps * phat_eps)
+        mag2 = rr * rr + jj * jj + phat_eps * phat_eps
+        inv = (jax.lax.rsqrt(mag2) if phat_beta == 1.0
+               else mag2 ** (-0.5 * phat_beta))
         rr = rr * inv
         jj = jj * inv
     return rr, jj
@@ -167,8 +188,7 @@ def xcorr_mxu_pairblocked(
     intermediate to [B, pair_chunk, F] while producing the same [B, P, L]
     correlograms (tested against :func:`xcorr_mxu`)."""
     n = frames.shape[-1]
-    syn_c, syn_s = lag_synthesis_matrices(
-        cfg.fft_length, cfg.max_shift, matmul_dtype)
+    syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
     syn_c = jnp.asarray(syn_c)
     syn_s = jnp.asarray(syn_s)
     re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
@@ -176,7 +196,7 @@ def xcorr_mxu_pairblocked(
         # whiten per mic ONCE outside the chunk loop (lax.map would redo
         # the rsqrt pass for every pair chunk); this path only runs for
         # large arrays, where per-mic always wins (phat_per_mic)
-        re, im = whiten_reim(re, im, cfg.phat_eps)
+        re, im = whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
 
     p = pairs.shape[0]
     pad = (-p) % pair_chunk
@@ -207,9 +227,9 @@ def xcorr_mxu(
     Numerically equivalent to ``xcorr.xcorr_fft`` (tested); with
     matmul_dtype='bfloat16' the DFT/synthesis matmuls run at 2x MXU rate with
     f32 accumulation."""
-    syn_c, syn_s = lag_synthesis_matrices(
-        cfg.fft_length, cfg.max_shift, matmul_dtype)
+    syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
     re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
     rr, jj = cross_power_reim(
-        re, im, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps)
+        re, im, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
+        phat_beta=cfg.phat_beta)
     return lag_correlogram(rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s))

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.config import PipelineConfig
 from .. import mxu_fft
+from .. import xcorr as xcorr_ops
 
 
 def _round_up(x: int, m: int) -> int:
@@ -217,6 +218,15 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
 
     cos, msin = mxu_fft.dft_matrices(n, cfg.fft_length, "float32")
     sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
+    # band limit (cfg.band_hz): zero out-of-band synthesis rows — free at
+    # run time; the Nyquist bin's in-kernel reconstruction is disabled via
+    # inv_fft_len = 0 below when the band excludes it
+    mask = xcorr_ops.band_mask(cfg)
+    nyq_in_band = True
+    if mask is not None:
+        sync = sync * mask[:, None]
+        syns = syns * mask[:, None]
+        nyq_in_band = bool(mask[-1])
     # Nyquist fold: drop the last spectral column/row (F = L/2+1 -> L/2, a
     # 128 multiple, so no Mosaic lane padding) and reconstruct the bin
     # exactly inside the kernel (see _gcc_kernel docstring)
@@ -242,7 +252,8 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
         taper_denom=cfg.taper_denom, with_peaks=with_peaks,
-        nyq_fold=nyq_fold, inv_fft_len=1.0 / cfg.fft_length,
+        nyq_fold=nyq_fold,
+        inv_fft_len=(1.0 / cfg.fft_length) if nyq_in_band else 0.0,
         sub_tiles=sub_tiles)
     if not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot

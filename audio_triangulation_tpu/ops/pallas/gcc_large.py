@@ -83,8 +83,7 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
     k = cfg.max_shift
     l_pad = _round_up(2 * k + 1, 128)
     mm = jnp.dtype(cfg.matmul_dtype)
-    sync, syns = mxu_fft.lag_synthesis_matrices(
-        cfg.fft_length, k, cfg.matmul_dtype)
+    sync, syns = mxu_fft.masked_synthesis(cfg, cfg.matmul_dtype)
     sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
     syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])
     re = re.astype(mm)
@@ -177,7 +176,7 @@ def xcorr_large(
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
     re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
     if cfg.phat:
-        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps)
+        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
     m = frames.shape[1]
     p = pairs.shape[0]
     sel_i, sel_j = _selection_matrices(np.asarray(pairs), m, chunk)

@@ -33,17 +33,23 @@ def rfft_frames(frames: jnp.ndarray, fft_length: int) -> jnp.ndarray:
     return jnp.fft.rfft(frames, n=fft_length, axis=-1)
 
 
-def whiten_spectra(spectra: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Per-mic PHAT whitening: U = X * rsqrt(|X|^2 + eps^2).
+def whiten_spectra(spectra: jnp.ndarray, eps: float = 1e-12,
+                   beta: float = 1.0) -> jnp.ndarray:
+    """Per-mic PHAT whitening: U = X * (|X|^2 + eps^2)^(-beta/2).
 
     |conj(X_i) X_j| = |X_i| |X_j|, so the pair PHAT weight factorizes into
     per-mic spectral normalization: cross-powers of whitened spectra ARE the
     PHAT-whitened cross-powers (identical limits at |X| >> eps and |X| -> 0).
     This needs O(M F) rsqrts instead of O(P F) — 31x fewer for a 64-mic
     array's 2016 pairs — and removes the rsqrt from the per-pair stage that
-    serializes the fused Pallas kernel between its matmuls."""
+    serializes the fused Pallas kernel between its matmuls.
+
+    ``beta`` < 1 is partial (PHAT-beta) whitening: |X|^-beta keeps some
+    magnitude weighting, which is more robust for band-limited sources."""
     mag2 = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2
-    return spectra * jax.lax.rsqrt(mag2 + eps * eps)
+    if beta == 1.0:
+        return spectra * jax.lax.rsqrt(mag2 + eps * eps)
+    return spectra * (mag2 + eps * eps) ** (-0.5 * beta)
 
 
 def phat_per_mic(n_mics: int) -> bool:
@@ -60,12 +66,14 @@ def cross_power(
     *,
     phat: bool = False,
     phat_eps: float = 1e-12,
+    phat_beta: float = 1.0,
 ) -> jnp.ndarray:
     """Cross-power spectra per mic pair.
 
     spectra: [..., M, F] complex; pairs: [P, 2] int.
     Returns [..., P, F] complex: conj(X_i) * X_j (optionally PHAT-whitened
-    via per-mic factorization, see :func:`whiten_spectra`).
+    via per-mic factorization, see :func:`whiten_spectra`; ``phat_beta`` < 1
+    is partial whitening).
 
     The conj convention makes irfft(.)[s] == sum_n a[n] * b[n+s], the
     reference's correlation sign convention (correlations.c:9-18): a positive
@@ -73,16 +81,37 @@ def cross_power(
     """
     per_mic = phat and phat_per_mic(spectra.shape[-2])
     if per_mic:
-        spectra = whiten_spectra(spectra, phat_eps)
+        spectra = whiten_spectra(spectra, phat_eps, phat_beta)
     xi = jnp.take(spectra, pairs[:, 0], axis=-2)
     xj = jnp.take(spectra, pairs[:, 1], axis=-2)
     r = jnp.conj(xi) * xj
     if phat and not per_mic:
         # 2-mic arrays: whiten the single pair directly (rsqrt form of
-        # R/(|R| + eps): equal limits at |R| >> eps and |R| -> 0)
+        # R/(|R| + eps): equal limits at |R| >> eps and |R| -> 0).
+        # |conj(Xi) Xj|^-beta == (|Xi| |Xj|)^-beta, so per-pair beta
+        # whitening equals the per-mic factorized form.
         mag2 = jnp.real(r) ** 2 + jnp.imag(r) ** 2
-        r = r * jax.lax.rsqrt(mag2 + phat_eps * phat_eps)
+        if phat_beta == 1.0:
+            r = r * jax.lax.rsqrt(mag2 + phat_eps * phat_eps)
+        else:
+            r = r * (mag2 + phat_eps * phat_eps) ** (-0.5 * phat_beta)
     return r
+
+
+def band_mask(cfg: PipelineConfig) -> np.ndarray | None:
+    """0/1 float32 mask [F] selecting rfft bins inside ``cfg.band_hz``
+    (None when no band limit is configured).  Multiplying the cross-power
+    (or, equivalently, the lag-synthesis matrix rows) by this mask
+    band-limits the correlation — the fix for PHAT's classic failure on
+    band-limited sources, where whitening equalizes out-of-band noise bins
+    up to the signal's level (new capability; the reference has no
+    spectral processing at all)."""
+    if cfg.band_hz is None:
+        return None
+    f = cfg.fft_length // 2 + 1
+    freqs = np.arange(f) * (cfg.sample_rate_hz / cfg.fft_length)
+    lo, hi = cfg.band_hz
+    return ((freqs >= lo) & (freqs <= hi)).astype(np.float32)
 
 
 def correlogram_from_cross_power(
@@ -171,7 +200,10 @@ def xcorr_fft(
         r = cross_power(spectra, pairs, phat=False) * psi
     else:
         r = cross_power(spectra, pairs, phat=weighting == "phat",
-                        phat_eps=cfg.phat_eps)
+                        phat_eps=cfg.phat_eps, phat_beta=cfg.phat_beta)
+    mask = band_mask(cfg)
+    if mask is not None:
+        r = r * mask
     return correlogram_from_cross_power(r, cfg.fft_length, cfg.max_shift)
 
 
@@ -309,6 +341,7 @@ def tdoa_phase_slope(
     fft_length: int,
     half_width: int = 16,
     eps: float = 1e-12,
+    weight_mask: np.ndarray | jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Sub-sample TDOA by coherence-weighted phase-slope regression
     (new capability; the reference stops at integer shifts,
@@ -353,6 +386,8 @@ def tdoa_phase_slope(
     w = mag2 * g2
     # Nyquist's phase is sign-only (real bin) — exclude it from the fit
     w = w * (k < (f - 1))
+    if weight_mask is not None:  # e.g. band_mask(cfg)
+        w = w * jnp.asarray(weight_mask)
     den = jnp.sum(w * k * k, axis=-1)
 
     d = coarse_lag.astype(jnp.float32)
