@@ -102,3 +102,57 @@ def make_sharded_localize(loc: localizer_mod.Localizer, mesh,
         in_shardings=(None, mesh_lib.frames_sharding(mesh)),
     )
     return jitted, params
+
+
+def make_sharded_stream_step(sl, mesh):
+    """Multi-chip streaming serving: S concurrent streams sharded over the
+    mesh's ``data`` axis in ONE device program.
+
+    Returns (fn, init_states) where ``init_states(S)`` places a stacked
+    :class:`~...models.streaming.StreamState` for S streams with each leaf
+    sharded on its leading (stream) axis, and ``fn(states, chunks)`` — with
+    chunks [S, M, C] sharded the same way — advances every stream one step
+    (state donated in place, outputs stream-sharded).  Each chip serves its
+    shard of streams with zero cross-chip communication: the embarrassingly
+    parallel production-serving shape (thousands of real-time arrays per
+    chip, scaled linearly by the mesh; the single-chip measured capacity is
+    ~2.9k real-time 50 kHz streams, docs/PERFORMANCE.md).
+
+    S must be divisible by the data-axis size.  Analogue of the reference's
+    idle second core (pt_cornell_rp2040_v1_3.h:629-682) finally put to
+    work — every stream is an independent pipeline instance.
+    """
+    from ..models import streaming as streaming_mod
+
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS))
+
+    step = jax.vmap(
+        functools.partial(
+            streaming_mod.stream_step,
+            params=sl.params,
+            cfg=sl.pipeline,
+            grid_cfg=sl.grid,
+            solver_cfg=sl.solver,
+            srp_form=sl.srp_form,
+            max_events=sl.stream.max_events_per_chunk,
+            refractory=sl.stream.refractory_samples,
+            with_solver=sl.with_solver,
+            n_sources=sl.stream.n_sources,
+            multi_min_separation_m=sl.stream.multi_min_separation_m,
+            multi_assoc_window=sl.stream.multi_assoc_window_samples,
+        )
+    )
+    # the single spec is a pytree prefix: every state leaf / the chunk array
+    # shards its leading (stream) axis, trailing dims replicated
+    fn = jax.jit(step, in_shardings=(spec, spec), donate_argnums=(0,))
+
+    def init_states(n_streams: int):
+        data_n = mesh.shape[mesh_lib.DATA_AXIS]
+        if n_streams % data_n != 0:
+            raise ValueError(
+                f"{n_streams} streams not divisible by data axis {data_n}")
+        states = sl.init_states(n_streams)
+        return jax.tree.map(lambda x: jax.device_put(x, spec), states)
+
+    return fn, init_states
