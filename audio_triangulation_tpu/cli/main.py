@@ -57,6 +57,24 @@ def _mic_array(args):
     raise SystemExit(f"unknown array {args.array}")
 
 
+def cmd_serve(args):
+    from .. import Localizer, PipelineConfig
+    from ..runtime.server import LocalizerServer
+
+    mics = _mic_array(args)
+    loc = Localizer.create(mics, PipelineConfig(phat=args.phat))
+    srv = LocalizerServer(loc, host=args.host, port=args.port).start()
+    print(f"serving on http://{args.host}:{srv.port}  "
+          f"(POST /localize, /streams; GET /healthz, /config)")
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
 def cmd_simulate(args):
     import jax.numpy as jnp
 
@@ -523,6 +541,14 @@ def main(argv=None):
                    help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--out", default="dashboard.png")
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("serve",
+                       help="HTTP/JSON localization server (runtime.server)")
+    common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--phat", action="store_true")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("stream", help="streaming demo with native ingest")
     common(p)

@@ -1,0 +1,204 @@
+"""HTTP/JSON serving endpoint for the localization pipeline.
+
+Query-response serving (stdlib-only, no extra dependencies): clients POST
+PCM frames and receive events/positions as JSON.  This is the modern
+analogue of the reference's output plane (its VGA UI is its only way to
+get answers out, src/vga_debug.h); the array framework serves answers over
+the network instead.
+
+Protocol (all bodies JSON unless noted):
+
+- ``GET  /healthz``            -> {"ok": true, "backend": ..., "mics": M}
+- ``GET  /config``             -> the pipeline/grid/solver configuration
+- ``POST /localize``           -> batch localization.  Body either
+  {"frames": [[[...]]]} (nested lists, [B, M, N] or [M, N]) or raw
+  float32 little-endian bytes with ``Content-Type:
+  application/octet-stream`` and ``X-Shape: B,M,N``.  Returns
+  {"xy": [[x, y]...], "tdoa_samples": ..., "rms_m": ...}.
+- ``POST /streams``            -> create a streaming session -> {"id": ...}
+- ``POST /streams/<id>``       -> feed one chunk (same body formats,
+  shape [M, C]); returns {"event": bool, "xy": ..., "event_count": N}.
+- ``DELETE /streams/<id>``     -> drop the session.
+
+The device work stays batched and jitted: /localize reuses the
+Localizer's cached jit, and every streaming session steps through the
+same donated-state program.  The HTTP layer is a thin host-side shim —
+TPU dispatch is identical to library use.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_frames(handler, expected_tail_dims):
+    """Read a request body as float32 array: JSON nested lists or raw
+    float32 bytes + X-Shape header."""
+    length = int(handler.headers.get("Content-Length", 0))
+    body = handler.rfile.read(length)
+    ctype = handler.headers.get("Content-Type", "application/json")
+    if ctype.startswith("application/octet-stream"):
+        shape = tuple(
+            int(v) for v in handler.headers.get("X-Shape", "").split(","))
+        arr = np.frombuffer(body, dtype="<f4").reshape(shape)
+    else:
+        payload = json.loads(body)
+        arr = np.asarray(payload["frames"], dtype=np.float32)
+    if arr.ndim == expected_tail_dims:
+        arr = arr[None]
+    return arr
+
+
+class LocalizerServer:
+    """Serve a Localizer (and streaming sessions) over HTTP.
+
+    >>> srv = LocalizerServer(loc, port=0); srv.start()
+    >>> ... requests against srv.port ...
+    >>> srv.stop()
+    """
+
+    def __init__(self, loc, host: str = "127.0.0.1", port: int = 8080,
+                 stream_factory=None):
+        import jax
+
+        self.loc = loc
+        self.backend = jax.default_backend()
+        self._sessions: dict = {}
+        self._lock = threading.Lock()
+        self._stream_factory = stream_factory
+        self._streamer = None
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code, obj):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    m = int(server.loc.params.mic_positions.shape[0])
+                    self._json(200, {"ok": True,
+                                     "backend": server.backend,
+                                     "mics": m})
+                elif self.path == "/config":
+                    self._json(200, {
+                        "pipeline": asdict(server.loc.pipeline),
+                        "grid": asdict(server.loc.grid),
+                        "solver": asdict(server.loc.solver),
+                    })
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    if self.path == "/localize":
+                        self._json(200, server._localize(self))
+                    elif self.path == "/streams":
+                        self._json(200, {"id": server._create_session()})
+                    elif self.path.startswith("/streams/"):
+                        sid = self.path.rsplit("/", 1)[1]
+                        self._json(200, server._step_session(sid, self))
+                    else:
+                        self._json(404, {"error": "not found"})
+                except KeyError as e:
+                    self._json(404, {"error": f"unknown session {e}"})
+                except Exception as e:  # report, don't crash the server
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_DELETE(self):
+                if self.path.startswith("/streams/"):
+                    sid = self.path.rsplit("/", 1)[1]
+                    with server._lock:
+                        server._sessions.pop(sid, None)
+                    self._json(200, {"ok": True})
+                else:
+                    self._json(404, {"error": "not found"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = None
+
+    # ------------------------------------------------------------------
+    def _localize(self, handler):
+        import jax.numpy as jnp
+
+        frames = _decode_frames(handler, expected_tail_dims=2)
+        out = self.loc(jnp.asarray(frames))
+        resp = {
+            "xy": np.asarray(out["xy"]).tolist(),
+            "tdoa_samples": np.asarray(out["tdoa_samples"]).tolist(),
+            "best_shift": np.asarray(out["best_shift"]).tolist(),
+        }
+        if "rms_m" in out:
+            resp["rms_m"] = np.asarray(out["rms_m"]).tolist()
+        if "psr" in out:
+            resp["psr"] = np.asarray(out["psr"]).tolist()
+        return resp
+
+    def _get_streamer(self):
+        if self._streamer is None:
+            if self._stream_factory is not None:
+                self._streamer = self._stream_factory()
+            else:
+                from ..models.streaming import StreamingLocalizer
+
+                self._streamer = StreamingLocalizer.create(
+                    np.asarray(self.loc.params.mic_positions),
+                    self.loc.pipeline, self.loc.grid, self.loc.solver)
+        return self._streamer
+
+    def _create_session(self) -> str:
+        sl = self._get_streamer()
+        sid = uuid.uuid4().hex[:12]
+        with self._lock:
+            self._sessions[sid] = sl.init_state()
+        return sid
+
+    def _step_session(self, sid: str, handler):
+        import jax.numpy as jnp
+
+        sl = self._get_streamer()
+        chunk = _decode_frames(handler, expected_tail_dims=2)[0]  # [M, C]
+        with self._lock:
+            state = self._sessions[sid]
+            # hold the lock across the step: state is donated in place and
+            # a concurrent step on the same session would alias freed
+            # buffers
+            new_state, out = sl(state, jnp.asarray(chunk))
+            self._sessions[sid] = new_state
+        resp = {
+            "event": bool(np.asarray(out["event"])),
+            "event_count": int(np.asarray(out["event_count"])),
+            "xy_grid": np.asarray(out["xy_grid"]).tolist(),
+        }
+        if "xy" in out:
+            resp["xy"] = np.asarray(out["xy"]).tolist()
+        if "xy_cov" in out:
+            resp["xy_cov"] = np.asarray(out["xy_cov"]).tolist()
+        return resp
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
