@@ -1,0 +1,74 @@
+"""Estimator-robustness tour: GCC weightings, band-limited / partial PHAT,
+phase-slope sub-sample TDOA, and the Huber IRLS solver.
+
+Run: python examples/robustness.py   (CPU or TPU)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
+from audio_triangulation_tpu.core.config import SolverConfig
+from audio_triangulation_tpu.ops import solver, xcorr
+from audio_triangulation_tpu.utils import synth
+
+mics = geometry.reference_array()
+plane = np.array([0.8, 0.5])
+src3 = np.array([0.8, 0.5, 1.2])
+src3 = src3 * 1.2 / np.linalg.norm(src3)
+frames = jnp.asarray(
+    synth.synth_scene(src3, mics, noise_rms=0.01, seed=2), jnp.float32)
+
+
+def err_cm(**cfg_kwargs):
+    loc = Localizer.create(mics, PipelineConfig(**cfg_kwargs))
+    xy = np.asarray(loc(frames)["xy"])[0]
+    return 100 * np.linalg.norm(xy - plane)
+
+
+# --- 1. band-limited PHAT --------------------------------------------
+# Full PHAT equalizes out-of-band noise bins up to the signal's level —
+# on this band-limited chirp scene it drifts tens of cm.  Band-limiting
+# the cross-power (free: folded into the lag-synthesis matrices) or
+# partial whitening (phat_beta) restores cm-level.
+print(f"plain               : {err_cm():6.2f} cm")
+print(f"PHAT (full band)    : {err_cm(phat=True):6.2f} cm")
+print(f"PHAT + band 800:6000: "
+      f"{err_cm(phat=True, band_hz=(800.0, 6000.0)):6.2f} cm")
+print(f"PHAT-beta 0.5       : {err_cm(phat=True, phat_beta=0.5):6.2f} cm")
+
+# --- 2. GCC weighting family (Knapp & Carter) -------------------------
+# SCOT / Roth / Hannan-Thomson ML run on the XLA-FFT path with
+# frequency-smoothed spectral estimates; ML's coherence weighting
+# suppresses bins where the mics do not cohere (reverb/noise).
+for w in ("scot", "ml"):
+    print(f"weighting={w:4s}      : {err_cm(weighting=w):6.2f} cm")
+
+# --- 3. phase-slope sub-sample TDOA -----------------------------------
+# Precision option: coherence-gated WLS fit of the cross-spectrum phase
+# slope (better than parabolic at high SNR with true linear delays).
+print(f"subsample='phase'   : {err_cm(subsample_method='phase'):6.2f} cm")
+
+# --- 4. robust (Huber IRLS) solving -----------------------------------
+# Corrupt 1 of the 3 pair TDOAs with a +2 ms multipath error: plain least
+# squares is dragged off; Huber IRLS down-weights the outlier pair.
+# (With only 3 pairs the demo uses an 8-mic array for redundancy.)
+mics8 = geometry.circular_array(8, 0.25)
+pairs8 = geometry.mic_pairs(8)
+mic3 = jnp.zeros((8, 3), jnp.float32).at[:, :2].set(jnp.asarray(mics8))
+true_xy = jnp.asarray([[0.6, 0.4]], jnp.float32)
+tdoas = solver.predicted_tdoas(
+    true_xy, mic3, jnp.asarray(pairs8), 343.0, 1.2, True)
+bad = np.asarray(tdoas).copy()
+bad[0, 5] += 2.0e-3  # 69 cm of path-length error on one pair
+
+for name, cfg in (("plain LS", SolverConfig()),
+                  ("huber", SolverConfig(robust="huber"))):
+    xy, rms = solver.solve_tdoa_batched(
+        jnp.asarray(bad), jnp.asarray(mics8, jnp.float32),
+        jnp.asarray(pairs8), speed_of_sound=343.0, height=1.2,
+        init_xy=jnp.asarray([[0.3, 0.2]], jnp.float32), cfg=cfg)
+    e = 100 * np.linalg.norm(np.asarray(xy)[0] - [0.6, 0.4])
+    print(f"outlier solve {name:9s}: {e:6.2f} cm")
+
+print("robustness tour done")

@@ -35,3 +35,16 @@ def test_production_example():
     assert "transport:" in out and "1 event(s)" in out
     assert "streaming: 2 events" in out
     assert "tracking: confirmed track" in out
+
+
+def test_robustness_example():
+    out = _run_example("robustness.py")
+    assert "robustness tour done" in out
+    assert "huber" in out
+
+
+def test_serving_http_example():
+    out = _run_example("serving_http.py")
+    assert "serving tour done" in out
+    assert "POST /localize" in out
+    assert "stream event" in out
