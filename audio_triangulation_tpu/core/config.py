@@ -216,6 +216,10 @@ class PipelineConfig:
                 raise ValueError(
                     f"band_hz={self.band_hz} must satisfy "
                     f"0 <= lo < hi <= nyquist")
+            if self.xcorr_mode == "time":
+                raise ValueError(
+                    "band_hz is a spectral-domain control; the time-domain "
+                    "correlator (xcorr_mode='time') cannot honor it")
 
     def lag_axis(self):
         """Integer lags [-max_shift .. max_shift] as a Python range."""

@@ -119,11 +119,14 @@ def test_full_band_mask_is_identity():
 
 
 def test_validate_rejects_bad_band_and_beta():
+    # __post_init__ validates at construction
     with pytest.raises(ValueError):
-        PipelineConfig(band_hz=(6000.0, 800.0)).validate()
+        PipelineConfig(band_hz=(6000.0, 800.0))
     with pytest.raises(ValueError):
-        PipelineConfig(band_hz=(0.0, 50_000.0)).validate()  # > nyquist
+        PipelineConfig(band_hz=(0.0, 50_000.0))  # > nyquist
     with pytest.raises(ValueError):
-        PipelineConfig(phat_beta=0.0).validate()
+        PipelineConfig(phat_beta=0.0)
     with pytest.raises(ValueError):
-        PipelineConfig(phat_beta=1.5).validate()
+        PipelineConfig(phat_beta=1.5)
+    with pytest.raises(ValueError):
+        PipelineConfig(band_hz=(800.0, 6000.0), xcorr_mode="time")

@@ -99,4 +99,4 @@ def test_phase_method_disables_fused_path():
 
 def test_validate_rejects_unknown_method():
     with pytest.raises(ValueError):
-        PipelineConfig(subsample_method="spline").validate()
+        PipelineConfig(subsample_method="spline")  # __post_init__ validates
