@@ -124,6 +124,12 @@ class PipelineConfig:
     # band-limited sources (whitened out-of-band noise swamping the peak).
     # None = full band.
     band_hz: Optional[tuple] = None
+    # Band-crop fast path: with band_hz set, compute ONLY the in-band rfft
+    # bins (cropped DFT/synthesis matrices) instead of masking after the
+    # fact — identical correlograms, ~bandwidth-fraction of the spectral
+    # FLOPs/VMEM (e.g. 800-6000 Hz of a 25 kHz Nyquist: ~5x less).
+    # MXU/fused paths only.
+    band_crop: bool = False
     # 'linear'  : zero-padded FFT -> exact linear correlation (= reference's
     #             overlap-only sum, correlations.c:9-18)
     # 'circular': N-point circular correlation (cheaper; valid with windowing)
@@ -220,6 +226,8 @@ class PipelineConfig:
                 raise ValueError(
                     "band_hz is a spectral-domain control; the time-domain "
                     "correlator (xcorr_mode='time') cannot honor it")
+        if self.band_crop and self.band_hz is None:
+            raise ValueError("band_crop requires band_hz")
 
     def lag_axis(self):
         """Integer lags [-max_shift .. max_shift] as a Python range."""

@@ -82,6 +82,49 @@ def lag_synthesis_matrices(fft_length: int, max_shift: int,
     return c.astype(dtype), s.astype(dtype)
 
 
+@functools.lru_cache(maxsize=16)
+def band_bins(fft_length: int, sample_rate_hz: float,
+              lo_hz: float, hi_hz: float) -> tuple:
+    """(lo_bin, hi_bin) half-open rfft bin range covering [lo_hz, hi_hz]."""
+    f = fft_length // 2 + 1
+    freqs = np.arange(f) * (sample_rate_hz / fft_length)
+    idx = np.nonzero((freqs >= lo_hz) & (freqs <= hi_hz))[0]
+    if idx.size == 0:
+        raise ValueError(f"band {lo_hz}:{hi_hz} Hz covers no rfft bins")
+    return int(idx[0]), int(idx[-1] + 1)
+
+
+@functools.lru_cache(maxsize=16)
+def dft_matrices_band(n: int, fft_length: int, lo_bin: int, hi_bin: int,
+                      dtype_str: str = "float32"):
+    """Forward real-DFT matrices restricted to bins [lo_bin, hi_bin):
+    [n, Fb] with Fb = hi - lo.  Out-of-band bins are never computed —
+    the band-crop fast path (vs. :func:`masked_synthesis`, which zeroes
+    them after computing them)."""
+    cos, msin = dft_matrices(n, fft_length, dtype_str)
+    return (np.ascontiguousarray(cos[:, lo_bin:hi_bin]),
+            np.ascontiguousarray(msin[:, lo_bin:hi_bin]))
+
+
+@functools.lru_cache(maxsize=16)
+def lag_synthesis_matrices_band(fft_length: int, max_shift: int,
+                                lo_bin: int, hi_bin: int,
+                                dtype_str: str = "float32"):
+    """Lag-synthesis matrices restricted to bins [lo_bin, hi_bin):
+    [Fb, 2K+1].  Identical correlograms to the masked full-band form
+    (dropped rows contribute exactly zero there)."""
+    c, s = lag_synthesis_matrices(fft_length, max_shift, dtype_str)
+    return (np.ascontiguousarray(c[lo_bin:hi_bin]),
+            np.ascontiguousarray(s[lo_bin:hi_bin]))
+
+
+def crop_bins(cfg: PipelineConfig):
+    """(lo_bin, hi_bin) when the band-crop fast path applies, else None."""
+    if cfg.band_hz is None or not cfg.band_crop:
+        return None
+    return band_bins(cfg.fft_length, cfg.sample_rate_hz, *cfg.band_hz)
+
+
 def masked_synthesis(cfg: PipelineConfig, matmul_dtype: str = "float32"):
     """Lag-synthesis matrices with ``cfg.band_hz`` folded in: rows of
     out-of-band frequency bins are zeroed, so band-limiting costs nothing
@@ -121,6 +164,21 @@ def forward_spectra(frames: jnp.ndarray, fft_length: int,
         cos, msin = dft_matrices(n, fft_length, matmul_dtype)
         return rdft(frames, jnp.asarray(cos), jnp.asarray(msin))
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=fft_length, axis=-1)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+def forward_spectra_band(frames: jnp.ndarray, fft_length: int,
+                         lo_bin: int, hi_bin: int,
+                         matmul_dtype: str = "float32"):
+    """(re, im) [..., Fb] of ONLY the bins [lo_bin, hi_bin) — the
+    band-crop fast path's forward transform."""
+    n = frames.shape[-1]
+    if n <= MATMUL_DFT_MAX_N:
+        cos, msin = dft_matrices_band(
+            n, fft_length, lo_bin, hi_bin, matmul_dtype)
+        return rdft(frames, jnp.asarray(cos), jnp.asarray(msin))
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=fft_length, axis=-1)
+    spec = spec[..., lo_bin:hi_bin]
     return jnp.real(spec), jnp.imag(spec)
 
 
@@ -188,10 +246,17 @@ def xcorr_mxu_pairblocked(
     intermediate to [B, pair_chunk, F] while producing the same [B, P, L]
     correlograms (tested against :func:`xcorr_mxu`)."""
     n = frames.shape[-1]
-    syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
+    crop = crop_bins(cfg)
+    if crop is not None:
+        syn_c, syn_s = lag_synthesis_matrices_band(
+            cfg.fft_length, cfg.max_shift, *crop, matmul_dtype)
+        re, im = forward_spectra_band(
+            frames, cfg.fft_length, *crop, matmul_dtype)
+    else:
+        syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
+        re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
     syn_c = jnp.asarray(syn_c)
     syn_s = jnp.asarray(syn_s)
-    re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
     if cfg.phat:
         # whiten per mic ONCE outside the chunk loop (lax.map would redo
         # the rsqrt pass for every pair chunk); this path only runs for
@@ -227,8 +292,15 @@ def xcorr_mxu(
     Numerically equivalent to ``xcorr.xcorr_fft`` (tested); with
     matmul_dtype='bfloat16' the DFT/synthesis matmuls run at 2x MXU rate with
     f32 accumulation."""
-    syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
-    re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
+    crop = crop_bins(cfg)
+    if crop is not None:
+        syn_c, syn_s = lag_synthesis_matrices_band(
+            cfg.fft_length, cfg.max_shift, *crop, matmul_dtype)
+        re, im = forward_spectra_band(
+            frames, cfg.fft_length, *crop, matmul_dtype)
+    else:
+        syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
+        re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
     rr, jj = cross_power_reim(
         re, im, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         phat_beta=cfg.phat_beta)

@@ -216,24 +216,37 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     num_lags = 2 * k + 1
     l_pad = _round_up(num_lags, 128)
 
-    cos, msin = mxu_fft.dft_matrices(n, cfg.fft_length, "float32")
-    sync, syns = mxu_fft.lag_synthesis_matrices(cfg.fft_length, k, "float32")
-    # band limit (cfg.band_hz): zero out-of-band synthesis rows — free at
-    # run time; the Nyquist bin's in-kernel reconstruction is disabled via
-    # inv_fft_len = 0 below when the band excludes it
-    mask = xcorr_ops.band_mask(cfg)
-    nyq_in_band = True
-    if mask is not None:
-        sync = sync * mask[:, None]
-        syns = syns * mask[:, None]
-        nyq_in_band = bool(mask[-1])
-    # Nyquist fold: drop the last spectral column/row (F = L/2+1 -> L/2, a
-    # 128 multiple, so no Mosaic lane padding) and reconstruct the bin
-    # exactly inside the kernel (see _gcc_kernel docstring)
-    nyq_fold = cfg.fft_length % 2 == 0
-    if nyq_fold:
-        cos, msin = cos[:, :-1], msin[:, :-1]
-        sync, syns = sync[:-1], syns[:-1]
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        # band-crop fast path: only in-band bins enter the kernel at all
+        # (identical correlograms to the masked full-band form); no
+        # Nyquist fold — the cropped width is already small
+        cos, msin = mxu_fft.dft_matrices_band(
+            n, cfg.fft_length, *crop, "float32")
+        sync, syns = mxu_fft.lag_synthesis_matrices_band(
+            cfg.fft_length, k, *crop, "float32")
+        nyq_in_band = True  # unused: no fold
+        nyq_fold = False
+    else:
+        cos, msin = mxu_fft.dft_matrices(n, cfg.fft_length, "float32")
+        sync, syns = mxu_fft.lag_synthesis_matrices(
+            cfg.fft_length, k, "float32")
+        # band limit (cfg.band_hz): zero out-of-band synthesis rows — free
+        # at run time; the Nyquist bin's in-kernel reconstruction is
+        # disabled via inv_fft_len = 0 below when the band excludes it
+        mask = xcorr_ops.band_mask(cfg)
+        nyq_in_band = True
+        if mask is not None:
+            sync = sync * mask[:, None]
+            syns = syns * mask[:, None]
+            nyq_in_band = bool(mask[-1])
+        # Nyquist fold: drop the last spectral column/row (F = L/2+1 ->
+        # L/2, a 128 multiple, so no Mosaic lane padding) and reconstruct
+        # the bin exactly inside the kernel (see _gcc_kernel docstring)
+        nyq_fold = cfg.fft_length % 2 == 0
+        if nyq_fold:
+            cos, msin = cos[:, :-1], msin[:, :-1]
+            sync, syns = sync[:-1], syns[:-1]
     # pad lag axis to the 128-lane boundary
     sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
     syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])

@@ -83,7 +83,12 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
     k = cfg.max_shift
     l_pad = _round_up(2 * k + 1, 128)
     mm = jnp.dtype(cfg.matmul_dtype)
-    sync, syns = mxu_fft.masked_synthesis(cfg, cfg.matmul_dtype)
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        sync, syns = mxu_fft.lag_synthesis_matrices_band(
+            cfg.fft_length, k, *crop, cfg.matmul_dtype)
+    else:
+        sync, syns = mxu_fft.masked_synthesis(cfg, cfg.matmul_dtype)
     sync = np.pad(sync, [(0, 0), (0, l_pad - sync.shape[1])])
     syns = np.pad(syns, [(0, 0), (0, l_pad - syns.shape[1])])
     re = re.astype(mm)
@@ -174,7 +179,12 @@ def xcorr_large(
     b = frames.shape[0]
     if b % tile_b != 0:
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
-    re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        re, im = mxu_fft.forward_spectra_band(
+            frames, cfg.fft_length, *crop, "float32")
+    else:
+        re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
     if cfg.phat:
         re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
     m = frames.shape[1]

@@ -118,6 +118,54 @@ def test_full_band_mask_is_identity():
     np.testing.assert_allclose(c1, c0, rtol=1e-6, atol=1e-7)
 
 
+def test_band_crop_matches_masked():
+    """The band-crop fast path (only in-band bins computed) produces the
+    same correlograms as the masked full-band form, on the XLA-MXU path
+    and the fused kernel."""
+    from audio_triangulation_tpu.ops.pallas import gcc_kernel
+    from audio_triangulation_tpu.ops.window import window_for
+    from audio_triangulation_tpu.models.localizer import condition_frames
+
+    frames = _scene_frames()
+    base = dict(phat=True, band_hz=(800.0, 6000.0))
+    cfg_m = PipelineConfig(**base)
+    cfg_c = PipelineConfig(**base, band_crop=True)
+    c_mask = np.asarray(mxu_fft.xcorr_mxu(frames, PAIRS, cfg_m))
+    c_crop = np.asarray(mxu_fft.xcorr_mxu(frames, PAIRS, cfg_c))
+    np.testing.assert_allclose(
+        c_crop, c_mask, rtol=1e-5, atol=1e-6 * np.abs(c_mask).max())
+
+    win = jnp.asarray(np.asarray(window_for(cfg_c), np.float32))
+    fused = gcc_kernel.fused_gcc(
+        frames, win, np.asarray(PAIRS), cfg_c, tile_b=frames.shape[0],
+        interpret=True)
+    cond = condition_frames(frames, win, cfg_c)
+    ref = mxu_fft.xcorr_mxu(cond, PAIRS, cfg_c)
+    l = ref.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(fused)[..., :l], np.asarray(ref), rtol=2e-3,
+        atol=2e-4 * float(jnp.abs(ref).max()))
+
+
+def test_band_crop_e2e_localizes():
+    frames = _scene_frames()
+    plane = np.array([0.8, 0.5])
+    loc = Localizer.create(MICS, PipelineConfig(
+        phat=True, band_hz=(800.0, 6000.0), band_crop=True))
+    xy = np.asarray(loc(frames)["xy"])[0]
+    assert np.linalg.norm(xy - plane) < 0.03, xy
+
+
+def test_band_crop_shapes():
+    cfg = PipelineConfig(band_hz=(800.0, 6000.0), band_crop=True)
+    lo, hi = mxu_fft.crop_bins(cfg)
+    f_full = cfg.fft_length // 2 + 1
+    assert 0 < hi - lo < f_full // 3  # ~21% of the band
+    x = jnp.zeros((2, 3, cfg.frame_size), jnp.float32)
+    re, im = mxu_fft.forward_spectra_band(x, cfg.fft_length, lo, hi)
+    assert re.shape == (2, 3, hi - lo)
+
+
 def test_validate_rejects_bad_band_and_beta():
     # __post_init__ validates at construction
     with pytest.raises(ValueError):
@@ -130,3 +178,5 @@ def test_validate_rejects_bad_band_and_beta():
         PipelineConfig(phat_beta=1.5)
     with pytest.raises(ValueError):
         PipelineConfig(band_hz=(800.0, 6000.0), xcorr_mode="time")
+    with pytest.raises(ValueError):
+        PipelineConfig(band_crop=True)  # requires band_hz
