@@ -354,9 +354,15 @@ def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,
                         tile_b: int = 64,
                         vmem_budget: int = 14 * 1024 * 1024) -> bool:
     """Conservative VMEM feasibility estimate for the fused kernel."""
-    # Nyquist fold drops the odd last bin (see _gcc_kernel)
-    f = (cfg.fft_length // 2 if cfg.fft_length % 2 == 0
-         else cfg.fft_length // 2 + 1)
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        # band-crop: only in-band bins enter the kernel (Mosaic pads the
+        # lane dim to 128)
+        f = max(128, _round_up(crop[1] - crop[0], 128))
+    else:
+        # Nyquist fold drops the odd last bin (see _gcc_kernel)
+        f = (cfg.fft_length // 2 if cfg.fft_length % 2 == 0
+             else cfg.fft_length // 2 + 1)
     p = n_mics * (n_mics - 1) // 2
     l_pad = _round_up(cfg.num_lags, 128)
     weights = 4 * (2 * n * f + 2 * f * l_pad + n)
