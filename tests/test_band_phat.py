@@ -166,6 +166,34 @@ def test_band_crop_shapes():
     assert re.shape == (2, 3, hi - lo)
 
 
+def test_srp_freq_honors_band():
+    """Frequency-domain estimators restrict their bins to band_hz (and
+    still localize)."""
+    from audio_triangulation_tpu.core.config import GridConfig
+    from audio_triangulation_tpu.ops import srp_freq
+
+    grid = GridConfig(half_cells_x=16, half_cells_y=16, cells_per_m=12.0)
+    pairs = geometry.mic_pairs(3)
+    cfg_b = PipelineConfig(band_hz=(800.0, 6000.0))
+    _, _, bins_b = srp_freq.freq_steering_matrices(
+        grid, MICS, pairs, cfg_b)
+    freqs = bins_b * cfg_b.sample_rate_hz / cfg_b.fft_length
+    assert freqs.min() >= 800 and freqs.max() <= 6000
+    _, _, bins_full = srp_freq.freq_steering_matrices(
+        grid, MICS, pairs, PipelineConfig())
+    assert bins_b.size < bins_full.size
+
+    a, bins_m, w = srp_freq.mic_steering_vectors(grid, MICS, cfg_b)
+    freqs_m = bins_m * cfg_b.sample_rate_hz / cfg_b.fft_length
+    assert freqs_m.min() >= 800 and freqs_m.max() <= 6000
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+
+    frames = _scene_frames()
+    out = srp_freq.localize_freq(frames, MICS, grid, cfg_b)
+    xy = np.asarray(out["xy_grid"])[0]
+    assert np.linalg.norm(xy - [0.8, 0.5]) < 0.15, xy
+
+
 def test_validate_rejects_bad_band_and_beta():
     # __post_init__ validates at construction
     with pytest.raises(ValueError):
