@@ -228,6 +228,15 @@ class PipelineConfig:
                     "correlator (xcorr_mode='time') cannot honor it")
         if self.band_crop and self.band_hz is None:
             raise ValueError("band_crop requires band_hz")
+        # Normalize the phat flag against an explicit weighting choice ONCE,
+        # so every engine (xcorr_fft keys on effective_weighting; the
+        # MXU/fused/gcc_large paths key on cfg.phat) sees the same decision:
+        # weighting='phat' turns whitening on, any other explicit weighting
+        # turns the phat flag off ('auto' keeps it).
+        if self.weighting == "phat" and not self.phat:
+            object.__setattr__(self, "phat", True)
+        elif self.weighting not in ("auto", "phat") and self.phat:
+            object.__setattr__(self, "phat", False)
 
     def lag_axis(self):
         """Integer lags [-max_shift .. max_shift] as a Python range."""

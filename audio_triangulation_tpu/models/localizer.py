@@ -393,6 +393,9 @@ def _conditioned_correlograms(
         return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
     if (pairs_static is not None and len(pairs_static) > 256
             and cfg.xcorr_mode == "mxu"
+            # the kernel implements none/phat only; smoothed weightings
+            # run on the XLA-FFT path via correlate_frames
+            and cfg.effective_weighting in ("none", "phat")
             and jax.default_backend() == "tpu"
             and _static_batch(lead) is not None):
         # large-array chunked Pallas kernel: spectra tile stays in VMEM
@@ -539,6 +542,8 @@ def localize_frames(
             # the kernel unrolls statically over pairs; large arrays blow
             # the VMEM stack and compile time — use the XLA solver there
             and len(pairs_static) <= 64
+            # robust IRLS lives in the XLA solver only
+            and solver_cfg.robust == "none"
             # symbolic batch (jax.export) -> shape-polymorphic XLA solver
             and _static_batch(tdoa_s.shape[:-1]) is not None)
         if use_gn_kernel:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..core.config import GridConfig, PipelineConfig
 from ..core import geometry
+from . import xcorr
 
 
 def freq_steering_matrices(
@@ -46,13 +47,8 @@ def freq_steering_matrices(
 
     l = pipeline.fft_length
     f_full = l // 2 + 1
-    bins = np.arange(0, f_full, bin_stride)
-    if pipeline.band_hz is not None:
-        freqs = bins * (pipeline.sample_rate_hz / l)
-        lo, hi = pipeline.band_hz
-        keep = (freqs >= lo) & (freqs <= hi)
-        if keep.any():  # never empty the estimator
-            bins = bins[keep]
+    bins = xcorr.restrict_bins_to_band(
+        np.arange(0, f_full, bin_stride), pipeline)
     # Hermitian weights folded in (1 at DC/Nyquist, else 2), times the
     # stride so the truncated sum stays an unbiased estimate of the full one
     w = np.full(f_full, 2.0)
@@ -111,13 +107,8 @@ def mic_steering_vectors(
 
     l = pipeline.fft_length
     f_full = l // 2 + 1
-    bins = np.arange(1, f_full - 1, bin_stride)  # skip DC and Nyquist
-    if pipeline.band_hz is not None:
-        freqs = bins * (pipeline.sample_rate_hz / l)
-        lo, hi = pipeline.band_hz
-        keep = (freqs >= lo) & (freqs <= hi)
-        if keep.any():  # never empty the estimator
-            bins = bins[keep]
+    bins = xcorr.restrict_bins_to_band(
+        np.arange(1, f_full - 1, bin_stride), pipeline)  # no DC/Nyquist
     w = np.full(bins.shape[0], 1.0 / bins.shape[0])
     ang = (-2.0 * np.pi * pipeline.sample_rate_hz / l
            * bins[:, None, None] * tau[None])  # [Fk, M, G]

@@ -142,6 +142,35 @@ def freq_smooth(x: jnp.ndarray, half_width: int) -> jnp.ndarray:
     return total / jnp.asarray(counts, x.dtype)
 
 
+def smoothed_cross_stats(
+    spectra: jnp.ndarray,
+    pairs: jnp.ndarray,
+    half_width: int,
+    *,
+    r: jnp.ndarray | None = None,
+    eps: float = 1e-12,
+):
+    """Shared smoothed-spectral-estimate block: per-pair (Gaa, Gbb,
+    |Gab_s|^2, gamma^2) from per-mic spectra [..., M, F], each [..., P, F].
+    ``r`` passes a precomputed raw cross-power conj(Xi)*Xj to avoid
+    recomputing it.  gamma^2 is the magnitude-squared coherence in [0, 1].
+    The single home of this estimator — gcc_weight's ml branch and
+    tdoa_phase_slope both consume it."""
+    auto = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2  # [..., M, F]
+    auto_s = freq_smooth(auto, half_width)
+    gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)  # [..., P, F]
+    gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
+    if r is None:
+        xi = jnp.take(spectra, pairs[:, 0], axis=-2)
+        xj = jnp.take(spectra, pairs[:, 1], axis=-2)
+        r = jnp.conj(xi) * xj
+    gab_s_re = freq_smooth(jnp.real(r), half_width)
+    gab_s_im = freq_smooth(jnp.imag(r), half_width)
+    gab_mag2 = gab_s_re ** 2 + gab_s_im ** 2
+    g2 = jnp.clip(gab_mag2 / (gaa * gbb + eps * eps), 0.0, 1.0)
+    return gaa, gbb, gab_mag2, g2
+
+
 def gcc_weight(
     spectra: jnp.ndarray,
     pairs: jnp.ndarray,
@@ -149,6 +178,7 @@ def gcc_weight(
     *,
     half_width: int = 16,
     eps: float = 1e-12,
+    r: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Classic GCC frequency weights psi [..., P, F] (Knapp & Carter 1976)
     from per-mic spectra [..., M, F], using frequency-smoothed spectral
@@ -163,27 +193,42 @@ def gcc_weight(
       squared coherence — the Hannan-Thomson approximate-ML weighting that
       up-weights bins where the mics actually cohere (reverb/noise
       robustness).
+
+    ``r`` optionally passes the precomputed raw cross-power so the 'ml'
+    branch doesn't redo conj(Xi)*Xj.
     """
-    auto = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2  # [..., M, F]
-    auto_s = freq_smooth(auto, half_width)
-    gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)  # [..., P, F]
-    gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
-    if weighting == "roth":
-        return 1.0 / (gaa + eps)
-    if weighting == "scot":
+    if weighting in ("roth", "scot"):
+        auto = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2
+        auto_s = freq_smooth(auto, half_width)
+        gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)  # [..., P, F]
+        if weighting == "roth":
+            return 1.0 / (gaa + eps)
+        gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
         return jax.lax.rsqrt(gaa * gbb + eps * eps)
     if weighting == "ml":
-        xi = jnp.take(spectra, pairs[:, 0], axis=-2)
-        xj = jnp.take(spectra, pairs[:, 1], axis=-2)
-        gab = jnp.conj(xi) * xj
-        gab_s_re = freq_smooth(jnp.real(gab), half_width)
-        gab_s_im = freq_smooth(jnp.imag(gab), half_width)
-        gab_mag2 = gab_s_re ** 2 + gab_s_im ** 2
-        denom_pw = gaa * gbb + eps * eps
-        g2 = jnp.clip(gab_mag2 / denom_pw, 0.0, 1.0 - 1e-4)
+        _, _, gab_mag2, g2 = smoothed_cross_stats(
+            spectra, pairs, half_width, r=r, eps=eps)
+        g2 = jnp.minimum(g2, 1.0 - 1e-4)
         gab_mag = jnp.sqrt(gab_mag2)
         return g2 / ((gab_mag + eps) * (1.0 - g2))
     raise ValueError(f"unknown GCC weighting {weighting!r}")
+
+
+def restrict_bins_to_band(bins: np.ndarray,
+                          cfg: PipelineConfig) -> np.ndarray:
+    """Filter rfft bin indices to ``cfg.band_hz`` (identity when no band is
+    configured).  Raises when the band excludes every given bin — silently
+    falling back to the full spectrum would un-band the estimator."""
+    if cfg.band_hz is None:
+        return bins
+    freqs = bins * (cfg.sample_rate_hz / cfg.fft_length)
+    lo, hi = cfg.band_hz
+    keep = (freqs >= lo) & (freqs <= hi)
+    if not keep.any():
+        raise ValueError(
+            f"band_hz={cfg.band_hz} covers none of the {bins.size} "
+            f"candidate bins (stride too coarse or band too narrow)")
+    return bins[keep]
 
 
 def xcorr_fft(
@@ -195,9 +240,11 @@ def xcorr_fft(
     spectra = rfft_frames(frames, cfg.fft_length)
     weighting = cfg.effective_weighting
     if weighting in ("roth", "scot", "ml"):
+        r = cross_power(spectra, pairs, phat=False)
         psi = gcc_weight(spectra, pairs, weighting,
-                         half_width=cfg.coherence_bins, eps=cfg.phat_eps)
-        r = cross_power(spectra, pairs, phat=False) * psi
+                         half_width=cfg.coherence_bins, eps=cfg.phat_eps,
+                         r=r)
+        r = r * psi
     else:
         r = cross_power(spectra, pairs, phat=weighting == "phat",
                         phat_eps=cfg.phat_eps, phat_beta=cfg.phat_beta)
@@ -374,14 +421,8 @@ def tdoa_phase_slope(
     f = spectra.shape[-1]
     k = jnp.arange(f, dtype=jnp.float32)
 
-    auto = jnp.real(spectra) ** 2 + jnp.imag(spectra) ** 2
-    auto_s = freq_smooth(auto, half_width)
-    gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)
-    gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
-    gab_re = freq_smooth(jnp.real(r), half_width)
-    gab_im = freq_smooth(jnp.imag(r), half_width)
-    g2 = jnp.clip((gab_re ** 2 + gab_im ** 2) / (gaa * gbb + eps * eps),
-                  0.0, 1.0)
+    _, _, _, g2 = smoothed_cross_stats(
+        spectra, pairs, half_width, r=r, eps=eps)
     mag2 = jnp.real(r) ** 2 + jnp.imag(r) ** 2
     w = mag2 * g2
     # Nyquist's phase is sign-only (real bin) — exclude it from the fit

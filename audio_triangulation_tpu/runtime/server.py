@@ -64,15 +64,20 @@ class LocalizerServer:
     """
 
     def __init__(self, loc, host: str = "127.0.0.1", port: int = 8080,
-                 stream_factory=None):
+                 stream_factory=None, max_sessions: int = 256):
         import jax
 
         self.loc = loc
         self.backend = jax.default_backend()
+        # sid -> [lock, state]; the per-session lock serializes steps on
+        # THAT session (its state is donated in place), while independent
+        # sessions step concurrently.  self._lock guards only the dict and
+        # the lazy streamer init.
         self._sessions: dict = {}
         self._lock = threading.Lock()
         self._stream_factory = stream_factory
         self._streamer = None
+        self.max_sessions = max_sessions
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -149,22 +154,27 @@ class LocalizerServer:
         return resp
 
     def _get_streamer(self):
-        if self._streamer is None:
-            if self._stream_factory is not None:
-                self._streamer = self._stream_factory()
-            else:
-                from ..models.streaming import StreamingLocalizer
+        with self._lock:
+            if self._streamer is None:
+                if self._stream_factory is not None:
+                    self._streamer = self._stream_factory()
+                else:
+                    from ..models.streaming import StreamingLocalizer
 
-                self._streamer = StreamingLocalizer.create(
-                    np.asarray(self.loc.params.mic_positions),
-                    self.loc.pipeline, self.loc.grid, self.loc.solver)
-        return self._streamer
+                    self._streamer = StreamingLocalizer.create(
+                        np.asarray(self.loc.params.mic_positions),
+                        self.loc.pipeline, self.loc.grid, self.loc.solver)
+            return self._streamer
 
     def _create_session(self) -> str:
         sl = self._get_streamer()
         sid = uuid.uuid4().hex[:12]
         with self._lock:
-            self._sessions[sid] = sl.init_state()
+            if len(self._sessions) >= self.max_sessions:
+                raise RuntimeError(
+                    f"session limit {self.max_sessions} reached "
+                    f"(DELETE /streams/<id> to free slots)")
+            self._sessions[sid] = [threading.Lock(), sl.init_state()]
         return sid
 
     def _step_session(self, sid: str, handler):
@@ -173,12 +183,13 @@ class LocalizerServer:
         sl = self._get_streamer()
         chunk = _decode_frames(handler, expected_tail_dims=2)[0]  # [M, C]
         with self._lock:
-            state = self._sessions[sid]
-            # hold the lock across the step: state is donated in place and
-            # a concurrent step on the same session would alias freed
-            # buffers
-            new_state, out = sl(state, jnp.asarray(chunk))
-            self._sessions[sid] = new_state
+            entry = self._sessions[sid]  # KeyError -> 404
+        with entry[0]:
+            # hold THIS session's lock across the step: its state is
+            # donated in place, so a concurrent step on the same session
+            # would alias freed buffers.  Other sessions proceed.
+            new_state, out = sl(entry[1], jnp.asarray(chunk))
+            entry[1] = new_state
         resp = {
             "event": bool(np.asarray(out["event"])),
             "event_count": int(np.asarray(out["event_count"])),

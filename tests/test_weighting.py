@@ -166,3 +166,39 @@ def test_streaming_with_weighting():
     got = [np.asarray(o["xy"]) for o in outs if bool(o["event"])]
     assert got, "no event detected"
     assert np.linalg.norm(got[0] - plane) < 0.08, got[0]
+
+
+def test_weighting_phat_normalizes_flag():
+    """weighting='phat' must whiten on EVERY engine — it normalizes the
+    phat flag at construction so the MXU/fused/gcc_large paths (which key
+    on cfg.phat) agree with the FFT path (which keys on
+    effective_weighting)."""
+    assert PipelineConfig(weighting="phat").phat is True
+    # an explicit non-phat weighting overrides a stray phat=True
+    assert PipelineConfig(phat=True, weighting="none").phat is False
+    assert PipelineConfig(phat=True, weighting="ml").phat is False
+    # 'auto' keeps the flag
+    assert PipelineConfig(phat=True).phat is True
+    assert PipelineConfig().phat is False
+
+
+def test_weighting_phat_equals_phat_flag_e2e():
+    mics = geometry.square_array(0.3)
+    src = np.array([0.5, 0.4, 1.2]) * (1.2 / np.linalg.norm([0.5, 0.4, 1.2]))
+    frames = jnp.asarray(
+        synth.synth_scene(src, mics, noise_rms=0.01, seed=0), jnp.float32)
+    out_a = Localizer.create(mics, PipelineConfig(weighting="phat"))(frames)
+    out_b = Localizer.create(mics, PipelineConfig(phat=True))(frames)
+    np.testing.assert_allclose(np.asarray(out_a["xy"]),
+                               np.asarray(out_b["xy"]), atol=1e-5)
+
+
+def test_large_array_gate_excludes_smoothed_weightings():
+    """The gcc_large fast path implements none/phat only; the dispatch
+    gate must route smoothed weightings to the XLA-FFT path."""
+    import inspect
+
+    from audio_triangulation_tpu.models import localizer as loc_mod
+
+    src = inspect.getsource(loc_mod._conditioned_correlograms)
+    assert 'effective_weighting in ("none", "phat")' in src
