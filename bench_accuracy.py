@@ -40,12 +40,20 @@ def main():
         noise = 0.8 / (10 ** (snr_db / 20.0)) / np.sqrt(2)
         frames = synth.synth_scene(
             sources, mics, noise_rms=noise, seed=snr_db)
-        for phat in (False, True):
+        # 'band_crop' = the headline bench config (PHAT band-limited to the
+        # chirp source's 800-6000 Hz, cropped spectra)
+        for method in ("plain", "phat", "band_crop"):
+            extra = {}
+            if method == "phat":
+                extra = dict(phat=True)
+            elif method == "band_crop":
+                extra = dict(phat=True, band_hz=(800.0, 6000.0),
+                             band_crop=True)
             # stride 3 = the coarse init grid bench.py runs with (the GN
             # solver refines; this record proves accuracy is unchanged)
             for stride in (1, 3):
                 loc = Localizer.create(
-                    mics, PipelineConfig(phat=phat, fft_pad_mode="circular"),
+                    mics, PipelineConfig(fft_pad_mode="circular", **extra),
                     init_grid_stride=stride)
                 out = loc(jnp.asarray(frames, jnp.float32))
                 est_tau = np.asarray(out["tdoa_samples"])
@@ -54,7 +62,7 @@ def main():
                 xy_err = np.linalg.norm(xy - planes, axis=-1)
                 rec = {
                     "snr_db": snr_db,
-                    "phat": phat,
+                    "method": method,
                     "init_grid_stride": stride,
                     "tdoa_err_median_samples": round(
                         float(np.median(tdoa_err)), 4),
