@@ -57,6 +57,77 @@ def _mic_array(args):
     raise SystemExit(f"unknown array {args.array}")
 
 
+def cmd_evaluate(args):
+    """Batch-evaluate localization accuracy on a labeled WAV dataset.
+
+    Manifest: JSON list of {"wav": path, "x": meters, "y": meters}
+    (plane coordinates, the grid/solver convention).  Each file is run
+    through detection + localization; the first accepted event's position
+    is scored against the label.  Prints one JSON line per file plus an
+    aggregate summary (optionally written to --out)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from .. import Localizer, PipelineConfig
+    from ..ops import detector
+    from ..utils import io as audio_io
+
+    with open(args.manifest) as f:
+        entries = json.load(f)
+    if not entries:
+        raise SystemExit("empty manifest")
+
+    mics = _mic_array(args)
+    loc = None
+    rows, errs = [], []
+    for e in entries:
+        samples, rate = audio_io.read_wav(e["wav"])
+        if samples.shape[0] != mics.shape[0]:
+            raise SystemExit(
+                f"{e['wav']}: {samples.shape[0]} channels != "
+                f"{mics.shape[0]} mics")
+        if loc is None:
+            cfg = PipelineConfig(
+                sample_rate_hz=rate, phat=args.phat,
+                weighting=args.weighting, band_hz=_parse_band(args.band),
+                phat_beta=args.phat_beta)
+            loc = Localizer.create(mics, cfg)
+        x = jnp.asarray(samples.astype(np.int64))[None]
+        idxs, valid = detector.all_triggers_capped(x, cfg, max_events=4)
+        idxs = np.asarray(idxs)[0][np.asarray(valid)[0]]
+        row = {"wav": e["wav"], "true_xy": [e["x"], e["y"]]}
+        if len(idxs) == 0:
+            row["detected"] = False
+        else:
+            frames = detector.extract_frames_at(
+                jnp.asarray(samples.astype(np.float32))[None],
+                jnp.asarray(idxs[:1]), cfg.frame_size)
+            xy = np.asarray(loc(frames)["xy"])[0]
+            err = float(np.linalg.norm(xy - [e["x"], e["y"]]))
+            errs.append(err)
+            row.update(detected=True, xy=[round(float(v), 4) for v in xy],
+                       err_cm=round(err * 100, 2))
+        rows.append(row)
+        print(json.dumps(row))
+
+    summary = {
+        "files": len(entries),
+        "detected": len(errs),
+        "detection_rate": round(len(errs) / len(entries), 3),
+    }
+    if errs:
+        summary.update(
+            xy_err_median_cm=round(float(np.median(errs)) * 100, 2),
+            xy_err_p90_cm=round(float(np.percentile(errs, 90)) * 100, 2),
+            hit_rate_lt_10cm=round(float(np.mean(np.asarray(errs) < 0.1)),
+                                   3))
+    print(json.dumps({"summary": summary}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "summary": summary}, f, indent=1)
+
+
 def cmd_serve(args):
     from .. import Localizer, PipelineConfig
     from ..runtime.server import LocalizerServer
@@ -541,6 +612,19 @@ def main(argv=None):
                    help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--out", default="dashboard.png")
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("evaluate",
+                       help="batch accuracy evaluation on labeled WAVs")
+    common(p)
+    p.add_argument("manifest",
+                   help='JSON list of {"wav": path, "x": m, "y": m}')
+    p.add_argument("--phat", action="store_true")
+    p.add_argument("--weighting", default="auto",
+                   choices=("auto", "none", "phat", "scot", "roth", "ml"))
+    p.add_argument("--band", metavar="LO:HI")
+    p.add_argument("--phat-beta", type=float, default=1.0)
+    p.add_argument("--out", help="write the full JSON report here")
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("serve",
                        help="HTTP/JSON localization server (runtime.server)")

@@ -152,3 +152,42 @@ def test_doa_music_method(capsys):
 
     got = float(re.search(r"MUSIC estimate:\s+([0-9.]+)", captured).group(1))
     assert abs(got - 137.0) < 4.0, got
+
+
+def test_evaluate_manifest(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.utils import io as audio_io
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.reference_array()
+    entries = []
+    for i, (x, y) in enumerate([(0.6, 0.5), (-0.4, 0.7)]):
+        rng = np.random.default_rng(10 + i)
+        p = np.array([x, y, 1.2])
+        src = p * (1.2 / np.linalg.norm(p))
+        fr = synth.synth_scene(src, mics, seed=10 + i)[0]
+        streams = rng.integers(127, 130, size=(3, 10000)).astype(np.float64)
+        streams[:, 4000:5024] += 110.0 * fr
+        wav = str(tmp_path / f"scene{i}.wav")
+        audio_io.write_wav(
+            wav, np.clip(np.round(streams), 0, 255).astype(np.int16),
+            50_000)
+        entries.append({"wav": wav, "x": x, "y": y})
+    manifest = str(tmp_path / "manifest.json")
+    with open(manifest, "w") as f:
+        json.dump(entries, f)
+
+    report = str(tmp_path / "report.json")
+    cli.main(["evaluate", manifest, "--out", report])
+    out = capsys.readouterr().out
+    assert '"summary"' in out
+    with open(report) as f:
+        rep = json.load(f)
+    assert rep["summary"]["files"] == 2
+    assert rep["summary"]["detection_rate"] == 1.0
+    assert rep["summary"]["xy_err_median_cm"] < 15.0
+    assert all(r["detected"] for r in rep["rows"])
