@@ -71,25 +71,24 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
     per_mic = phat and n_mics >= 3
 
     if nyq_fold:
-        # Nyquist lag-synthesis row cos(pi (lane - K)) / L (Hermitian
-        # weight 1), shared by all sub-tiles; the alternating TIME-domain
-        # row lives pre-folded in window_ref (see stage_front docstring)
+        # Nyquist-bin helpers shared by all sub-tiles:
+        # alternating time-domain row ((-1)^n) and the Nyquist lag-synthesis
+        # row cos(pi (lane - K)) / L (Hermitian weight 1)
+        alt_n = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % 2 == 0,
+            jnp.float32(1.0), jnp.float32(-1.0))
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
         alt_l = jnp.where((lane_i - k_half) % 2 == 0,
                           jnp.float32(inv_fft_len),
                           jnp.float32(-inv_fft_len))
 
     def stage_front(s):
-        """DFT (+ whitening, Nyquist) for sub-tile s.
-
-        Conditioning is FOLDED INTO THE DFT MATRICES by the caller
-        (cond(x) = (x - mean) * w * g, so cond(x) @ C == x @ M with
-        M = g*diag(w)C - (g/n) 1 (w^T C)) — the kernel runs a pure matmul
-        on raw frames, with no serialized VPU conditioning pass.
-        window_ref carries the equally-folded Nyquist row (x @ row ==
-        sum(cond(x) * (-1)^n)) when nyq_fold, else it is unused."""
+        """Conditioning + DFT (+ whitening, Nyquist) for sub-tile s."""
         x = frames_ref[s * sb:(s + 1) * sb].astype(jnp.float32)
         x = x.reshape(sb * n_mics, n)
+        # conditioning: DC removal + gain folded into the window vector
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        x = (x - mean) * window_ref[:]
         re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
         im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32)
         if per_mic:
@@ -101,10 +100,9 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
             im = im * inv
         re_nyq = None
         if nyq_fold:
-            # Nyquist-bin Re via the folded alternating row (Im is exactly
-            # 0 there); keep lane dim = 1 (Mosaic can't cast lane widths)
-            re_nyq = jnp.sum(x * window_ref[:], axis=-1,
-                             keepdims=True)  # [SB*M, 1]
+            # Nyquist-bin Re via alternating sum (Im is exactly 0 there);
+            # keep lane dim = 1 throughout (Mosaic can't cast lane widths)
+            re_nyq = jnp.sum(x * alt_n, axis=-1, keepdims=True)  # [SB*M, 1]
             if per_mic:
                 re_nyq = re_nyq * jax.lax.rsqrt(
                     re_nyq * re_nyq + phat_eps * phat_eps)
@@ -259,25 +257,6 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         win = jnp.ones_like(win)
     win = win * gain
 
-    # Fold the whole conditioning chain (DC removal + gain + window) into
-    # the DFT matrices: cond(x) @ C == x @ (diag(win) C - (1/n) 1 (win^T C))
-    # — the kernel then runs a single matmul on RAW frames with no
-    # serialized VPU conditioning pass before the MXU.  Same fold for the
-    # reconstructed Nyquist bin's alternating row, shipped in the window
-    # input slot (see _gcc_kernel.stage_front).
-    wcol = win[:, None]  # [N, 1]
-    cosj = wcol * jnp.asarray(cos)
-    msinj = wcol * jnp.asarray(msin)
-    cond_cos = cosj - (1.0 / n) * jnp.sum(cosj, axis=0, keepdims=True)
-    cond_msin = msinj - (1.0 / n) * jnp.sum(msinj, axis=0, keepdims=True)
-    if nyq_fold:
-        alt = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(
-            jnp.float32)
-        walt = win * alt
-        nyq_row = walt - (1.0 / n) * jnp.sum(walt)
-    else:
-        nyq_row = jnp.zeros_like(win)
-
     grid = (b // tile_b,)
     sub_tiles = cfg.fused_sub_tiles
     if tile_b % sub_tiles != 0:
@@ -314,7 +293,7 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(frames, nyq_row, cond_cos, cond_msin,
+    )(frames, win, jnp.asarray(cos), jnp.asarray(msin),
       jnp.asarray(sync), jnp.asarray(syns))
 
     if not with_peaks:

@@ -152,6 +152,38 @@ def main():
           and cov.shape == (1, 2, 2),
           f"eig=[{ev_cov[0]:.1e},{ev_cov[1]:.1e}]")
 
+    # 9. band-cropped fused path on hardware: parity with masked full-band
+    cfg_b = PipelineConfig(phat=True, fft_pad_mode="circular",
+                           band_hz=(800.0, 6000.0), band_crop=True)
+    cfg_m = PipelineConfig(phat=True, fft_pad_mode="circular",
+                           band_hz=(800.0, 6000.0))
+    loc_b = Localizer.create(mics, cfg_b)
+    loc_m = Localizer.create(mics, cfg_m)
+    xy_b = np.asarray(loc_b(jnp.asarray(ev, jnp.float32))["xy"])[0]
+    xy_m = np.asarray(loc_m(jnp.asarray(ev, jnp.float32))["xy"])[0]
+    err = float(np.linalg.norm(xy_b - xy_m))
+    e2e = float(np.linalg.norm(xy_b - plane))
+    check("band crop == mask", err < 1e-3 and e2e < 0.05,
+          f"diff={err * 100:.3f}cm e2e={e2e * 100:.2f}cm")
+
+    # 10. robust IRLS actually routes on hardware (outputs differ from
+    # plain LS when outlier pairs are injected)
+    from audio_triangulation_tpu.core.config import SolverConfig
+
+    bad = np.asarray(taus).copy()
+    bad[:, 2] += 2.0e-3
+    xy_p, _ = solver_ops.solve_tdoa_batched(
+        jnp.asarray(bad), jnp.asarray(mics), jnp.asarray(pairs),
+        speed_of_sound=343.0, height=1.2, init_xy=init)
+    xy_r, _ = solver_ops.solve_tdoa_batched(
+        jnp.asarray(bad), jnp.asarray(mics), jnp.asarray(pairs),
+        speed_of_sound=343.0, height=1.2, init_xy=init,
+        cfg=SolverConfig(robust="huber"))
+    err_p = float(np.abs(np.asarray(xy_p) - np.asarray(true_xy)).max())
+    err_r = float(np.abs(np.asarray(xy_r) - np.asarray(true_xy)).max())
+    check("robust irls on tpu", err_r < err_p,
+          f"plain={err_p:.3f}m huber={err_r:.3f}m")
+
     print(f"\n{'ALL PASS' if not failures else f'FAILURES: {failures}'}")
     return 1 if failures else 0
 
