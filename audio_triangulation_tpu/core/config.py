@@ -130,6 +130,13 @@ class PipelineConfig:
     # FLOPs/VMEM (e.g. 800-6000 Hz of a 25 kHz Nyquist: ~5x less).
     # MXU/fused paths only.
     band_crop: bool = False
+    # Matmul precision of the DFT / lag-synthesis contractions.  TPU's
+    # 'default' runs f32 matmuls via fast bf16-class passes — fine for the
+    # strong in-band bins, but whitening amplifies the rounding on weak
+    # bins (measured 0.13-sample TDOA error vs float64 truth on ADC-scale
+    # frames with full-band PHAT; 1.9e-6 at 'highest').  'highest' trades
+    # MXU throughput for exact-f32 contractions (accuracy-critical runs).
+    dft_precision: str = "default"
     # 'linear'  : zero-padded FFT -> exact linear correlation (= reference's
     #             overlap-only sum, correlations.c:9-18)
     # 'circular': N-point circular correlation (cheaper; valid with windowing)
@@ -208,6 +215,7 @@ class PipelineConfig:
             "fft_pad_mode": ("linear", "circular"),
             "weighting": ("auto", "none", "phat", "scot", "roth", "ml"),
             "subsample_method": ("parabolic", "phase"),
+            "dft_precision": ("default", "highest"),
         }
         for field, allowed in _check.items():
             v = getattr(self, field)

@@ -342,6 +342,8 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
         return None  # phase-slope regression needs the spectra
     if cfg.phat and cfg.phat_beta != 1.0:
         return None  # the kernel's whitening is the rsqrt (beta = 1) form
+    if cfg.dft_precision == "highest":
+        return None  # exact-f32 contractions run on the XLA path
     if cfg.fused_kernel == "on":
         return cfg.fused_tile_b
     if jax.default_backend() != "tpu":
@@ -396,6 +398,7 @@ def _conditioned_correlograms(
             # the kernel implements none/phat only; smoothed weightings
             # run on the XLA-FFT path via correlate_frames
             and cfg.effective_weighting in ("none", "phat")
+            and cfg.dft_precision == "default"  # exact f32 -> XLA path
             and jax.default_backend() == "tpu"
             and _static_batch(lead) is not None):
         # large-array chunked Pallas kernel: spectra tile stays in VMEM

@@ -118,6 +118,12 @@ def lag_synthesis_matrices_band(fft_length: int, max_shift: int,
             np.ascontiguousarray(s[lo_bin:hi_bin]))
 
 
+def dft_prec(cfg: PipelineConfig):
+    """jax matmul precision for the DFT/synthesis contractions."""
+    return (jax.lax.Precision.HIGHEST
+            if cfg.dft_precision == "highest" else None)
+
+
 def crop_bins(cfg: PipelineConfig):
     """(lo_bin, hi_bin) when the band-crop fast path applies, else None."""
     if cfg.band_hz is None or not cfg.band_crop:
@@ -140,12 +146,15 @@ def masked_synthesis(cfg: PipelineConfig, matmul_dtype: str = "float32"):
     return syn_c, syn_s
 
 
-def rdft(frames: jnp.ndarray, cos: jnp.ndarray, msin: jnp.ndarray):
+def rdft(frames: jnp.ndarray, cos: jnp.ndarray, msin: jnp.ndarray,
+         precision=None):
     """Real DFT via MXU: frames [..., N] -> (re, im) [..., F], f32 accum."""
     dt = cos.dtype
     x = frames.astype(dt)
-    re = jnp.matmul(x, cos, preferred_element_type=jnp.float32)
-    im = jnp.matmul(x, msin, preferred_element_type=jnp.float32)
+    re = jnp.matmul(x, cos, preferred_element_type=jnp.float32,
+                    precision=precision)
+    im = jnp.matmul(x, msin, preferred_element_type=jnp.float32,
+                    precision=precision)
     return re, im
 
 
@@ -157,26 +166,26 @@ MATMUL_DFT_MAX_N = 4096
 
 
 def forward_spectra(frames: jnp.ndarray, fft_length: int,
-                    matmul_dtype: str = "float32"):
+                    matmul_dtype: str = "float32", precision=None):
     """(re, im) [..., F] via the faster of matmul-DFT / XLA rfft."""
     n = frames.shape[-1]
     if n <= MATMUL_DFT_MAX_N:
         cos, msin = dft_matrices(n, fft_length, matmul_dtype)
-        return rdft(frames, jnp.asarray(cos), jnp.asarray(msin))
+        return rdft(frames, jnp.asarray(cos), jnp.asarray(msin), precision)
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=fft_length, axis=-1)
     return jnp.real(spec), jnp.imag(spec)
 
 
 def forward_spectra_band(frames: jnp.ndarray, fft_length: int,
                          lo_bin: int, hi_bin: int,
-                         matmul_dtype: str = "float32"):
+                         matmul_dtype: str = "float32", precision=None):
     """(re, im) [..., Fb] of ONLY the bins [lo_bin, hi_bin) — the
     band-crop fast path's forward transform."""
     n = frames.shape[-1]
     if n <= MATMUL_DFT_MAX_N:
         cos, msin = dft_matrices_band(
             n, fft_length, lo_bin, hi_bin, matmul_dtype)
-        return rdft(frames, jnp.asarray(cos), jnp.asarray(msin))
+        return rdft(frames, jnp.asarray(cos), jnp.asarray(msin), precision)
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=fft_length, axis=-1)
     spec = spec[..., lo_bin:hi_bin]
     return jnp.real(spec), jnp.imag(spec)
@@ -222,11 +231,14 @@ def cross_power_reim(
 
 
 def lag_correlogram(rr: jnp.ndarray, jj: jnp.ndarray,
-                    syn_c: jnp.ndarray, syn_s: jnp.ndarray) -> jnp.ndarray:
+                    syn_c: jnp.ndarray, syn_s: jnp.ndarray,
+                    precision=None) -> jnp.ndarray:
     """Cross-power (re, im) [..., P, F] -> correlogram [..., P, 2K+1]."""
     dt = syn_c.dtype
-    a = jnp.matmul(rr.astype(dt), syn_c, preferred_element_type=jnp.float32)
-    b = jnp.matmul(jj.astype(dt), syn_s, preferred_element_type=jnp.float32)
+    a = jnp.matmul(rr.astype(dt), syn_c, preferred_element_type=jnp.float32,
+                   precision=precision)
+    b = jnp.matmul(jj.astype(dt), syn_s, preferred_element_type=jnp.float32,
+                   precision=precision)
     return a + b
 
 
@@ -246,15 +258,16 @@ def xcorr_mxu_pairblocked(
     intermediate to [B, pair_chunk, F] while producing the same [B, P, L]
     correlograms (tested against :func:`xcorr_mxu`)."""
     n = frames.shape[-1]
+    prec = dft_prec(cfg)
     crop = crop_bins(cfg)
     if crop is not None:
         syn_c, syn_s = lag_synthesis_matrices_band(
             cfg.fft_length, cfg.max_shift, *crop, matmul_dtype)
         re, im = forward_spectra_band(
-            frames, cfg.fft_length, *crop, matmul_dtype)
+            frames, cfg.fft_length, *crop, matmul_dtype, prec)
     else:
         syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
-        re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
+        re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype, prec)
     syn_c = jnp.asarray(syn_c)
     syn_s = jnp.asarray(syn_s)
     if cfg.phat:
@@ -271,7 +284,7 @@ def xcorr_mxu_pairblocked(
 
     def body(pc):
         rr, jj = cross_power_reim(re, im, pc, phat=False)
-        return lag_correlogram(rr, jj, syn_c, syn_s)  # [..., chunk, L]
+        return lag_correlogram(rr, jj, syn_c, syn_s, prec)  # [..., chunk, L]
 
     out = jax.lax.map(body, chunks)  # [n_chunks, ..., chunk, L]
     out = jnp.moveaxis(out, 0, -3)  # [..., n_chunks, chunk, L]
@@ -292,16 +305,18 @@ def xcorr_mxu(
     Numerically equivalent to ``xcorr.xcorr_fft`` (tested); with
     matmul_dtype='bfloat16' the DFT/synthesis matmuls run at 2x MXU rate with
     f32 accumulation."""
+    prec = dft_prec(cfg)
     crop = crop_bins(cfg)
     if crop is not None:
         syn_c, syn_s = lag_synthesis_matrices_band(
             cfg.fft_length, cfg.max_shift, *crop, matmul_dtype)
         re, im = forward_spectra_band(
-            frames, cfg.fft_length, *crop, matmul_dtype)
+            frames, cfg.fft_length, *crop, matmul_dtype, prec)
     else:
         syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
-        re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype)
+        re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype, prec)
     rr, jj = cross_power_reim(
         re, im, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         phat_beta=cfg.phat_beta)
-    return lag_correlogram(rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s))
+    return lag_correlogram(rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s),
+                           prec)
