@@ -342,8 +342,6 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
         return None  # phase-slope regression needs the spectra
     if cfg.phat and cfg.phat_beta != 1.0:
         return None  # the kernel's whitening is the rsqrt (beta = 1) form
-    if cfg.dft_precision == "highest":
-        return None  # exact-f32 contractions run on the XLA path
     if cfg.fused_kernel == "on":
         return cfg.fused_tile_b
     if jax.default_backend() != "tpu":

@@ -42,7 +42,7 @@ def _round_up(x: int, m: int) -> int:
 def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 syns_ref, out_ref, aux_ref, *, pairs, phat, phat_eps, n,
                 tile_b, n_mics, num_lags, taper_denom, with_peaks,
-                nyq_fold, inv_fft_len, sub_tiles=1):
+                nyq_fold, inv_fft_len, sub_tiles=1, mxu_precision=None):
     """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
     (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
     carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
@@ -89,8 +89,10 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         # conditioning: DC removal + gain folded into the window vector
         mean = jnp.mean(x, axis=-1, keepdims=True)
         x = (x - mean) * window_ref[:]
-        re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
-        im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32)
+        re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=mxu_precision)
+        im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32,
+                     precision=mxu_precision)
         if per_mic:
             # per-mic PHAT whitening (the pair weight 1/|X_i X_j*|
             # factorizes, see ops.xcorr.whiten_spectra): M rows of rsqrt
@@ -136,9 +138,11 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
 
     def stage_synth(rr, jj, nyq_corrs):
         """Lag synthesis (MXU) for one sub-tile."""
-        corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32)
+        corr = (jnp.dot(rr, sync_ref[:], preferred_element_type=jnp.float32,
+                        precision=mxu_precision)
                 + jnp.dot(jj, syns_ref[:],
-                          preferred_element_type=jnp.float32))
+                          preferred_element_type=jnp.float32,
+                          precision=mxu_precision))
         if nyq_fold:
             corr = corr + jnp.stack(nyq_corrs, axis=1).reshape(
                 sb * n_pairs, l_pad)
@@ -265,6 +269,8 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
         taper_denom=cfg.taper_denom, with_peaks=with_peaks,
+        mxu_precision=(jax.lax.Precision.HIGHEST
+                       if cfg.dft_precision == "highest" else None),
         nyq_fold=nyq_fold,
         inv_fft_len=(1.0 / cfg.fft_length) if nyq_in_band else 0.0,
         sub_tiles=sub_tiles)

@@ -24,13 +24,29 @@ def test_validate():
         PipelineConfig(dft_precision="exact")
 
 
-def test_gates_pallas_paths():
+def test_fused_kernel_supports_highest():
+    """The fused kernel honors dft_precision (Mosaic takes the precision
+    hint), so 'highest' stays on the fast path; gcc_large does not and
+    falls to the XLA pair-blocked path."""
     from audio_triangulation_tpu.models.localizer import _fused_tile
+    from audio_triangulation_tpu.ops.pallas import gcc_kernel
+    from audio_triangulation_tpu.ops.window import window_for
 
     cfg = PipelineConfig(dft_precision="highest", fused_kernel="on")
-    assert _fused_tile(cfg, 4, 1024) is None
-    assert _fused_tile(PipelineConfig(fused_kernel="on"), 4, 1024) \
-        == cfg.fused_tile_b
+    assert _fused_tile(cfg, 4, 1024) == cfg.fused_tile_b
+
+    src = np.array([0.5, 0.4, 1.2]) * (1.2 / np.linalg.norm([0.5, 0.4, 1.2]))
+    frames = jnp.asarray(
+        synth.synth_scene(src, MICS, noise_rms=0.01, seed=0), jnp.float32)
+    win = jnp.asarray(np.asarray(window_for(cfg), np.float32))
+    got = gcc_kernel.fused_gcc(
+        frames, win, np.asarray(PAIRS), cfg, tile_b=1, interpret=True)
+    from audio_triangulation_tpu.models.localizer import condition_frames
+    ref = mxu_fft.xcorr_mxu(condition_frames(frames, win, cfg), PAIRS, cfg)
+    l = ref.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(got)[..., :l], np.asarray(ref), rtol=2e-3,
+        atol=2e-4 * float(jnp.abs(ref).max()))
 
 
 def test_equal_on_cpu_and_e2e():
