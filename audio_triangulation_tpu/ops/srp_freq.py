@@ -243,13 +243,80 @@ def music_spectrum(
     return jnp.sum(jnp.asarray(weights)[:, None] / den, axis=0)  # [G]
 
 
+def estimate_n_sources(
+    frames: jnp.ndarray,
+    cfg: PipelineConfig,
+    *,
+    bin_stride: int = 8,
+    criterion: str = "mdl",
+    diagonal_loading: float = 1e-3,
+    max_sources: int | None = None,
+) -> int:
+    """Automatic model-order selection: how many sources are present?
+
+    Wideband Wax-Kailath information criterion on the per-frequency
+    spatial-covariance eigenvalues (new capability; MUSIC/JPDA/multi-source
+    currently take ``n_sources`` as a given).  For each candidate k the
+    smallest M-k eigenvalues should be equal (the noise floor); the
+    log-likelihood term S*(M-k)*ln(arith/geom mean ratio) measures their
+    spread, summed incoherently over frequency bins, plus the
+    'mdl' (0.5 k(2M-k) ln(S*Fk)) or 'aic' (k(2M-k)) penalty.
+
+    frames: [S, M, N] snapshots (S > M for a full-rank covariance).
+    Returns the k in [0, max_sources] minimizing the criterion.
+    """
+    from . import mxu_fft
+    from . import window as window_ops
+    from ..models import localizer as localizer_mod
+
+    s_count, m = frames.shape[0], frames.shape[1]
+    k_max = min(m - 1, max_sources if max_sources is not None else m - 1)
+    win = jnp.asarray(window_ops.window_for(cfg))
+    x = localizer_mod.condition_frames(jnp.asarray(frames), win, cfg)
+    re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+    f_full = cfg.fft_length // 2 + 1
+    bins = xcorr.restrict_bins_to_band(
+        np.arange(1, f_full - 1, bin_stride), cfg)
+    a, b = _spatial_covariance_reim(re, im, bins, diagonal_loading)
+    top = jnp.concatenate([a, -b], axis=-1)
+    bot = jnp.concatenate([b, a], axis=-1)
+    block = jnp.concatenate([top, bot], axis=-2)  # [Fk, 2M, 2M]
+    ev2 = jnp.linalg.eigh(block)[0]  # ascending; R's eigs doubled
+    lam = np.maximum(np.asarray(ev2)[..., ::2], 1e-20)  # [Fk, M] ascending
+
+    # noise-subspace mean ratios for every candidate noise dim d = M - k:
+    # ascending order -> the smallest d eigenvalues are lam[:, :d]
+    csum = np.cumsum(lam, axis=-1)  # [Fk, M]
+    clog = np.cumsum(np.log(lam), axis=-1)
+    d = np.arange(1, m + 1)
+    arith = csum / d  # [Fk, M] mean of the d smallest
+    geo = clog / d  # log geometric mean
+    # log(A_d / G_d) >= 0, == 0 iff the d smallest are equal
+    spread = np.log(np.maximum(arith, 1e-20)) - geo  # [Fk, M]
+    fk = lam.shape[0]
+    crit = np.empty(k_max + 1)
+    for k in range(k_max + 1):
+        dd = m - k
+        ll = s_count * dd * spread[:, dd - 1].sum()  # over bins
+        # each bin carries its own k-dim signal subspace, so the penalty's
+        # free-parameter count k(2M - k) scales with the bin count
+        if criterion == "mdl":
+            pen = 0.5 * k * (2 * m - k) * fk * np.log(s_count)
+        elif criterion == "aic":
+            pen = k * (2 * m - k) * fk
+        else:
+            raise ValueError(f"criterion={criterion!r}")
+        crit[k] = ll + pen
+    return int(np.argmin(crit))
+
+
 def localize_music(
     frames: jnp.ndarray,
     mic_positions: np.ndarray,
     grid: GridConfig,
     cfg: PipelineConfig,
     *,
-    n_sources: int = 1,
+    n_sources: int | str = 1,
     bin_stride: int = 8,
     diagonal_loading: float = 0.0,
 ) -> dict:
@@ -269,6 +336,12 @@ def localize_music(
     from . import window as window_ops
     from ..models import localizer as localizer_mod
 
+    if n_sources == "auto":
+        # MDL model-order selection (estimate_n_sources); MUSIC needs at
+        # least a 1-dim signal subspace
+        n_sources = max(1, estimate_n_sources(
+            frames, cfg, bin_stride=bin_stride,
+            diagonal_loading=max(diagonal_loading, 1e-3)))
     mic_positions = np.asarray(mic_positions, np.float32)
     steer, bins, w = mic_steering_vectors(
         grid, mic_positions, cfg, bin_stride=bin_stride)
