@@ -194,13 +194,14 @@ def estimate_doa_music(
     cfg: PipelineConfig,
     *,
     n_azimuths: int = 360,
-    n_sources: int = 1,
+    n_sources: int | str = 1,
     bin_stride: int = 8,
     diagonal_loading: float = 0.0,
     min_separation_deg: float = 10.0,
 ) -> dict:
     """Snapshot frames [S, M, N] -> wideband MUSIC azimuth spectrum and the
-    ``n_sources`` strongest bearings (degrees).
+    ``n_sources`` strongest bearings (degrees).  ``n_sources='auto'`` runs
+    MDL model-order selection first (srp_freq.estimate_n_sources).
 
     Subspace super-resolution on the bearing circle: resolves sources
     closer than the array beamwidth where the lag-domain azimuth SRP
@@ -209,6 +210,10 @@ def estimate_doa_music(
     ops.srp_freq.localize_music (same TPU compile-time reasoning)."""
     from ..ops import mxu_fft, srp_freq
 
+    if n_sources == "auto":
+        n_sources = max(1, srp_freq.estimate_n_sources(
+            frames, cfg, bin_stride=bin_stride,
+            diagonal_loading=max(diagonal_loading, 1e-3)))
     mic_positions = np.asarray(mic_positions, np.float32)
     steer, bins, w = azimuth_steering_vectors(
         mic_positions, cfg, n_azimuths, bin_stride=bin_stride)
@@ -229,4 +234,5 @@ def estimate_doa_music(
     sep = max(1, int(round(min_separation_deg * n_azimuths / 360.0)))
     peaks = circular_peaks(np.asarray(scores), n_sources, sep)
     az = peaks * (360.0 / n_azimuths)
-    return {"scores": scores, "azimuth_deg": az % 360.0}
+    return {"scores": scores, "azimuth_deg": az % 360.0,
+            "n_sources": n_sources}

@@ -76,3 +76,18 @@ def test_music_auto_order():
                                   n_sources="auto", bin_stride=8)
     xy = np.asarray(out["xy_grid"])
     assert np.linalg.norm(xy - [0.6, -0.4]) < 0.15, xy
+
+
+def test_doa_music_auto_order():
+    """estimate_doa_music(n_sources='auto') counts and resolves both
+    bearings."""
+    from audio_triangulation_tpu.models.doa import estimate_doa_music
+
+    frames = _snaps([P1, P2], n_snap=20)
+    out = estimate_doa_music(frames, MICS, CFG, n_sources="auto",
+                             bin_stride=8)
+    assert out["n_sources"] == 2
+    az = np.sort(np.asarray(out["azimuth_deg"]))
+    want = np.sort([np.degrees(np.arctan2(-0.4, 0.6)) % 360,
+                    np.degrees(np.arctan2(0.5, -0.7)) % 360])
+    assert np.abs(az - want).max() < 10.0, (az, want)
