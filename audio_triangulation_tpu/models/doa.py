@@ -46,14 +46,48 @@ def azimuth_lag_lut(
     return np.clip(shifts, -k, k) + k
 
 
+def merge_pairs(mic_positions: np.ndarray, pairs: np.ndarray,
+                tol: float = 1e-6):
+    """SMP pair merging (Grondin et al., arXiv:2203.14409): pairs whose
+    displacement vectors m_j - m_i are identical share the same far-field
+    TDOA at EVERY bearing, so their cross-power spectra can be summed
+    into one correlogram before lag synthesis — exact for azimuth SRP
+    scores (the score is linear in the correlograms).  Regular arrays
+    collapse hard: an 8-mic line's 28 pairs have 7 unique displacements.
+
+    Returns (merge [P, P'] 0/1 float32, disp [P', 2] the unique
+    displacements)."""
+    d = (mic_positions[pairs[:, 1]]
+         - mic_positions[pairs[:, 0]]).astype(np.float64)  # [P, 2]
+    uniq: list = []
+    group = np.empty(d.shape[0], np.int64)
+    for p, v in enumerate(d):
+        for gi, u in enumerate(uniq):
+            if np.linalg.norm(v - u) <= tol:
+                group[p] = gi
+                break
+        else:
+            uniq.append(v)
+            group[p] = len(uniq) - 1
+    merge = np.zeros((d.shape[0], len(uniq)), np.float32)
+    merge[np.arange(d.shape[0]), group] = 1.0
+    return merge, np.asarray(uniq, np.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class DoaEstimator:
-    """Jitted azimuth SRP estimator."""
+    """Jitted azimuth SRP estimator.
+
+    With ``smp=True`` (create kwarg), same-displacement pairs are merged
+    before lag synthesis (see :func:`merge_pairs`) — fewer correlogram
+    rows and a smaller steering matmul, exact for the azimuth scores."""
 
     pipeline: PipelineConfig
     n_azimuths: int
     params: localizer_mod.LocalizerParams
-    onehot_az: jnp.ndarray  # [P*L, A]
+    onehot_az: jnp.ndarray  # [P*L, A] (P = merged count under smp)
+    merge: jnp.ndarray | None = None  # [P_raw, P'] when smp
+    disp: np.ndarray | None = None  # [P', 2] unique displacements
 
     @classmethod
     def create(
@@ -61,15 +95,25 @@ class DoaEstimator:
         mic_positions: np.ndarray,
         pipeline: PipelineConfig = PipelineConfig(phat=True),
         n_azimuths: int = 360,
+        *,
+        smp: bool = False,
     ) -> "DoaEstimator":
         mic_positions = np.asarray(mic_positions, np.float32)
         pairs = geometry.mic_pairs(mic_positions.shape[0])
-        lut = azimuth_lag_lut(mic_positions, pairs, pipeline, n_azimuths)
+        merge = disp = None
+        if smp:
+            merge, disp = merge_pairs(mic_positions, pairs)
+            # pseudo geometry: one pair (origin -> displacement) per group
+            lut_mics, lut_pairs = _pseudo_geometry(disp)
+        else:
+            lut_mics, lut_pairs = mic_positions, pairs
+        lut = azimuth_lag_lut(lut_mics, lut_pairs, pipeline, n_azimuths)
         num_lags = pipeline.num_lags
-        onehot = np.zeros((pairs.shape[0], num_lags, n_azimuths), np.float32)
-        pp = np.repeat(np.arange(pairs.shape[0]), n_azimuths)
+        n_rows = lut.shape[0]
+        onehot = np.zeros((n_rows, num_lags, n_azimuths), np.float32)
+        pp = np.repeat(np.arange(n_rows), n_azimuths)
         onehot[pp, lut.ravel(), np.tile(np.arange(n_azimuths),
-                                        pairs.shape[0])] = 1.0
+                                        n_rows)] = 1.0
         win = window_ops.window_for(pipeline)
         params = localizer_mod.LocalizerParams(
             mic_positions=jnp.asarray(mic_positions),
@@ -82,11 +126,16 @@ class DoaEstimator:
         return cls(
             pipeline=pipeline, n_azimuths=n_azimuths, params=params,
             onehot_az=jnp.asarray(
-                onehot.reshape(pairs.shape[0] * num_lags, n_azimuths)),
+                onehot.reshape(n_rows * num_lags, n_azimuths)),
+            merge=None if merge is None else jnp.asarray(merge),
+            disp=disp,
         )
 
     def __call__(self, frames: jnp.ndarray) -> dict:
-        return self._jitted(self.params, self.onehot_az, frames)
+        if self.merge is None:
+            return self._jitted(self.params, self.onehot_az, frames)
+        return self._jitted_smp(self.params, self.onehot_az, self.merge,
+                                frames)
 
     @functools.cached_property
     def _jitted(self):
@@ -95,6 +144,26 @@ class DoaEstimator:
         return jax.jit(functools.partial(
             estimate_doa, cfg=self.pipeline, n_azimuths=self.n_azimuths,
             pairs_static=pairs_static))
+
+    @functools.cached_property
+    def _jitted_smp(self):
+        mics_p, pairs_p = _pseudo_geometry(self.disp)
+        return jax.jit(functools.partial(
+            estimate_doa_smp, cfg=self.pipeline,
+            n_azimuths=self.n_azimuths,
+            pseudo_mics=tuple(map(tuple, mics_p.tolist())),
+            pseudo_pairs=tuple(map(tuple, pairs_p.tolist()))))
+
+
+def _pseudo_geometry(disp: np.ndarray):
+    """(mics [P'+1, 2], pairs [P', 2]): one origin->displacement pair per
+    merged group, so the azimuth LUT and bearing solve see the shared
+    baselines."""
+    mics = np.concatenate(
+        [np.zeros((1, 2), np.float32), np.asarray(disp, np.float32)])
+    pairs = np.stack([np.zeros(disp.shape[0], np.int32),
+                      np.arange(1, disp.shape[0] + 1, dtype=np.int32)], -1)
+    return mics, pairs
 
 
 def estimate_doa(
@@ -134,6 +203,79 @@ def estimate_doa(
     bearing = solver_ops.farfield_bearing(
         tdoa_samples / cfg.sample_rate_hz,
         params.mic_positions, params.pairs, cfg.speed_of_sound_mps)
+    return {
+        "azimuth_deg": az % 360.0,
+        "scores": scores,
+        "bearing": bearing,
+        "tdoa_samples": tdoa_samples,
+        "best_shift": shifts,
+    }
+
+
+def estimate_doa_smp(
+    params: localizer_mod.LocalizerParams,
+    onehot_az: jnp.ndarray,
+    merge: jnp.ndarray,
+    frames: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    n_azimuths: int,
+    pseudo_mics: tuple,
+    pseudo_pairs: tuple,
+) -> dict:
+    """SMP-PHAT azimuth estimation (merged same-displacement pairs,
+    arXiv:2203.14409): cross-power spectra are summed within displacement
+    groups BEFORE lag synthesis — identical azimuth scores to the unmerged
+    path (the score is linear in the correlograms), with P' <= P
+    correlogram rows in the synthesis and steering matmuls.
+
+    'tdoa_samples' / 'best_shift' / 'bearing' are PER MERGED GROUP (the
+    shared baseline), against the pseudo origin->displacement geometry."""
+    from ..ops import mxu_fft
+
+    k = cfg.max_shift
+    prec = mxu_fft.dft_prec(cfg)
+    crop = mxu_fft.crop_bins(cfg)
+    x = localizer_mod.condition_frames(frames, params.window, cfg)
+    if crop is not None:
+        re, im = mxu_fft.forward_spectra_band(
+            x, cfg.fft_length, *crop, cfg.matmul_dtype, prec)
+        syn_c, syn_s = mxu_fft.lag_synthesis_matrices_band(
+            cfg.fft_length, k, *crop, cfg.matmul_dtype)
+    else:
+        re, im = mxu_fft.forward_spectra(
+            x, cfg.fft_length, cfg.matmul_dtype, prec)
+        syn_c, syn_s = mxu_fft.masked_synthesis(cfg, cfg.matmul_dtype)
+    rr, jj = mxu_fft.cross_power_reim(
+        re, im, params.pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
+        phat_beta=cfg.phat_beta)
+    rr = jnp.einsum("pq,...pf->...qf", merge, rr)  # [..., P', F]
+    jj = jnp.einsum("pq,...pf->...qf", merge, jj)
+    corr = mxu_fft.lag_correlogram(
+        rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s), prec)
+
+    shifts = xcorr.best_lag(corr, k)
+    corr_t = (xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
+              if cfg.taper_enabled else corr)
+    scores = srp.srp_scores_matmul(corr_t, onehot_az)  # [..., A]
+
+    a = jnp.argmax(scores, axis=-1)
+    sm = jnp.take_along_axis(
+        scores, ((a - 1) % n_azimuths)[..., None], axis=-1)[..., 0]
+    s0 = jnp.take_along_axis(scores, a[..., None], axis=-1)[..., 0]
+    sp = jnp.take_along_axis(
+        scores, ((a + 1) % n_azimuths)[..., None], axis=-1)[..., 0]
+    den = sm - 2.0 * s0 + sp
+    delta = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sm - sp) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    az = (a + delta) * (360.0 / n_azimuths)
+
+    tdoa_samples, _ = xcorr.subsample_peak(corr, k)
+    mics_p = jnp.asarray(np.asarray(pseudo_mics, np.float32))
+    pairs_p = jnp.asarray(np.asarray(pseudo_pairs, np.int32))
+    bearing = solver_ops.farfield_bearing(
+        tdoa_samples / cfg.sample_rate_hz,
+        mics_p, pairs_p, cfg.speed_of_sound_mps)
     return {
         "azimuth_deg": az % 360.0,
         "scores": scores,
