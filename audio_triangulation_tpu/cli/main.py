@@ -42,6 +42,25 @@ def _parse_band(spec):
     return (float(lo), float(hi))
 
 
+def _detect_event_frames(samples, cfg, max_events):
+    """Shared WAV plumbing: detector triggers -> captured frames.
+
+    Returns (idxs [E], frames [E, M, N]); idxs is empty when no events."""
+    import jax.numpy as jnp
+
+    from ..ops import detector
+
+    x = jnp.asarray(samples.astype(np.int64))[None]
+    idxs, valid = detector.all_triggers_capped(x, cfg, max_events=max_events)
+    idxs = np.asarray(idxs)[0][np.asarray(valid)[0]]
+    if len(idxs) == 0:
+        return idxs, None
+    frames = detector.extract_frames_at(
+        jnp.asarray(samples.astype(np.float32))[None].repeat(len(idxs), 0),
+        jnp.asarray(idxs), cfg.frame_size)
+    return idxs, frames
+
+
 def _mic_array(args):
     from ..core import geometry
 
@@ -67,10 +86,7 @@ def cmd_evaluate(args):
     aggregate summary (optionally written to --out)."""
     import json
 
-    import jax.numpy as jnp
-
     from .. import Localizer, PipelineConfig
-    from ..ops import detector
     from ..utils import io as audio_io
 
     with open(args.manifest) as f:
@@ -80,6 +96,7 @@ def cmd_evaluate(args):
 
     mics = _mic_array(args)
     loc = None
+    rate0 = None
     rows, errs = [], []
     for e in entries:
         samples, rate = audio_io.read_wav(e["wav"])
@@ -88,22 +105,22 @@ def cmd_evaluate(args):
                 f"{e['wav']}: {samples.shape[0]} channels != "
                 f"{mics.shape[0]} mics")
         if loc is None:
+            rate0 = rate
             cfg = PipelineConfig(
                 sample_rate_hz=rate, phat=args.phat,
                 weighting=args.weighting, band_hz=_parse_band(args.band),
                 phat_beta=args.phat_beta)
             loc = Localizer.create(mics, cfg)
-        x = jnp.asarray(samples.astype(np.int64))[None]
-        idxs, valid = detector.all_triggers_capped(x, cfg, max_events=4)
-        idxs = np.asarray(idxs)[0][np.asarray(valid)[0]]
+        elif rate != rate0:
+            raise SystemExit(
+                f"{e['wav']}: sample rate {rate} != {rate0} of the first "
+                "file (one pipeline per manifest)")
+        idxs, frames = _detect_event_frames(samples, cfg, max_events=4)
         row = {"wav": e["wav"], "true_xy": [e["x"], e["y"]]}
         if len(idxs) == 0:
             row["detected"] = False
         else:
-            frames = detector.extract_frames_at(
-                jnp.asarray(samples.astype(np.float32))[None],
-                jnp.asarray(idxs[:1]), cfg.frame_size)
-            xy = np.asarray(loc(frames)["xy"])[0]
+            xy = np.asarray(loc(frames[:1])["xy"])[0]
             err = float(np.linalg.norm(xy - [e["x"], e["y"]]))
             errs.append(err)
             row.update(detected=True, xy=[round(float(v), 4) for v in xy],
@@ -749,7 +766,6 @@ def cmd_localize_wav(args):
     import jax.numpy as jnp
 
     from .. import Localizer, PipelineConfig
-    from ..ops import detector
     from ..utils import io as audio_io
 
     samples, rate = audio_io.read_wav(args.wav)
@@ -764,16 +780,10 @@ def cmd_localize_wav(args):
                          phat_beta=args.phat_beta)
     loc = Localizer.create(mics, cfg)
 
-    x = jnp.asarray(samples.astype(np.int64))[None]
-    idxs, valid = detector.all_triggers_capped(
-        x, cfg, max_events=args.max_events)
-    idxs = np.asarray(idxs)[0][np.asarray(valid)[0]]
+    idxs, frames = _detect_event_frames(samples, cfg, args.max_events)
     if len(idxs) == 0:
         print("no events detected")
         return
-    frames = detector.extract_frames_at(
-        jnp.asarray(samples.astype(np.float32))[None].repeat(len(idxs), 0),
-        jnp.asarray(idxs), cfg.frame_size)
     out = loc(frames)
     xy = np.asarray(out["xy"])
     for i, t in enumerate(idxs):

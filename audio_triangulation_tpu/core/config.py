@@ -236,6 +236,10 @@ class PipelineConfig:
                     "correlator (xcorr_mode='time') cannot honor it")
         if self.band_crop and self.band_hz is None:
             raise ValueError("band_crop requires band_hz")
+        if self.dft_precision == "highest" and self.matmul_dtype != "float32":
+            raise ValueError(
+                "dft_precision='highest' requires matmul_dtype='float32' "
+                "(bf16 inputs would be quantized before the exact matmul)")
         # Normalize the phat flag against an explicit weighting choice ONCE,
         # so every engine (xcorr_fft keys on effective_weighting; the
         # MXU/fused/gcc_large paths key on cfg.phat) sees the same decision:

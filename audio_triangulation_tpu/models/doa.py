@@ -102,6 +102,16 @@ class DoaEstimator:
         pairs = geometry.mic_pairs(mic_positions.shape[0])
         merge = disp = None
         if smp:
+            # the merged path computes cross-power directly on the MXU
+            # spectra; it implements none/phat weighting only
+            if pipeline.effective_weighting not in ("none", "phat"):
+                raise ValueError(
+                    "smp=True supports weighting none/phat only "
+                    f"(got {pipeline.effective_weighting!r})")
+            if pipeline.xcorr_mode != "mxu":
+                raise ValueError(
+                    "smp=True requires xcorr_mode='mxu' "
+                    f"(got {pipeline.xcorr_mode!r})")
             merge, disp = merge_pairs(mic_positions, pairs)
             # pseudo geometry: one pair (origin -> displacement) per group
             lut_mics, lut_pairs = _pseudo_geometry(disp)
@@ -166,6 +176,37 @@ def _pseudo_geometry(disp: np.ndarray):
     return mics, pairs
 
 
+def _refine_azimuth(scores: jnp.ndarray, n_azimuths: int) -> jnp.ndarray:
+    """Circular 3-point parabolic refinement of the azimuth-score argmax
+    -> bearing in degrees [...]."""
+    a = jnp.argmax(scores, axis=-1)
+    sm = jnp.take_along_axis(
+        scores, ((a - 1) % n_azimuths)[..., None], axis=-1)[..., 0]
+    s0 = jnp.take_along_axis(scores, a[..., None], axis=-1)[..., 0]
+    sp = jnp.take_along_axis(
+        scores, ((a + 1) % n_azimuths)[..., None], axis=-1)[..., 0]
+    den = sm - 2.0 * s0 + sp
+    delta = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sm - sp) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return ((a + delta) * (360.0 / n_azimuths)) % 360.0
+
+
+def _doa_result(corr, scores, shifts, mics, pairs, cfg, n_azimuths):
+    """Shared tail: refined azimuth + per-pair sub-sample TDOAs + the
+    least-squares far-field bearing."""
+    tdoa_samples, _ = xcorr.subsample_peak(corr, cfg.max_shift)
+    bearing = solver_ops.farfield_bearing(
+        tdoa_samples / cfg.sample_rate_hz,
+        mics, pairs, cfg.speed_of_sound_mps)
+    return {
+        "azimuth_deg": _refine_azimuth(scores, n_azimuths),
+        "scores": scores,
+        "bearing": bearing,
+        "tdoa_samples": tdoa_samples,
+        "best_shift": shifts,
+    }
+
+
 def estimate_doa(
     params: localizer_mod.LocalizerParams,
     onehot_az: jnp.ndarray,
@@ -186,30 +227,8 @@ def estimate_doa(
     corr_t = (xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
               if cfg.taper_enabled else corr)
     scores = srp.srp_scores_matmul(corr_t, onehot_az)  # [..., A]
-
-    # parabolic refinement on the (circular) azimuth axis
-    a = jnp.argmax(scores, axis=-1)
-    sm = jnp.take_along_axis(
-        scores, ((a - 1) % n_azimuths)[..., None], axis=-1)[..., 0]
-    s0 = jnp.take_along_axis(scores, a[..., None], axis=-1)[..., 0]
-    sp = jnp.take_along_axis(
-        scores, ((a + 1) % n_azimuths)[..., None], axis=-1)[..., 0]
-    den = sm - 2.0 * s0 + sp
-    delta = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sm - sp) / den, 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    az = (a + delta) * (360.0 / n_azimuths)
-
-    tdoa_samples, _ = xcorr.subsample_peak(corr, k)
-    bearing = solver_ops.farfield_bearing(
-        tdoa_samples / cfg.sample_rate_hz,
-        params.mic_positions, params.pairs, cfg.speed_of_sound_mps)
-    return {
-        "azimuth_deg": az % 360.0,
-        "scores": scores,
-        "bearing": bearing,
-        "tdoa_samples": tdoa_samples,
-        "best_shift": shifts,
-    }
+    return _doa_result(corr, scores, shifts, params.mic_positions,
+                       params.pairs, cfg, n_azimuths)
 
 
 def estimate_doa_smp(
@@ -258,31 +277,10 @@ def estimate_doa_smp(
     corr_t = (xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
               if cfg.taper_enabled else corr)
     scores = srp.srp_scores_matmul(corr_t, onehot_az)  # [..., A]
-
-    a = jnp.argmax(scores, axis=-1)
-    sm = jnp.take_along_axis(
-        scores, ((a - 1) % n_azimuths)[..., None], axis=-1)[..., 0]
-    s0 = jnp.take_along_axis(scores, a[..., None], axis=-1)[..., 0]
-    sp = jnp.take_along_axis(
-        scores, ((a + 1) % n_azimuths)[..., None], axis=-1)[..., 0]
-    den = sm - 2.0 * s0 + sp
-    delta = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sm - sp) / den, 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    az = (a + delta) * (360.0 / n_azimuths)
-
-    tdoa_samples, _ = xcorr.subsample_peak(corr, k)
     mics_p = jnp.asarray(np.asarray(pseudo_mics, np.float32))
     pairs_p = jnp.asarray(np.asarray(pseudo_pairs, np.int32))
-    bearing = solver_ops.farfield_bearing(
-        tdoa_samples / cfg.sample_rate_hz,
-        mics_p, pairs_p, cfg.speed_of_sound_mps)
-    return {
-        "azimuth_deg": az % 360.0,
-        "scores": scores,
-        "bearing": bearing,
-        "tdoa_samples": tdoa_samples,
-        "best_shift": shifts,
-    }
+    return _doa_result(corr, scores, shifts, mics_p, pairs_p, cfg,
+                       n_azimuths)
 
 
 # ----------------------------------------------------------------------
@@ -352,10 +350,12 @@ def estimate_doa_music(
     ops.srp_freq.localize_music (same TPU compile-time reasoning)."""
     from ..ops import mxu_fft, srp_freq
 
+    n_estimated = None
     if n_sources == "auto":
-        n_sources = max(1, srp_freq.estimate_n_sources(
+        n_estimated = srp_freq.estimate_n_sources(
             frames, cfg, bin_stride=bin_stride,
-            diagonal_loading=max(diagonal_loading, 1e-3)))
+            diagonal_loading=max(diagonal_loading, 1e-3))
+        n_sources = max(1, n_estimated)  # MUSIC needs >= 1-dim subspace
     mic_positions = np.asarray(mic_positions, np.float32)
     steer, bins, w = azimuth_steering_vectors(
         mic_positions, cfg, n_azimuths, bin_stride=bin_stride)
@@ -376,5 +376,8 @@ def estimate_doa_music(
     sep = max(1, int(round(min_separation_deg * n_azimuths / 360.0)))
     peaks = circular_peaks(np.asarray(scores), n_sources, sep)
     az = peaks * (360.0 / n_azimuths)
-    return {"scores": scores, "azimuth_deg": az % 360.0,
-            "n_sources": n_sources}
+    out = {"scores": scores, "azimuth_deg": az % 360.0,
+           "n_sources": n_sources}
+    if n_estimated is not None:
+        out["n_sources_estimated"] = n_estimated  # 0 = silence detected
+    return out

@@ -260,7 +260,8 @@ def estimate_n_sources(
     smallest M-k eigenvalues should be equal (the noise floor); the
     log-likelihood term S*(M-k)*ln(arith/geom mean ratio) measures their
     spread, summed incoherently over frequency bins, plus the
-    'mdl' (0.5 k(2M-k) ln(S*Fk)) or 'aic' (k(2M-k)) penalty.
+    per-bin penalty summed over the Fk bins ('mdl' = 0.5 k(2M-k) Fk ln(S),
+    'aic' = k(2M-k) Fk — each bin carries its own signal subspace).
 
     frames: [S, M, N] snapshots (S > M for a full-rank covariance).
     Returns the k in [0, max_sources] minimizing the criterion.
@@ -273,7 +274,8 @@ def estimate_n_sources(
     k_max = min(m - 1, max_sources if max_sources is not None else m - 1)
     win = jnp.asarray(window_ops.window_for(cfg))
     x = localizer_mod.condition_frames(jnp.asarray(frames), win, cfg)
-    re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+    re, im = mxu_fft.forward_spectra(
+        x, cfg.fft_length, cfg.matmul_dtype, mxu_fft.dft_prec(cfg))
     f_full = cfg.fft_length // 2 + 1
     bins = xcorr.restrict_bins_to_band(
         np.arange(1, f_full - 1, bin_stride), cfg)
@@ -281,7 +283,7 @@ def estimate_n_sources(
     top = jnp.concatenate([a, -b], axis=-1)
     bot = jnp.concatenate([b, a], axis=-1)
     block = jnp.concatenate([top, bot], axis=-2)  # [Fk, 2M, 2M]
-    ev2 = jnp.linalg.eigh(block)[0]  # ascending; R's eigs doubled
+    ev2 = jnp.linalg.eigvalsh(block)  # ascending; R's eigs doubled
     lam = np.maximum(np.asarray(ev2)[..., ::2], 1e-20)  # [Fk, M] ascending
 
     # noise-subspace mean ratios for every candidate noise dim d = M - k:
@@ -336,12 +338,15 @@ def localize_music(
     from . import window as window_ops
     from ..models import localizer as localizer_mod
 
+    n_estimated = None
     if n_sources == "auto":
         # MDL model-order selection (estimate_n_sources); MUSIC needs at
-        # least a 1-dim signal subspace
-        n_sources = max(1, estimate_n_sources(
+        # least a 1-dim signal subspace, but the RAW estimate (which can
+        # be 0 = silence) is reported so callers can tell the difference
+        n_estimated = estimate_n_sources(
             frames, cfg, bin_stride=bin_stride,
-            diagonal_loading=max(diagonal_loading, 1e-3)))
+            diagonal_loading=max(diagonal_loading, 1e-3))
+        n_sources = max(1, n_estimated)
     mic_positions = np.asarray(mic_positions, np.float32)
     steer, bins, w = mic_steering_vectors(
         grid, mic_positions, cfg, bin_stride=bin_stride)
@@ -350,7 +355,8 @@ def localize_music(
     @jax.jit
     def spectra(fr):
         x = localizer_mod.condition_frames(fr, win, cfg)
-        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype,
+                                       mxu_fft.dft_prec(cfg))
 
     @jax.jit
     def spectrum(re, im):
@@ -366,7 +372,11 @@ def localize_music(
             refine=True)[0]
 
     scores = spectrum(*spectra(frames))
-    return {"scores": scores, "xy_grid": peak(scores)}
+    out = {"scores": scores, "xy_grid": peak(scores),
+           "n_sources": n_sources}
+    if n_estimated is not None:
+        out["n_sources_estimated"] = n_estimated  # 0 = silence detected
+    return out
 
 
 def localize_mvdr(
@@ -398,7 +408,8 @@ def localize_mvdr(
     @jax.jit
     def spectra(fr):
         x = localizer_mod.condition_frames(fr, win, cfg)
-        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+        return mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype,
+                                       mxu_fft.dft_prec(cfg))
 
     @jax.jit
     def spectrum(re, im):
@@ -447,7 +458,8 @@ def localize_freq(
     @jax.jit
     def run(fr):
         x = localizer_mod.condition_frames(fr, win, cfg)
-        re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+        re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype,
+                                         mxu_fft.dft_prec(cfg))
         rr, jj = mxu_fft.cross_power_reim(
             re, im, params.pairs, phat=cfg.phat, phat_eps=cfg.phat_eps)
         scores = srp_scores_freq(

@@ -153,7 +153,8 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
 
     def per_device(frames_shard, pairs_shard, valid_shard, lut_shard):
         x = localizer_mod.condition_frames(frames_shard, params.window, cfg)
-        re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype)
+        re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype,
+                                         mxu_fft.dft_prec(cfg))
         rr, jj = mxu_fft.cross_power_reim(
             re, im, pairs_shard, phat=cfg.phat, phat_eps=cfg.phat_eps)
         syn_c, syn_s = mxu_fft.lag_synthesis_matrices(

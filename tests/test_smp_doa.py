@@ -91,3 +91,13 @@ def test_smp_with_band_crop():
     err = min(abs((got - 75.0 + 180) % 360 - 180),
               abs((got - (-75.0) % 360 + 180) % 360 - 180))
     assert err < 4.0, got
+
+
+def test_smp_rejects_unsupported_configs():
+    import pytest
+
+    mics = _linear_array(8)
+    with pytest.raises(ValueError):
+        DoaEstimator.create(mics, PipelineConfig(weighting="scot"), smp=True)
+    with pytest.raises(ValueError):
+        DoaEstimator.create(mics, PipelineConfig(xcorr_mode="fft"), smp=True)

@@ -91,3 +91,14 @@ def test_doa_music_auto_order():
     want = np.sort([np.degrees(np.arctan2(-0.4, 0.6)) % 360,
                     np.degrees(np.arctan2(0.5, -0.7)) % 360])
     assert np.abs(az - want).max() < 10.0, (az, want)
+
+
+def test_auto_reports_raw_estimate_on_silence():
+    """n_sources_estimated exposes the MDL count (0 = silence) even though
+    MUSIC itself runs with a clamped >=1 subspace."""
+    grid = GridConfig(half_cells_x=12, half_cells_y=12, cells_per_m=12.0)
+    frames = _snaps([], n_snap=16)
+    out = srp_freq.localize_music(frames, MICS, grid, CFG,
+                                  n_sources="auto", bin_stride=8)
+    assert out["n_sources_estimated"] == 0
+    assert out["n_sources"] == 1
