@@ -1,0 +1,111 @@
+"""TDOA cycle-consistency: denoising, residuals, and mic-fault diagnosis.
+
+Pairwise TDOAs are redundant: any cycle must close (tau_ij + tau_jk =
+tau_ik).  Projecting measured TDOAs onto the consistent subspace — the
+image of the pair-difference operator S (tau = S t for per-mic arrival
+times t) — averages that redundancy away (the graph-TDOA idea of
+arXiv:2507.07087, solved in closed form here), and the projection
+RESIDUAL attributes inconsistency to individual microphones: a mic whose
+correlations are garbage (dead channel, saturated ADC, loose cable)
+poisons exactly the pairs that touch it, while a merely-delayed mic stays
+perfectly consistent (the delay is absorbed into its arrival time).
+
+New capability — the reference has no health monitoring at all; its only
+quality gate is the shift-sum heuristic (sample_compute.h:124-134).
+
+All ops are batched/jittable; the solve is on the M-dim arrival-time
+space (the same sufficient-statistics trick as ops.solver), never on the
+P-dim pair space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _selection(pairs: jnp.ndarray, n_mics: int, dtype) -> jnp.ndarray:
+    """S [P, M]: tau = S t with tau_p = t_j - t_i (ops.solver convention:
+    positive lag = mic j lags mic i)."""
+    return (jax.nn.one_hot(pairs[:, 1], n_mics, dtype=dtype)
+            - jax.nn.one_hot(pairs[:, 0], n_mics, dtype=dtype))
+
+
+def project_consistent(
+    tdoas: jnp.ndarray,
+    pairs: jnp.ndarray,
+    n_mics: int,
+    weights: jnp.ndarray | None = None,
+):
+    """Least-squares projection onto the cycle-consistent subspace.
+
+    tdoas: [..., P] (any time unit); optional per-pair weights [..., P]
+    (e.g. peak confidence).  Returns (tau_consistent [..., P],
+    arrival_times [..., M] zero-mean, residual [..., P] = measured -
+    consistent).
+
+    Solves min_t sum_p w_p (tau_p - (t_j - t_i))^2 with the mean-t gauge
+    fixed by augmenting the (singular) graph Laplacian S^T W S with the
+    rank-one 11^T/M term — exact because the solution is orthogonal to 1.
+    """
+    dt = tdoas.dtype
+    sel = _selection(pairs, n_mics, dt)  # [P, M]
+    if weights is None:
+        lap = jnp.matmul(sel.T, sel, precision=_HI)  # [M, M]
+        rhs = jnp.einsum("pm,...p->...m", sel, tdoas, precision=_HI)
+    else:
+        w = weights.astype(dt)
+        lap = jnp.einsum("pm,pn,...p->...mn", sel, sel, w, precision=_HI)
+        rhs = jnp.einsum("pm,...p,...p->...m", sel, w, tdoas, precision=_HI)
+    gauge = jnp.ones((n_mics, n_mics), dt) / n_mics
+    t = jnp.linalg.solve(
+        jnp.broadcast_to(lap + gauge, rhs.shape + (n_mics,)),
+        rhs[..., None])[..., 0]
+    tau_c = jnp.einsum("pm,...m->...p", sel, t, precision=_HI)
+    return tau_c, t, tdoas - tau_c
+
+
+def mic_consistency_scores(
+    residual: jnp.ndarray,
+    pairs: jnp.ndarray,
+    n_mics: int,
+) -> jnp.ndarray:
+    """Per-mic mean |residual| over the pairs touching each mic [..., M].
+
+    A healthy array scores near the TDOA noise floor on every mic; a mic
+    producing garbage correlations scores high on ALL its pairs."""
+    touch = (jax.nn.one_hot(pairs[:, 0], n_mics, dtype=residual.dtype)
+             + jax.nn.one_hot(pairs[:, 1], n_mics, dtype=residual.dtype))
+    num = jnp.einsum("pm,...p->...m", touch, jnp.abs(residual))
+    return num / touch.sum(axis=0)
+
+
+def diagnose_mics(
+    tdoas: jnp.ndarray,
+    pairs: jnp.ndarray,
+    n_mics: int,
+    *,
+    weights: jnp.ndarray | None = None,
+    ratio_thresh: float = 3.0,
+    floor: float = 1e-9,
+):
+    """Flag faulty microphones from TDOA inconsistency.
+
+    Returns a dict:
+    - 'scores'   [..., M]: per-mic mean |cycle residual|
+    - 'faulty'   [..., M] bool: score > ratio_thresh * median(others)
+    - 'residual_rms' [...]: overall consistency (0 = perfectly consistent)
+
+    Note a constant per-mic DELAY is invisible here by design (it is a
+    valid arrival-time shift); this detects mics whose pair measurements
+    are mutually inconsistent — noise-only channels, dropouts, saturation.
+    """
+    _, _, resid = project_consistent(tdoas, pairs, n_mics, weights)
+    scores = mic_consistency_scores(resid, pairs, n_mics)
+    med = jnp.median(scores, axis=-1, keepdims=True)
+    faulty = scores > ratio_thresh * jnp.maximum(med, floor)
+    rms = jnp.sqrt(jnp.mean(resid * resid, axis=-1))
+    return {"scores": scores, "faulty": faulty, "residual_rms": rms}
