@@ -92,3 +92,24 @@ k = int(np.argmax(np.asarray(tout["track_confirmed"])))
 vel = np.asarray(tout["track_vel"])[k]
 print(f"tracking: confirmed track id {int(np.asarray(tout['track_id'])[k])}, "
       f"velocity ({vel[0]:+.2f}, {vel[1]:+.2f}) m/s (true +0.40, +0.25)")
+
+# --- 4. array health monitoring: TDOA cycle-consistency ------------------
+# A dead/garbage channel poisons exactly the pairs touching it; the
+# cycle-consistency residual attributes the inconsistency per mic
+# (ops/consistency; a merely-delayed mic stays consistent by design).
+from audio_triangulation_tpu import Localizer as _Loc
+from audio_triangulation_tpu.core import geometry as _geo
+from audio_triangulation_tpu.ops import consistency
+
+mics8 = _geo.circular_array(8, 0.25)
+fr8 = np.asarray(synth.synth_scene(
+    src3, mics8, noise_rms=0.01, seed=9))
+fr8[0, 5] = rng.normal(0, 0.3, fr8.shape[-1])  # channel 5 is dead
+loc8 = _Loc.create(mics8, PipelineConfig(phat=True))
+out8 = loc8(jnp.asarray(fr8, jnp.float32))
+diag = consistency.diagnose_mics(
+    out8["tdoa_samples"] / 50_000.0, loc8.params.pairs, 8,
+    ratio_thresh=2.5)
+flags = np.nonzero(np.asarray(diag["faulty"])[0])[0]
+print(f"health: faulty mics {flags.tolist()} "
+      f"(residual rms {float(np.asarray(diag['residual_rms'])[0]):.2e} s)")

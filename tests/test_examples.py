@@ -35,6 +35,7 @@ def test_production_example():
     assert "transport:" in out and "1 event(s)" in out
     assert "streaming: 2 events" in out
     assert "tracking: confirmed track" in out
+    assert "health: faulty mics [5]" in out
 
 
 def test_robustness_example():
