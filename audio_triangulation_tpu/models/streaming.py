@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..core.config import GridConfig, PipelineConfig, SolverConfig, StreamConfig
 
-from ..ops import beamform, detector, solver as solver_ops, srp, xcorr
+from ..ops import (beamform, consistency, detector, solver as solver_ops,
+                   srp, xcorr)
 from . import localizer as localizer_mod
 
 
@@ -333,6 +334,14 @@ def stream_step(
         "xy_grid": xy_grid,
         "event_count": new_state.event_count,
     }
+    # continuous array health: TDOA cycle-consistency residual of the
+    # smoothed correlogram peaks (ops/consistency) — rises when a channel
+    # goes bad (0 for a healthy array), with per-mic attribution
+    _, _, c_resid = consistency.project_consistent(
+        tdoa_samples, params.pairs, params.mic_positions.shape[0])
+    out["consistency_rms"] = jnp.sqrt(jnp.mean(c_resid * c_resid))
+    out["mic_consistency"] = consistency.mic_consistency_scores(
+        c_resid, params.pairs, params.mic_positions.shape[0])
     if with_solver:
         tdoa_s = tdoa_samples[None] / fs  # [1, P] seconds
         xy, rms = solver_ops.solve_tdoa_batched(

@@ -108,3 +108,28 @@ def test_e2e_from_frames():
         tdoas, loc.params.pairs, M, ratio_thresh=2.5)
     faulty = np.asarray(diag["faulty"])[0]
     assert faulty[3], np.asarray(diag["scores"])[0]
+
+
+def test_streaming_emits_health_metrics():
+    """The streaming step reports consistency_rms + per-mic scores; a dead
+    channel drives the per-mic score of exactly that mic up."""
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+
+    rng = np.random.default_rng(4)
+    src = np.array([0.6, 0.4, 1.2])
+    src = src * 1.2 / np.linalg.norm(src)
+    frame = np.asarray(synth.synth_scene(src, MICS, noise_rms=0.0, seed=4))[0]
+    frame[3] = rng.normal(0, 0.3, frame.shape[-1])  # dead channel
+    streams = rng.integers(127, 130, size=(M, 8000)).astype(np.float64)
+    streams[:, 3000:3000 + 1024] += 110.0 * frame
+    sl = StreamingLocalizer.create(
+        MICS, PipelineConfig(phat=True),
+        stream=StreamConfig(chunk_size=512))
+    _, outs = sl.run(np.clip(np.round(streams), 0, 255))
+    events = [o for o in outs if o["event"]]
+    assert events
+    out = events[-1]
+    assert out["consistency_rms"] > 1e-6  # inconsistency detected
+    scores = np.asarray(out["mic_consistency"])
+    assert scores.argmax() == 3, scores
