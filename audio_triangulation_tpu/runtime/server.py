@@ -194,6 +194,8 @@ class LocalizerServer:
             "event": bool(np.asarray(out["event"])),
             "event_count": int(np.asarray(out["event_count"])),
             "xy_grid": np.asarray(out["xy_grid"]).tolist(),
+            # continuous array health (TDOA cycle-consistency, seconds)
+            "consistency_rms": float(np.asarray(out["consistency_rms"])),
         }
         if "xy" in out:
             resp["xy"] = np.asarray(out["xy"]).tolist()

@@ -104,6 +104,7 @@ def test_streaming_session(server):
         if out["event"]:
             events.append(out)
     assert events, "no event served"
+    assert all("consistency_rms" in e for e in events)  # health metric
     xy = np.asarray(events[0]["xy"])
     assert np.linalg.norm(xy - plane) < 0.15, xy
     assert events[-1]["event_count"] >= 1
