@@ -155,10 +155,8 @@ def cmd_serve(args):
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(POST /localize, /streams; GET /healthz, /config)")
     try:
-        import time as _time
-
         while True:
-            _time.sleep(3600)
+            time.sleep(3600)
     except KeyboardInterrupt:
         srv.stop()
 

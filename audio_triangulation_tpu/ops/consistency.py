@@ -20,16 +20,19 @@ P-dim pair space.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _selection(pairs: jnp.ndarray, n_mics: int, dtype) -> jnp.ndarray:
-    """S [P, M]: tau = S t with tau_p = t_j - t_i (ops.solver convention:
-    positive lag = mic j lags mic i)."""
+def pair_selection(pairs: jnp.ndarray, n_mics: int, dtype) -> jnp.ndarray:
+    """The +-1 pair-difference matrix S [P, M]: tau = S t with
+    tau_p = t_j - t_i (ops.solver convention: positive lag = mic j lags
+    mic i).  Shared by the GN solver's sufficient statistics, the
+    covariance estimate, and the consistency projection — a matmul with S
+    instead of two gathers (TPU gathers over the pair axis are
+    pathological at large P; see ops/srp.py)."""
     return (jax.nn.one_hot(pairs[:, 1], n_mics, dtype=dtype)
             - jax.nn.one_hot(pairs[:, 0], n_mics, dtype=dtype))
 
@@ -52,7 +55,7 @@ def project_consistent(
     rank-one 11^T/M term — exact because the solution is orthogonal to 1.
     """
     dt = tdoas.dtype
-    sel = _selection(pairs, n_mics, dt)  # [P, M]
+    sel = pair_selection(pairs, n_mics, dt)  # [P, M]
     if weights is None:
         lap = jnp.matmul(sel.T, sel, precision=_HI)  # [M, M]
         rhs = jnp.einsum("pm,...p->...m", sel, tdoas, precision=_HI)

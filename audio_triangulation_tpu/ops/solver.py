@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SolverConfig
+from . import consistency
 
 # TPU's default matmul precision computes f32 contractions via bf16 MXU
 # passes — enough to stall Gauss-Newton cm-level away from the optimum
@@ -146,8 +147,7 @@ def solve_tdoa_batched(
     # pair differencing as a +-1 selection matmul instead of two gathers:
     # TPU gathers over the pair axis are pathological at large P (the same
     # finding as ops/srp.py's one-hot scoring); S is exact in f32
-    sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
-           - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
+    sel = consistency.pair_selection(pairs, m, dt)  # [P, M]
     w2 = None if weights is None else (weights * weights).astype(dt)  # [P]
     sel_w = sel if w2 is None else sel * w2[:, None]
     q = jnp.matmul(sel.T, sel_w, precision=_HI)           # [M, M]
@@ -274,8 +274,7 @@ def solution_covariance(
         mic_positions.astype(dt))
     h = jnp.asarray(height, dt)
     p_count = int(pairs.shape[0]) if n_pairs is None else int(n_pairs)
-    sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
-           - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))
+    sel = consistency.pair_selection(pairs, m, dt)
     q = jnp.matmul(sel.T, sel, precision=_HI)
 
     v = jnp.concatenate(
@@ -345,8 +344,7 @@ def solve_tdoa_xyz(
     # +-1 selection matmul over pairs; the iteration uses only the M-space
     # sufficient statistics Q = S^T S and t2 = S^T target (see
     # solve_tdoa_batched) — per-iteration cost O(B M^2), pair-count-free
-    sel = (jax.nn.one_hot(pairs[:, 1], m, dtype=dt)
-           - jax.nn.one_hot(pairs[:, 0], m, dtype=dt))  # [P, M]
+    sel = consistency.pair_selection(pairs, m, dt)  # [P, M]
     q = jnp.matmul(sel.T, sel, precision=_HI)            # [M, M]
     t2 = jnp.einsum("pm,...p->...m", sel, target,
                     precision=_HI)                       # [B, M]
