@@ -721,6 +721,9 @@ def main(argv=None):
     p.add_argument("--phat-beta", type=float, default=1.0,
                    help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--max-events", type=int, default=16)
+    p.add_argument("--diagnose", action="store_true",
+                   help="print array health (TDOA cycle-consistency "
+                        "per-mic scores + faulty-mic flags)")
     p.add_argument("--extract", metavar="OUT_WAV",
                    help="also write a beamformed mono waveform of each "
                         "event at its localized position (files get a "
@@ -788,6 +791,17 @@ def cmd_localize_wav(args):
         print(f"event @ {t / rate:8.3f}s (sample {t}): "
               f"xy=({xy[i, 0]:+.3f}, {xy[i, 1]:+.3f}) m  "
               f"shifts={np.asarray(out['best_shift'])[i]}")
+    if args.diagnose:
+        from ..ops import consistency
+
+        diag = consistency.diagnose_mics(
+            out["tdoa_samples"] / rate, loc.params.pairs, mics.shape[0])
+        scores = np.asarray(diag["scores"]).mean(axis=0)  # over events
+        faulty = np.nonzero(np.asarray(diag["faulty"]).any(axis=0))[0]
+        rms = float(np.asarray(diag["residual_rms"]).mean())
+        print(f"health: consistency rms {rms:.2e} s; "
+              f"per-mic {np.round(scores * 1e6, 2).tolist()} us; "
+              f"faulty mics {faulty.tolist() or 'none'}")
     if args.extract:
         import os
 

@@ -57,9 +57,11 @@ def test_localize_wav(tmp_path, capsys):
     audio_io.write_wav(
         wav, np.clip(np.round(streams), 0, 255).astype(np.int16), 50_000)
 
-    cli.main(["localize-wav", wav])
+    cli.main(["localize-wav", wav, "--diagnose"])
     out = capsys.readouterr().out
     assert "event @" in out
+    assert "health: consistency rms" in out
+    assert "faulty mics none" in out  # all channels healthy here
 
     # --extract writes a beamformed mono WAV per event
     dst = str(tmp_path / "src.wav")
