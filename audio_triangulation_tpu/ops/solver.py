@@ -258,7 +258,10 @@ def solution_covariance(
 
     The standard nonlinear-least-squares estimate: Cov = sigma^2 (J^T J)^-1
     evaluated at the solution, with the unit-weight variance
-    sigma^2 = ||r||^2 / (P - 2) taken from the solver's residual RMS.  The
+    sigma^2 = ||r||^2 / (P - 2) taken from the solver's residual RMS (for
+    robust fits the RMS still includes the down-weighted outlier pairs, so
+    the reported covariance is CONSERVATIVE — it overstates rather than
+    hides the uncertainty an outlier injected).  The
     same M-space sufficient statistic Q = S^T S as solve_tdoa_batched —
     no [B, P] tensors.  ``min_sigma_m`` floors sigma (a perfectly-fitting
     solve still has at least quantization-level uncertainty).
