@@ -641,8 +641,12 @@ def main(argv=None):
     p.add_argument("--out", help="write the full JSON report here")
     p.set_defaults(fn=cmd_evaluate)
 
-    p = sub.add_parser("serve",
-                       help="HTTP/JSON localization server (runtime.server)")
+    p = sub.add_parser(
+        "serve",
+        help="HTTP/JSON localization server (runtime.server). The server "
+             "is UNAUTHENTICATED — bind --host beyond 127.0.0.1 only on a "
+             "trusted network.  Request bodies are capped (64 MiB, HTTP "
+             "413 beyond) and frame shapes validated against the pipeline.")
     common(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)

@@ -52,8 +52,11 @@ def merge_pairs(mic_positions: np.ndarray, pairs: np.ndarray,
     displacement vectors m_j - m_i are identical share the same far-field
     TDOA at EVERY bearing, so their cross-power spectra can be summed
     into one correlogram before lag synthesis — exact for azimuth SRP
-    scores (the score is linear in the correlograms).  Regular arrays
-    collapse hard: an 8-mic line's 28 pairs have 7 unique displacements.
+    scores when the peak taper is off (the score is then linear in the
+    correlograms; with ``taper_enabled=True`` the taper acts on the merged
+    correlogram instead of per-pair, so scores differ slightly).  Regular
+    arrays collapse hard: an 8-mic line's 28 pairs have 7 unique
+    displacements.
 
     Returns (merge [P, P'] 0/1 float32, disp [P', 2] the unique
     displacements)."""
@@ -244,9 +247,13 @@ def estimate_doa_smp(
 ) -> dict:
     """SMP-PHAT azimuth estimation (merged same-displacement pairs,
     arXiv:2203.14409): cross-power spectra are summed within displacement
-    groups BEFORE lag synthesis — identical azimuth scores to the unmerged
-    path (the score is linear in the correlograms), with P' <= P
-    correlogram rows in the synthesis and steering matmuls.
+    groups BEFORE lag synthesis — with ``taper_enabled=False`` the azimuth
+    scores are identical to the unmerged path (the score is linear in the
+    correlograms), with P' <= P correlogram rows in the synthesis and
+    steering matmuls.  With the peak taper ON the equivalence is only
+    approximate: the taper is a nonlinear (argmax-centered) window applied
+    to the MERGED correlogram here but per-pair in the unmerged path, so
+    scores can differ near secondary peaks.
 
     'tdoa_samples' / 'best_shift' / 'bearing' are PER MERGED GROUP (the
     shared baseline), against the pseudo origin->displacement geometry."""

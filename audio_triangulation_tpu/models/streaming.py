@@ -336,9 +336,11 @@ def stream_step(
     }
     # continuous array health: TDOA cycle-consistency residual of the
     # smoothed correlogram peaks (ops/consistency) — rises when a channel
-    # goes bad (0 for a healthy array), with per-mic attribution
+    # goes bad (0 for a healthy array), with per-mic attribution.  Units
+    # are SECONDS (the residual is projected from tdoa in seconds), the
+    # same convention as ops/consistency.diagnose_mics and the CLI.
     _, _, c_resid = consistency.project_consistent(
-        tdoa_samples, params.pairs, params.mic_positions.shape[0])
+        tdoa_samples / fs, params.pairs, params.mic_positions.shape[0])
     out["consistency_rms"] = jnp.sqrt(jnp.mean(c_resid * c_resid))
     out["mic_consistency"] = consistency.mic_consistency_scores(
         c_resid, params.pairs, params.mic_positions.shape[0])

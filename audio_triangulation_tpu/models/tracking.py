@@ -118,18 +118,23 @@ def _joint_event_tables(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     events — a static constant folded into the jitted program.
     """
     import itertools
+    import math
 
+    # Guard BEFORE enumeration: E = sum_m C(N,m)·P(K,m) in closed form, so
+    # an oversize (n, k) raises immediately instead of grinding through
+    # (k+1)^n Python tuples first (N=K=8 is ~43M tuples).
+    e = sum(math.comb(n, m) * math.perm(k, m) for m in range(min(n, k) + 1))
+    if e > 200_000 or (k + 1) ** n > 5_000_000:
+        raise ValueError(
+            f"exact JPDA event table has {e} events for N={n}, K={k}; "
+            "use joint_association='cheap' at this scale")
     events = []
     for choice in itertools.product(range(-1, k), repeat=n):
         used = [c for c in choice if c >= 0]
         if len(used) != len(set(used)):
             continue
         events.append(choice)
-    e = len(events)
-    if e > 200_000:
-        raise ValueError(
-            f"exact JPDA event table has {e} events for N={n}, K={k}; "
-            "use joint_association='cheap' at this scale")
+    assert len(events) == e, (len(events), e)
     onehot = np.zeros((e, n, k), np.float32)
     n_clutter = np.zeros((e,), np.float32)
     for ei, choice in enumerate(events):

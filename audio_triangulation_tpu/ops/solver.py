@@ -202,11 +202,11 @@ def solve_tdoa_batched(
 
         return jax.lax.fori_loop(0, cfg.iterations, gn_step, xy0)
 
-    def pair_residual(xy):
+    def pair_residual(xy, weighted=True):
         d, _ = dist_grad(xy)
         r = jnp.einsum("pm,...m->...p", sel, d,
                        precision=_HI) - target  # [B, P] meters
-        return r if weights is None else r * weights
+        return r if (weights is None or not weighted) else r * weights
 
     xy = gn_loop(q, t2, init_xy.astype(dt))
 
@@ -217,7 +217,11 @@ def solve_tdoa_batched(
         # once per round, as a single einsum.
         base_w2 = jnp.ones(pairs.shape[0], dt) if w2 is None else w2
         for _ in range(cfg.irls_iterations):
-            r = pair_residual(xy)  # [B, P] (base-weighted) meters
+            # robust weights and the MAD scale come from the RAW residual:
+            # a confidence-weighted residual would conflate a pair's
+            # outlier-ness with its confidence (a low-confidence gross
+            # outlier would look small and escape down-weighting)
+            r = pair_residual(xy, weighted=False)  # [B, P] meters
             ar = jnp.abs(r)
             if cfg.robust_scale_m > 0:
                 delta = jnp.asarray(cfg.robust_scale_m, dt)

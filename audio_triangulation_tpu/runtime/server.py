@@ -37,10 +37,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def _decode_frames(handler, expected_tail_dims):
+class BodyTooLarge(Exception):
+    """Request body exceeds the server's max_body_bytes cap."""
+
+
+def _decode_frames(handler, expected_tail_dims, max_body_bytes):
     """Read a request body as float32 array: JSON nested lists or raw
-    float32 bytes + X-Shape header."""
+    float32 bytes + X-Shape header.
+
+    The body is capped at ``max_body_bytes`` BEFORE it is read: the server
+    runs unauthenticated, so an oversize Content-Length must not be able
+    to OOM the process or enqueue arbitrary-size device work."""
     length = int(handler.headers.get("Content-Length", 0))
+    if length > max_body_bytes:
+        raise BodyTooLarge(
+            f"body {length} B exceeds cap {max_body_bytes} B")
     body = handler.rfile.read(length)
     ctype = handler.headers.get("Content-Type", "application/json")
     if ctype.startswith("application/octet-stream"):
@@ -64,10 +75,13 @@ class LocalizerServer:
     """
 
     def __init__(self, loc, host: str = "127.0.0.1", port: int = 8080,
-                 stream_factory=None, max_sessions: int = 256):
+                 stream_factory=None, max_sessions: int = 256,
+                 max_body_bytes: int = 64 << 20, max_batch: int = 4096):
         import jax
 
         self.loc = loc
+        self.max_body_bytes = int(max_body_bytes)
+        self.max_batch = int(max_batch)
         self.backend = jax.default_backend()
         # sid -> [lock, state]; the per-session lock serializes steps on
         # THAT session (its state is donated in place), while independent
@@ -120,6 +134,8 @@ class LocalizerServer:
                         self._json(404, {"error": "not found"})
                 except KeyError as e:
                     self._json(404, {"error": f"unknown session {e}"})
+                except BodyTooLarge as e:
+                    self._json(413, {"error": str(e)})
                 except Exception as e:  # report, don't crash the server
                     self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -140,7 +156,14 @@ class LocalizerServer:
     def _localize(self, handler):
         import jax.numpy as jnp
 
-        frames = _decode_frames(handler, expected_tail_dims=2)
+        frames = _decode_frames(handler, expected_tail_dims=2,
+                                max_body_bytes=self.max_body_bytes)
+        m = int(self.loc.params.mic_positions.shape[0])
+        n = int(self.loc.pipeline.frame_size)
+        if frames.shape[0] > self.max_batch or frames.shape[1:] != (m, n):
+            raise ValueError(
+                f"frames shape {frames.shape} exceeds server bounds "
+                f"(expected [<= {self.max_batch}, {m}, {n}])")
         out = self.loc(jnp.asarray(frames))
         resp = {
             "xy": np.asarray(out["xy"]).tolist(),
@@ -181,7 +204,14 @@ class LocalizerServer:
         import jax.numpy as jnp
 
         sl = self._get_streamer()
-        chunk = _decode_frames(handler, expected_tail_dims=2)[0]  # [M, C]
+        chunk = _decode_frames(handler, expected_tail_dims=2,
+                               max_body_bytes=self.max_body_bytes)[0]  # [M,C]
+        # chunk length is free (the step retraces per length) but must be
+        # bounded, and the channel count must match the array
+        m = int(sl.params.mic_positions.shape[0])
+        if chunk.shape[0] != m or chunk.shape[1] > (1 << 20):
+            raise ValueError(
+                f"chunk shape {chunk.shape} invalid (need [{m}, <=2^20])")
         with self._lock:
             entry = self._sessions[sid]  # KeyError -> 404
         with entry[0]:

@@ -2,7 +2,12 @@
 """Headline benchmark: 4-mic 1024-sample frames/sec/chip, GCC-PHAT + SRP +
 least-squares solve (BASELINE.json north-star: >= 50,000 on TPU v5e).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints TWO JSON lines — the untuned full-band configuration first, then the
+shipping band-cropped headline LAST (the driver parses the last line):
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Both configs are always reported so the headline cannot be read as
+tuned-to-the-bench (VERDICT r2 item 5); with --full-band only the full-band
+line is printed.
 
 The benched program is the full flagship pipeline (condition -> window ->
 rFFT -> cross-power + PHAT -> irFFT -> taper -> SRP matmul -> grid peak ->
@@ -53,13 +58,14 @@ def main():
     # out-of-band noise — BENCH_ROBUSTNESS.json: 6.8 cm vs 0.7 cm median)
     # and 1.65x faster — only in-band bins are computed (--full-band
     # reverts).
-    band = None if args.full_band else (800.0, 6000.0)
-    cfg = PipelineConfig(phat=True, fft_pad_mode="circular",
-                         srp_dtype="bfloat16", fused_sub_tiles=args.sub_tiles,
-                         band_hz=band, band_crop=band is not None)
-    loc = Localizer.create(
-        mics, cfg, with_solver=not args.no_solver,
-        init_grid_stride=1 if args.no_solver else args.init_grid_stride)
+    def make_loc(band):
+        cfg = PipelineConfig(
+            phat=True, fft_pad_mode="circular", srp_dtype="bfloat16",
+            fused_sub_tiles=args.sub_tiles,
+            band_hz=band, band_crop=band is not None)
+        return Localizer.create(
+            mics, cfg, with_solver=not args.no_solver,
+            init_grid_stride=1 if args.no_solver else args.init_grid_stride)
 
     # one synthetic event replicated over the batch (content doesn't affect
     # timing; shapes do)
@@ -72,32 +78,43 @@ def main():
     frames = tuple(
         jax.device_put(jnp.asarray(one), dev) for _ in range(g))
 
-    def run_one(x):
-        out = loc._jitted(loc.params, x)
-        return out["xy"], out["tdoa_samples"], out["rms_m"]
-
-    run_c = jax.jit(lambda xs: tuple(run_one(x) for x in xs))
-
-    for _ in range(args.warmup):
-        jax.block_until_ready(run_c(frames))
-
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        res = run_c(frames)
-    jax.block_until_ready(res)
-    t1 = time.perf_counter()
-
-    frames_per_sec = g * args.batch * args.iters / (t1 - t0)
     baseline = 50_000.0
-    if args.verbose:
-        print(f"device={dev} batch={args.batch} iters={args.iters} "
-              f"time={t1 - t0:.3f}s")
-    print(json.dumps({
-        "metric": "4mic_1024pt_frames_per_sec_per_chip_gccphat_srp_solve",
-        "value": round(frames_per_sec, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / baseline, 3),
-    }))
+
+    def measure(loc):
+        def run_one(x):
+            out = loc._jitted(loc.params, x)
+            return out["xy"], out["tdoa_samples"], out["rms_m"]
+
+        run_c = jax.jit(lambda xs: tuple(run_one(x) for x in xs))
+        for _ in range(args.warmup):
+            jax.block_until_ready(run_c(frames))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            res = run_c(frames)
+        jax.block_until_ready(res)
+        t1 = time.perf_counter()
+        if args.verbose:
+            print(f"device={dev} batch={args.batch} iters={args.iters} "
+                  f"time={t1 - t0:.3f}s")
+        return g * args.batch * args.iters / (t1 - t0)
+
+    def emit(tag, fps):
+        print(json.dumps({
+            "metric":
+                f"4mic_1024pt_frames_per_sec_per_chip_gccphat_srp_solve{tag}",
+            "value": round(fps, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / baseline, 3),
+        }), flush=True)
+
+    # full-band (untuned) line first; band-cropped headline LAST so the
+    # driver's last-line parse picks up the headline metric
+    fps_full = measure(make_loc(None))
+    if args.full_band:
+        emit("", fps_full)
+        return
+    emit("_fullband", fps_full)
+    emit("", measure(make_loc((800.0, 6000.0))))
 
 
 def _is_transient_tunnel_error(exc: BaseException) -> bool:

@@ -115,3 +115,33 @@ def test_streaming_session(server):
         _req(server, f"/streams/{sid}", b"{}",
              headers={"Content-Type": "application/json"})
     assert e.value.code in (400, 404)
+
+
+def test_oversize_body_is_413(server):
+    """Unauthenticated server must reject oversize bodies BEFORE reading
+    them (no OOM / no arbitrary-size device work)."""
+    big = server.max_body_bytes + 1
+    # data first, THEN the Content-Length header (urllib's data setter
+    # removes any preset Content-Length): the header lies about the
+    # length; the server must 413 on the header alone, unread body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/localize", data=b"", method="POST")
+    req.add_header("Content-Type", "application/octet-stream")
+    req.add_header("Content-Length", str(big))
+    req.add_header("X-Shape", "1,3,1024")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+    code, _ = _req(server, "/healthz")
+    assert code == 200
+
+
+def test_wrong_shape_is_400(server):
+    frames = np.zeros((1, 3, 777), np.float32)  # wrong frame length
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "/localize", frames.tobytes(),
+             headers={"Content-Type": "application/octet-stream",
+                      "X-Shape": "1,3,777"})
+    assert e.value.code == 400
+    code, _ = _req(server, "/healthz")
+    assert code == 200

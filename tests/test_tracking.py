@@ -7,6 +7,7 @@ The state-space generalization of the reference's correlogram EMA
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from audio_triangulation_tpu.models import tracking
 from audio_triangulation_tpu.models.tracking import Tracker, TrackerConfig
@@ -432,6 +433,18 @@ def test_joint_event_tables():
     # events are unique
     flat = onehot.reshape(209, -1)
     assert len({tuple(r) for r in flat.astype(int)}) == 209
+
+
+def test_joint_event_tables_oversize_raises_fast():
+    """The event-count guard must fire from the closed form BEFORE the
+    (k+1)^n enumeration loop — N=K=8 is ~43M tuples, an effective hang if
+    enumerated first."""
+    import time
+
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="cheap"):
+        tracking._joint_event_tables(8, 8)
+    assert time.perf_counter() - t0 < 1.0
 
 
 def test_step_multi_shared_measurement_splits_weight():
