@@ -89,6 +89,8 @@ def cmd_evaluate(args):
     from .. import Localizer, PipelineConfig
     from ..utils import io as audio_io
 
+    import os
+
     with open(args.manifest) as f:
         entries = json.load(f)
     if not entries:
@@ -98,8 +100,13 @@ def cmd_evaluate(args):
     loc = None
     rate0 = None
     rows, errs = [], []
+    base = os.path.dirname(os.path.abspath(args.manifest))
     for e in entries:
-        samples, rate = audio_io.read_wav(e["wav"])
+        # relative wav paths resolve against the manifest's directory, so
+        # a committed dataset (tests/data/eval) works from any cwd
+        path = e["wav"] if os.path.isabs(e["wav"]) else os.path.join(
+            base, e["wav"])
+        samples, rate = audio_io.read_wav(path)
         if samples.shape[0] != mics.shape[0]:
             raise SystemExit(
                 f"{e['wav']}: {samples.shape[0]} channels != "
