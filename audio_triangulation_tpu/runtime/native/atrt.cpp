@@ -20,6 +20,7 @@
 // Exposed as a C ABI for ctypes (no pybind11 dependency).
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -30,6 +31,7 @@
 #include <vector>
 
 #include <arpa/inet.h>
+#include <dlfcn.h>
 #include <fcntl.h>
 #include <netdb.h>
 #include <netinet/in.h>
@@ -253,10 +255,20 @@ void atrt_powers(void* h, long long* incoming_out, long long* outgoing_out) {
 // (src/components/dma_sampler.c:8-56): once started, samples flow into the
 // detector with no Python in the loop; only event frames surface (atrt_poll).
 // Kinds: 0 = FIFO/file path, 1 = TCP connect "host:port",
-//        2 = TCP listen ":port" (accept one peer; port 0 picks a free one).
+//        2 = TCP listen ":port" (accept one peer; port 0 picks a free one),
+//        3 = ALSA capture device (dlopen'd libasound; no link-time dep).
 // ---------------------------------------------------------------------------
 
 namespace {
+
+// error codes surfaced via atrt_source_error (0 = ok)
+enum SourceError {
+  kErrNone = 0,
+  kErrDlopen = 1,     // libasound (or override) not loadable / symbols miss
+  kErrDeviceOpen = 2, // snd_pcm_open failed
+  kErrParams = 3,     // snd_pcm_set_params rejected the configuration
+  kErrIo = 4,         // unrecoverable read error ended the source
+};
 
 struct Source {
   Runtime* rt = nullptr;
@@ -271,9 +283,15 @@ struct Source {
   std::atomic<long long> reconnects{0};  // producer re-attachments observed
   std::atomic<int> bound_port{0};  // for listen sources (port 0 -> chosen)
   std::atomic<int> listen_fd{-1};
+  std::atomic<int> error{kErrNone};
+  // ALSA-specific configuration (kind 3)
+  int rate = 50000;
+  int latency_us = 50000;
+  std::string libpath;  // override for tests; default libasound.so.2
 
   void run();
   void read_loop(int fd);
+  void alsa_loop();
 };
 
 int open_fifo(const std::string& path) {
@@ -392,7 +410,114 @@ void Source::read_loop(int fd) {
   }
 }
 
+// ----------------------------------------------------------------------
+// ALSA capture via dlopen (the native live-mic path; reference analogue:
+// the autonomous ADC+DMA chain, src/components/dma_sampler.c:8-56).  No
+// link-time libasound dependency: the five entry points are resolved at
+// runtime, so the binary builds and runs in audio-less containers and the
+// test suite can substitute a synthetic shim library.
+// ----------------------------------------------------------------------
+
+struct AlsaApi {
+  void* dl = nullptr;
+  int (*open_)(void**, const char*, int, int) = nullptr;
+  int (*close_)(void*) = nullptr;
+  int (*set_params)(void*, int, int, unsigned, unsigned, int,
+                    unsigned) = nullptr;
+  long (*readi)(void*, void*, unsigned long) = nullptr;
+  int (*recover)(void*, int, int) = nullptr;
+
+  bool load(const std::string& override_path) {
+    const char* candidates[] = {override_path.empty() ? nullptr
+                                                      : override_path.c_str(),
+                                "libasound.so.2", "libasound.so"};
+    for (const char* c : candidates) {
+      if (!c) continue;
+      dl = dlopen(c, RTLD_NOW | RTLD_LOCAL);
+      if (dl) break;
+      if (!override_path.empty()) return false;  // explicit path must load
+    }
+    if (!dl) return false;
+    open_ = reinterpret_cast<int (*)(void**, const char*, int, int)>(
+        dlsym(dl, "snd_pcm_open"));
+    close_ = reinterpret_cast<int (*)(void*)>(dlsym(dl, "snd_pcm_close"));
+    set_params = reinterpret_cast<int (*)(void*, int, int, unsigned,
+                                          unsigned, int, unsigned)>(
+        dlsym(dl, "snd_pcm_set_params"));
+    readi = reinterpret_cast<long (*)(void*, void*, unsigned long)>(
+        dlsym(dl, "snd_pcm_readi"));
+    recover = reinterpret_cast<int (*)(void*, int, int)>(
+        dlsym(dl, "snd_pcm_recover"));
+    return open_ && close_ && set_params && readi && recover;
+  }
+  void unload() {
+    if (dl) dlclose(dl);
+    dl = nullptr;
+  }
+};
+
+// ALSA ABI constants (sound/asound.h / alsa-lib pcm.h; stable ABI values)
+constexpr int kSndPcmStreamCapture = 1;
+constexpr int kSndPcmFormatS16Le = 2;
+constexpr int kSndPcmAccessRwInterleaved = 3;
+
+void Source::alsa_loop() {
+  AlsaApi api;
+  if (!api.load(libpath)) {
+    error.store(kErrDlopen);
+    return;
+  }
+  const int c = rt->channels;
+  const unsigned long period = 1024;  // tuples per readi
+  std::vector<int16_t> buf(period * c);
+  bool connected_before = false;
+  while (!stop.load()) {
+    void* pcm = nullptr;
+    if (api.open_(&pcm, address.c_str(), kSndPcmStreamCapture, 0) < 0) {
+      error.store(kErrDeviceOpen);
+      if (!reconnect) break;
+      poll(nullptr, 0, 200);
+      continue;
+    }
+    if (api.set_params(pcm, kSndPcmFormatS16Le, kSndPcmAccessRwInterleaved,
+                       (unsigned)c, (unsigned)rate, /*soft_resample=*/1,
+                       (unsigned)latency_us) < 0) {
+      error.store(kErrParams);
+      api.close_(pcm);
+      break;  // a config rejection won't fix itself; don't spin
+    }
+    error.store(kErrNone);
+    if (connected_before) reconnects.fetch_add(1);
+    connected_before = true;
+    while (!stop.load()) {
+      const long n = api.readi(pcm, buf.data(), period);
+      if (n > 0) {
+        atrt_push(rt, buf.data(), (int)n);
+        tuples.fetch_add(n);
+        bytes.fetch_add((long long)n * c * (long long)sizeof(int16_t));
+        continue;
+      }
+      if (n == -EAGAIN) {
+        poll(nullptr, 0, 1);
+        continue;
+      }
+      // overrun (-EPIPE) / suspend (-ESTRPIPE): recover in place
+      if (api.recover(pcm, (int)n, /*silent=*/1) == 0) continue;
+      error.store(kErrIo);
+      break;  // session over; reconnect re-opens the device
+    }
+    api.close_(pcm);
+    if (!reconnect) break;
+  }
+  api.unload();
+}
+
 void Source::run() {
+  if (kind == 3) {
+    alsa_loop();
+    running.store(false);
+    return;
+  }
   if (kind == 2 && bind_listen(this, address) < 0) {
     running.store(false);
     return;
@@ -441,6 +566,41 @@ void* atrt_source_start2(void* h, int kind, const char* address,
 
 void* atrt_source_start(void* h, int kind, const char* address) {
   return atrt_source_start2(h, kind, address, 0);
+}
+
+// Probe whether an ALSA implementation is loadable (libpath NULL/empty ->
+// the system libasound).  Lets callers choose the native path before
+// starting a source, without waiting on a thread to fail.
+int atrt_alsa_available(const char* libpath) {
+  AlsaApi api;
+  const bool ok = api.load(libpath ? libpath : "");
+  api.unload();
+  return ok ? 1 : 0;
+}
+
+// Start a native ALSA capture source: S16_LE interleaved at `rate` on
+// `device`, feeding the runtime's detector with no Python in the loop.
+// `libpath` overrides the dlopen'd library (tests use a synthetic shim).
+void* atrt_source_start_alsa(void* h, const char* device, int rate,
+                             int latency_us, int reconnect,
+                             const char* libpath) {
+  auto* src = new (std::nothrow) Source();
+  if (!src) return nullptr;
+  src->rt = static_cast<Runtime*>(h);
+  src->kind = 3;
+  src->reconnect = reconnect;
+  src->address = device ? device : "default";
+  src->rate = rate > 0 ? rate : 50000;
+  src->latency_us = latency_us > 0 ? latency_us : 50000;
+  src->libpath = libpath ? libpath : "";
+  src->running.store(true);
+  src->thread = std::thread([src] { src->run(); });
+  return src;
+}
+
+// Last error observed by a source thread (SourceError; 0 = ok).
+int atrt_source_error(void* s) {
+  return static_cast<Source*>(s)->error.load();
 }
 
 // For listen sources: the bound port (valid once > 0).

@@ -74,6 +74,14 @@ def _load_library():
             fn = getattr(lib, name)
             fn.restype = ctypes.c_longlong
             fn.argtypes = [ctypes.c_void_p]
+        lib.atrt_alsa_available.restype = ctypes.c_int
+        lib.atrt_alsa_available.argtypes = [ctypes.c_char_p]
+        lib.atrt_source_start_alsa.restype = ctypes.c_void_p
+        lib.atrt_source_start_alsa.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p]
+        lib.atrt_source_error.restype = ctypes.c_int
+        lib.atrt_source_error.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -178,6 +186,29 @@ class NativeIngestRuntime:
             raise RuntimeError(f"atrt_source_start failed for {url}")
         return NativeSource(self._lib, h)
 
+    def alsa_available(self, libpath: str = "") -> bool:
+        """True when a dlopen-able ALSA implementation exists (the system
+        libasound, or ``libpath`` for tests)."""
+        return bool(self._lib.atrt_alsa_available(
+            libpath.encode() if libpath else None))
+
+    def start_alsa_source(self, device: str = "default", *,
+                          sample_rate: int = 50_000,
+                          latency_us: int = 50_000,
+                          reconnect: bool = False,
+                          libpath: str = "") -> "NativeSource":
+        """Native live-mic capture: a C++ reader thread pulls S16_LE
+        interleaved tuples from the ALSA device straight into the detector
+        (``snd_pcm_readi`` loop; overruns recovered in place).  The ALSA
+        library is dlopen'd — no link-time dependency; ``libpath``
+        substitutes a shim library in tests."""
+        h = self._lib.atrt_source_start_alsa(
+            self._h, device.encode(), int(sample_rate), int(latency_us),
+            int(reconnect), libpath.encode() if libpath else None)
+        if not h:
+            raise RuntimeError(f"atrt_source_start_alsa failed for {device}")
+        return NativeSource(self._lib, h)
+
     def close(self):
         if self._h:
             self._lib.atrt_destroy(self._h)
@@ -199,7 +230,7 @@ class NativeSource:
         # final counter values, captured when the handle is freed so the
         # properties stay valid after stop()
         self._final = {"port": 0, "running": False, "bytes": 0, "tuples": 0,
-                       "reconnects": 0}
+                       "reconnects": 0, "error": 0}
 
     @property
     def port(self) -> int:
@@ -244,6 +275,14 @@ class NativeSource:
             return self._final["reconnects"]
         return self._lib.atrt_source_reconnects(self._h)
 
+    @property
+    def error(self) -> int:
+        """Last source error (0 ok, 1 dlopen, 2 device-open, 3 params,
+        4 unrecoverable I/O); see atrt.cpp SourceError."""
+        if not self._h:
+            return self._final["error"]
+        return self._lib.atrt_source_error(self._h)
+
     def stop(self):
         if self._h:
             self._final = {
@@ -252,6 +291,7 @@ class NativeSource:
                 "bytes": self._lib.atrt_source_bytes(self._h),
                 "tuples": self._lib.atrt_source_tuples(self._h),
                 "reconnects": self._lib.atrt_source_reconnects(self._h),
+                "error": self._lib.atrt_source_error(self._h),
             }
             self._lib.atrt_source_stop(self._h)
             self._h = None

@@ -13,8 +13,10 @@ Supported source URLs (interleaved little-endian int16 tuples):
 - ``tcp://host:port``        TCP connect (``socket://`` is an alias)
 - ``listen://:port``         TCP listen on loopback, accept one peer
                              (port 0 picks a free one)
-- ``alsa://device``          live capture via an ``arecord`` subprocess
-                             (gated on the binary being present)
+- ``alsa://device``          live mic capture: native dlopen(libasound)
+                             reader thread (snd_pcm_readi straight into the
+                             C++ detector); ``arecord`` subprocess fallback
+                             when no ALSA library is loadable
 
 ``open_source`` dispatches to the native reader when available and falls
 back to a Python thread with identical semantics otherwise.
@@ -154,13 +156,22 @@ class PySource:
         self._thread.join(timeout=5)
 
 
-def _open_alsa(rt, url: str, sample_rate: int):
-    """alsa://device -> arecord subprocess producing raw S16_LE."""
+def _open_alsa(rt, url: str, sample_rate: int, *, prefer_native: bool = True,
+               reconnect: bool = False):
+    """alsa://device -> native dlopen(libasound) capture thread when both
+    the native runtime and an ALSA library are present; `arecord`
+    subprocess fallback otherwise."""
     device = url.partition("://")[2] or "default"
+    if (prefer_native
+            and isinstance(rt, native_rt.NativeIngestRuntime)
+            and rt.alsa_available()):
+        return rt.start_alsa_source(device, sample_rate=sample_rate,
+                                    reconnect=reconnect)
     if shutil.which("arecord") is None:
         raise RuntimeError(
-            "alsa:// sources need the `arecord` binary (alsa-utils); "
-            "not present in this environment")
+            "alsa:// sources need libasound (native capture) or the "
+            "`arecord` binary (alsa-utils); neither is present in this "
+            "environment")
     proc = subprocess.Popen(
         ["arecord", "-D", device, "-t", "raw", "-f", "S16_LE",
          "-r", str(sample_rate), "-c", str(rt.channels), "-q"],
@@ -180,7 +191,8 @@ def open_source(rt, url: str, *, sample_rate: int = 50_000,
     re-accepts the next peer on the same port (not supported for alsa://)."""
     scheme = url.partition("://")[0]
     if scheme == "alsa":
-        return _open_alsa(rt, url, sample_rate)
+        return _open_alsa(rt, url, sample_rate, prefer_native=prefer_native,
+                          reconnect=reconnect)
     if (prefer_native
             and isinstance(rt, native_rt.NativeIngestRuntime)
             and scheme in native_rt.NativeIngestRuntime.SOURCE_KINDS):

@@ -16,6 +16,18 @@ jax.config.update("jax_platforms", "cpu")
 # constants.h:6); the float hot path pins float32 explicitly throughout.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite builds many near-identical
+# Localizers across files, and XLA compile time dominates the wall clock
+# (measured: test_uncertainty.py 34 s cold -> 14 s warm).  The cache key
+# includes the HLO and jax/XLA versions, so entries can't go stale across
+# code changes.  Override the location with JAX_COMPILATION_CACHE_DIR;
+# set it empty to disable.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/atrt-jax-test-cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,6 +36,78 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# ----------------------------------------------------------------------
+# slow markers (central list): `pytest -m "not slow"` is the smoke
+# profile — it must still cover every dispatch path (golden ops, fused/
+# unfused/int, streaming, solver, one sharding test, viz, CLI, native
+# ring), so only tests whose PATH is covered by a faster sibling are
+# listed here.  Durations from a cold 1-CPU run; tune as the suite moves.
+# ----------------------------------------------------------------------
+
+_SLOW = {
+    "test_neural.py": {
+        "test_training_converges_to_decimeter_accuracy",
+        "test_room_trained_net_beats_physics_in_reverb",
+        "test_data_parallel_training_matches_single_device",
+    },
+    "test_large_array.py": {
+        "test_config5_grid_parallel", "test_config5_localizes",
+    },
+    "test_multisource.py": {
+        "test_streaming_multisource_feeds_jpda_tracker",
+        "test_moving_sources_exact_jpda_e2e",
+        "test_streaming_multisource_outputs",
+    },
+    "test_examples.py": {
+        "test_advanced_example", "test_robustness_example",
+        "test_serving_http_example", "test_production_example",
+        "test_quickstart_example",
+    },
+    "test_sharded_streaming.py": {
+        "test_sharded_stream_step_matches_vmapped",
+        "test_sharded_stream_events_localized",
+    },
+    "test_srp_freq.py": {
+        "test_mvdr_sharper_than_srp",
+        "test_freq_srp_agrees_with_lag_srp_argmax",
+        "test_freq_srp_resolves_range_better_than_lag",
+        "test_music_sharper_than_mvdr",
+    },
+    "test_sharding.py": {"test_unsupervised_em_calibration_8mic"},
+    "test_fusion.py": {"test_fusion_spmd_matches_single_device"},
+    "test_uncertainty.py": {
+        "test_streaming_emits_xy_cov",
+        "test_step_multi_heterogeneous_covs_weight_measurements",
+    },
+    "test_tworate.py": {"test_tworate_matches_dense_states"},
+    "test_spmd.py": {"test_spmd_pair_sharded_large_array"},
+    "test_cli.py": {
+        "test_stream_checkpoint_resume", "test_stream_refresh_hz_free_runs",
+        "test_stream_track_flag",
+    },
+    "test_multi_event.py": {
+        "test_streaming_solver_in_batched_streams",
+        "test_multi_event_matches_sequential_chunks",
+    },
+    "test_calibration_tracked.py": {
+        "test_fit_tracked_improves_geometry_8mic",
+    },
+    "test_consistency.py": {"test_streaming_emits_health_metrics"},
+    "test_serving.py": {"test_export_symbolic_batch_any_size"},
+    "test_eval_dataset.py": {
+        "test_detection_rate_floor", "test_median_error_floor",
+        "test_per_condition_floors",
+    },
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        name = item.name.split("[")[0]
+        if name in _SLOW.get(fname, ()):
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture()

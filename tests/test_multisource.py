@@ -186,3 +186,71 @@ def test_streaming_multisource_feeds_jpda_tracker():
     for target in (xy1, xy2):
         err = min(np.linalg.norm(txy - np.asarray(target), axis=-1))
         assert err < 0.1, (txy, target)
+
+
+def test_moving_sources_exact_jpda_e2e():
+    """Raw-audio end-to-end: ONE stream carrying two simultaneous MOVING
+    sources -> stream_step(n_sources=2) multi_* outputs ->
+    Tracker.step_multi(joint_association='exact') -> two confirmed tracks
+    with persistent identities and bounded RMS against the true
+    trajectories (VERDICT r2 item 6: the integrated proof)."""
+    # two sources on crossing-free linear paths, one burst every 2,000
+    # samples (40 ms) -> 7 events over the stream
+    bursts = list(range(2500, 16500, 2000))
+    t_len = 18000
+
+    def traj1(k):
+        return (0.9 - 0.04 * k, 0.3 + 0.05 * k)
+
+    def traj2(k):
+        return (-0.7 + 0.05 * k, -0.6 - 0.03 * k)
+
+    stream = np.zeros((8, t_len))
+    for k, at in enumerate(bursts):
+        stream[:, at: at + 1024] += _two_source_frames(
+            traj1(k), traj2(k), seed=40 + 3 * k)[0]
+    stream *= 0.9
+
+    sl = StreamingLocalizer.create(
+        MICS8, PipelineConfig(phat=True),
+        stream=StreamConfig(chunk_size=512, n_sources=2))
+    tr = Tracker(TrackerConfig(max_tracks=4, confirm_hits=2,
+                               joint_association="exact",
+                               measurement_noise=0.03))
+    tstate = tr.init()
+    state, outs = sl.run(stream)
+
+    t = 0.0
+    ev_k = 0
+    id_history = []  # (event_k, confirmed track ids sorted by x)
+    errs = []
+    tout = None
+    for o in outs:
+        t += 512 / 50_000.0
+        if not bool(np.asarray(o["events"]).any()):
+            continue
+        tstate, tout = tr.step_multi(
+            tstate, o["multi_xy"][0], t, o["multi_valid"][0],
+            z_covs=o["multi_xy_cov"][0])
+        confirmed = np.asarray(tout["track_confirmed"])
+        if confirmed.sum() == 2:
+            txy = np.asarray(tout["track_xy"])[confirmed]
+            ids = np.asarray(tout["track_id"])[confirmed]
+            # match each confirmed track to its nearest true source at
+            # this event; identities must not swap between events
+            order = np.argsort(txy[:, 0])  # source 2 has smaller x
+            id_history.append(tuple(ids[order]))
+            for true, est in zip((traj2(ev_k), traj1(ev_k)), txy[order]):
+                errs.append(np.linalg.norm(est - np.asarray(true)))
+        ev_k += 1
+
+    assert ev_k >= 6, f"only {ev_k} events detected"
+    assert tout is not None
+    confirmed = np.asarray(tout["track_confirmed"])
+    assert confirmed.sum() == 2, confirmed
+    # persistent identity: the (low-x, high-x) id pair never changes
+    assert len(id_history) >= 4, id_history
+    assert len(set(id_history)) == 1, id_history
+    # tracked-position RMS against the true (moving) trajectories
+    rms = float(np.sqrt(np.mean(np.square(errs))))
+    assert rms < 0.15, (rms, errs)
