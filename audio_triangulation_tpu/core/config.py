@@ -83,6 +83,13 @@ class PipelineConfig:
     # 'auto' uses it on TPU when shapes fit VMEM; 'on'/'off' force it
     fused_kernel: str = "auto"
     fused_tile_b: int = 64
+    # in-kernel SRP scoring + grid argmax (gcc_kernel Mode B): measured
+    # SLOWER than the external XLA scoring fusion on v5e-lite (the 6
+    # per-pair [tile, 128] matmuls reach ~37 TFLOPS inside Mosaic vs ~130
+    # for the one [B, 558] fusion; r3 trace: device 3.12 vs 2.95 ms/iter),
+    # so 'off' by default; the mechanism is kept (tested bit-for-bit via
+    # the compact row) for chips/shapes where the boundary copies dominate
+    fused_srp: str = "off"  # 'on' | 'off'
     # software-pipeline depth inside the fused kernel: the batch tile is
     # split into this many sub-tiles with the next sub-tile's MXU DFT issued
     # ahead of the current one's VPU cross-power, so Mosaic can overlap the
@@ -211,6 +218,7 @@ class PipelineConfig:
             "xcorr_mode": ("mxu", "fft", "time"),
             "matmul_dtype": ("float32", "bfloat16"),
             "fused_kernel": ("auto", "on", "off"),
+            "fused_srp": ("on", "off"),
             "srp_dtype": ("float32", "bfloat16"),
             "fft_pad_mode": ("linear", "circular"),
             "weighting": ("auto", "none", "phat", "scot", "roth", "ml"),

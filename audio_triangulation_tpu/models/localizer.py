@@ -43,6 +43,13 @@ class LocalizerParams:
     # additive bias [G+] masking grid-axis padding (None when unpadded);
     # padding lets the grid axis shard evenly over a mesh axis
     score_bias: Optional[jnp.ndarray] = None
+    # steering matrix with the lag axis zero-padded to the fused kernel's
+    # 128-lane boundary ([P*L_pad, G+]): lets the kernel's bf16 SRP output
+    # feed the scoring matmul with a FREE reshape — no slice/cast/copy
+    # chain between the kernel and the MXU (19% of device time in the
+    # r3 headline trace).  None -> derived by padding `onehot` at trace
+    # time (paths that rebuild params, e.g. sharded, stay compatible).
+    onehot_pad: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,10 +113,23 @@ class Localizer:
                 pairs.shape[0], pipeline.num_lags, grid.num_cells
             )
         onehot = None
+        onehot_pad = None
         if srp_form == "matmul":
-            onehot = jnp.asarray(
-                geometry.lag_onehot(lut, pipeline.num_lags), dtype=dtype
-            )
+            oh = geometry.lag_onehot(lut, pipeline.num_lags)
+            onehot = jnp.asarray(oh, dtype=dtype)
+            # lag axis padded to the fused kernel's 128-lane boundary (zero
+            # rows): the kernel's bf16 SRP output reshapes into this for
+            # free (see LocalizerParams.onehot_pad)
+            l_pad = -(-pipeline.num_lags // 128) * 128
+            if l_pad != pipeline.num_lags:
+                p_n, g_n = pairs.shape[0], oh.shape[-1]
+                ohp = np.zeros((p_n, l_pad, g_n), oh.dtype)
+                ohp[:, : pipeline.num_lags] = oh.reshape(
+                    p_n, pipeline.num_lags, g_n)
+                onehot_pad = jnp.asarray(
+                    ohp.reshape(p_n * l_pad, g_n), dtype=dtype)
+            else:
+                onehot_pad = onehot
         win = window_ops.window_for(pipeline)
         params = LocalizerParams(
             mic_positions=jnp.asarray(mic_positions),
@@ -118,6 +138,7 @@ class Localizer:
             lut_flat=jnp.asarray(lut_flat),
             onehot=onehot,
             score_bias=None,
+            onehot_pad=onehot_pad,
         )
         return cls(
             pipeline=pipeline, grid=grid, solver=solver, params=params,
@@ -349,6 +370,14 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
     return gcc_kernel.pick_tile_b(n_mics, n, cfg, cfg.fused_tile_b)
 
 
+def _onehot_fits_vmem(onehot_pad, budget: int = 4 * 1024 * 1024) -> bool:
+    """Whether the steering matrix fits resident in kernel VMEM (bf16)
+    alongside the DFT/synthesis weights — the gate for in-kernel SRP.
+    The full-resolution 101x101 grid (15.7 MB at 6 pairs) does NOT fit;
+    the strided solver-init grids (stride 2-3) do."""
+    return onehot_pad.size * 2 <= budget
+
+
 def _static_batch(lead) -> int | None:
     """Total leading-batch size as a Python int, or None when a dimension
     is symbolic (jax.export shape polymorphism) — in which case the
@@ -464,10 +493,32 @@ def localize_frames(
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, m, n), flat.dtype)], axis=0)
-        (corr_t, shifts, tdoa_samples, peak_val,
-         psr) = gcc_kernel.fused_gcc_peaks(
+        # Mode B (in-kernel SRP scoring + grid argmax): active for the
+        # production solver configuration — bf16 matmul scoring, no
+        # heatmap/scores consumers forced, unpadded grid.  The kernel then
+        # returns the argmax cell directly and the external scoring matmul
+        # + its boundary copies are only materialized if the caller
+        # actually reads out['scores'] (XLA DCEs them otherwise).
+        p_n = len(pairs_static)
+        refine = (grid_cfg.refine_peak == "on"
+                  or (grid_cfg.refine_peak == "auto" and not with_solver))
+        in_kernel_srp = (
+            cfg.fused_srp == "on"
+            and srp_form == "matmul" and cfg.srp_dtype == "bfloat16"
+            and params.onehot_pad is not None
+            and params.score_bias is None
+            and not refine
+            and 4 * p_n + 2 <= 128
+            and _onehot_fits_vmem(params.onehot_pad))
+        oh3 = None
+        if in_kernel_srp:
+            g = params.onehot_pad.shape[-1]
+            oh3 = params.onehot_pad.reshape(p_n, -1, g)
+        outs = gcc_kernel.fused_gcc_peaks(
             flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", srp_onehot=oh3)
+        corr_t, shifts, tdoa_samples, peak_val, psr = outs[:5]
+        best_cell = outs[5][:b] if in_kernel_srp else None
         p = corr_t.shape[-2]
         corr_t = corr_t[:b].reshape(*lead, p, corr_t.shape[-1])
         shifts = shifts[:b].reshape(*lead, p)
@@ -475,6 +526,7 @@ def localize_frames(
         peak_val = peak_val[:b].reshape(*lead, p)
         psr = psr[:b].reshape(*lead, p)
     else:
+        best_cell = None
         corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
         shifts = xcorr.best_lag(corr, k)
         tdoa_samples, peak_val = xcorr.subsample_peak(corr, k)
@@ -495,6 +547,8 @@ def localize_frames(
         )
 
     if srp_form == "matmul":
+        # when the kernel already did the scoring+argmax (Mode B), this
+        # external matmul only materializes if the caller reads 'scores'
         scores = srp.srp_scores_matmul(corr_t, params.onehot, cfg.srp_dtype)
     else:
         n_pairs = params.pairs.shape[0]
@@ -513,12 +567,23 @@ def localize_frames(
     grid_shape = (grid_cfg.height, grid_cfg.width)
     refine = (grid_cfg.refine_peak == "on"
               or (grid_cfg.refine_peak == "auto" and not with_solver))
-    xy_grid = srp.grid_peak_xy(
-        scores, grid_shape,
-        (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
-        grid_cfg.cells_per_m,
-        refine=refine,
-    )
+    if best_cell is not None:
+        # Mode B: cell index straight from the kernel (refine is off in
+        # this mode) — same cell->meters mapping as srp.grid_peak_xy
+        cell = best_cell.reshape(*lead)
+        col = (cell % grid_cfg.width).astype(jnp.float32)
+        row = (cell // grid_cfg.width).astype(jnp.float32)
+        xy_grid = jnp.stack(
+            [(col - grid_cfg.half_cells_x) / grid_cfg.cells_per_m,
+             (grid_cfg.half_cells_y - row) / grid_cfg.cells_per_m],
+            axis=-1)
+    else:
+        xy_grid = srp.grid_peak_xy(
+            scores, grid_shape,
+            (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+            grid_cfg.cells_per_m,
+            refine=refine,
+        )
 
     out = {
         "tdoa_samples": tdoa_samples,

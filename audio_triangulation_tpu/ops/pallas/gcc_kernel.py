@@ -40,9 +40,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
-                syns_ref, out_ref, aux_ref, *, pairs, phat, phat_eps, n,
-                tile_b, n_mics, num_lags, taper_denom, with_peaks,
-                nyq_fold, inv_fft_len, sub_tiles=1, mxu_precision=None):
+                syns_ref, out_ref, aux_ref, onehot_ref=None, cell_ref=None,
+                *, pairs, phat, phat_eps, n, tile_b, n_mics, num_lags,
+                taper_denom, with_peaks, nyq_fold, inv_fft_len, srp_g=0,
+                compact=False, sub_tiles=1, mxu_precision=None):
     """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
     (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
     carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
@@ -148,6 +149,11 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 sb * n_pairs, l_pad)
         return corr
 
+    def lanes_from_rows(col):
+        """[SB*P, 1] per-(frame,pair) column -> [SB, P] lanes (Mosaic's
+        native sublane->lane relayout)."""
+        return col.reshape(sb, n_pairs)
+
     def stage_out(s, corr):
         """Peaks + taper (VPU) and output writes for one sub-tile."""
         rows = slice(s * sb, (s + 1) * sb)
@@ -191,6 +197,56 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         psr = jnp.abs(v0) / jnp.maximum(jnp.abs(side), 1e-20)
 
         out_ref[rows] = tapered.reshape(sb, n_pairs, l_pad)
+
+        if compact and srp_g == 0:
+            # compact packing WITHOUT in-kernel scoring: the per-pair peak
+            # scalars leave as one [SB, 128] row instead of a full-lane
+            # [SB, P, L_pad] aux tensor — the r3 trace showed the aux
+            # relayout copies + its 6x HBM write costing ~8% of device
+            # time.  (cell/score lanes stay zero; the external SRP fusion
+            # scores the f32 correlograms as before.)
+            packed = jnp.concatenate(
+                [lanes_from_rows(shift), lanes_from_rows(tdoa),
+                 lanes_from_rows(v0), lanes_from_rows(psr),
+                 jnp.zeros((sb, 128 - 4 * n_pairs), jnp.float32)],
+                axis=1)
+            cell_ref[rows] = packed
+            return
+
+        if compact:
+            # ---- Mode B: SRP scoring + grid argmax INSIDE the kernel ----
+            # The r3 headline trace showed the kernel boundary (full-lane
+            # aux relayout copies + bf16 cast-slice-reshape + the external
+            # scoring fusion) costing ~30% of device time.  Here the
+            # tapered correlograms never leave VMEM: per-pair bf16 matmuls
+            # against the resident steering matrix accumulate the SRP
+            # scores, the grid argmax runs on the VPU, and everything the
+            # solver path needs leaves as ONE compact [SB, 128] row:
+            # lanes [0:P) shift | [P:2P) tdoa | [2P:3P) peak | [3P:4P) psr
+            # | [4P] argmax cell | [4P+1] max score.
+            tp = tapered.reshape(sb, n_pairs, l_pad)
+            acc = None
+            for pi in range(n_pairs):
+                part = jnp.dot(
+                    tp[:, pi, :].astype(jnp.bfloat16), onehot_ref[pi],
+                    preferred_element_type=jnp.float32)  # [SB, G]
+                acc = part if acc is None else acc + part
+            glane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+            gmask = glane < srp_g
+            smax = jnp.max(jnp.where(gmask, acc, neg), -1, keepdims=True)
+            sidx = jnp.min(
+                jnp.where((acc == smax) & gmask, glane, srp_g),
+                -1, keepdims=True)  # first max, matching jnp.argmax
+
+            packed = jnp.concatenate(
+                [lanes_from_rows(shift), lanes_from_rows(tdoa),
+                 lanes_from_rows(v0), lanes_from_rows(psr),
+                 sidx.astype(jnp.float32), smax,
+                 jnp.zeros((sb, 128 - 4 * n_pairs - 2), jnp.float32)],
+                axis=1)  # [SB, 128]
+            cell_ref[rows] = packed
+            return
+
         aux = jnp.where(lane == 0, shift, 0.0)
         aux = aux + jnp.where(lane == 1, tdoa, 0.0)
         aux = aux + jnp.where(lane == 2, v0, 0.0)
@@ -212,7 +268,8 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
     static_argnames=("cfg", "pairs_tuple", "tile_b", "interpret",
                      "with_peaks"))
 def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
-                    tile_b: int, interpret: bool, with_peaks: bool):
+                    tile_b: int, interpret: bool, with_peaks: bool,
+                    srp_onehot=None):
     b, m, n = frames.shape
     pairs = pairs_tuple
     p = len(pairs)
@@ -265,6 +322,14 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     sub_tiles = cfg.fused_sub_tiles
     if tile_b % sub_tiles != 0:
         sub_tiles = 1
+    # compact peak outputs: only with in-kernel SRP (Mode B).  Measured on
+    # v5e-lite (r3): packing the per-pair scalars into one 128-lane row
+    # costs ~1 us/tile of Mosaic sublane->lane relayout — MORE than the
+    # full-lane aux tensor's relayout copies cost outside the kernel
+    # (device 3.29 vs 2.95 ms/iter on the headline config), so the classic
+    # aux output stays the default.
+    compact = with_peaks and 4 * p + 2 <= 128 and srp_onehot is not None
+    with_oh = srp_onehot is not None and compact
     kernel = functools.partial(
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
@@ -273,37 +338,76 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
                        if cfg.dft_precision == "highest" else None),
         nyq_fold=nyq_fold,
         inv_fft_len=(1.0 / cfg.fft_length) if nyq_in_band else 0.0,
-        sub_tiles=sub_tiles)
+        sub_tiles=sub_tiles,
+        srp_g=int(srp_onehot.shape[-1]) if with_oh else 0,
+        compact=compact)
     if not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
             _k(*refs, None)
+    elif with_oh:
+        # refs: ...inputs(incl. onehot), corr, compact
+        def kernel(f, w, c, ms, sc, ss, oh, corr, cell,  # noqa: F811
+                   _k=kernel):
+            _k(f, w, c, ms, sc, ss, corr, None, onehot_ref=oh,
+               cell_ref=cell)
+    elif compact:
+        def kernel(f, w, c, ms, sc, ss, corr, cell,  # noqa: F811
+                   _k=kernel):
+            _k(f, w, c, ms, sc, ss, corr, None, cell_ref=cell)
 
     block = pl.BlockSpec((tile_b, p, l_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, p, l_pad), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((tile_b, m, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # window
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # cos
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # msin
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # sync
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # syns
+    ]
+    inputs = [frames, win, jnp.asarray(cos), jnp.asarray(msin),
+              jnp.asarray(sync), jnp.asarray(syns)]
+    if compact:
+        if with_oh:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # onehot
+            inputs.append(srp_onehot.astype(jnp.bfloat16))
+        cell_block = pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        out_specs = (block, cell_block)
+        out_shapes = (out_shape,
+                      jax.ShapeDtypeStruct((b, 128), jnp.float32))
+    elif with_peaks:
+        out_specs, out_shapes = (block, block), (out_shape, out_shape)
+    else:
+        out_specs, out_shapes = block, out_shape
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_b, m, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # window
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # msin
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sync
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # syns
-        ],
-        out_specs=(block, block) if with_peaks else block,
-        out_shape=(out_shape, out_shape) if with_peaks else out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         # big tiles need more than the default 16 MB scoped-VMEM budget
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(frames, win, jnp.asarray(cos), jnp.asarray(msin),
-      jnp.asarray(sync), jnp.asarray(syns))
+    )(*inputs)
 
     if not with_peaks:
         return outs[..., :num_lags]
+    if compact:
+        corr_t, packed = outs
+        res = (corr_t[..., :num_lags],
+               packed[:, 0:p].astype(jnp.int32),      # best shift
+               packed[:, p:2 * p],                    # sub-sample tdoa
+               packed[:, 2 * p:3 * p],                # peak value
+               packed[:, 3 * p:4 * p])                # psr
+        if with_oh:
+            return res + (
+                packed[:, 4 * p].astype(jnp.int32),   # SRP argmax cell
+                packed[:, 4 * p + 1])                 # SRP max score
+        return res
     corr_t, aux = outs
     return (corr_t[..., :num_lags],
             aux[..., 0].astype(jnp.int32),  # integer best shift
@@ -341,19 +445,30 @@ def fused_gcc_peaks(
     *,
     tile_b: int = 64,
     interpret: bool = False,
+    srp_onehot: jnp.ndarray | None = None,
 ):
     """Full fused front half of the pipeline: raw frames [B, M, N] ->
     (tapered correlograms [B, P, L], best shifts int32 [B, P],
-    sub-sample TDOAs [B, P] in lags, peak values [B, P]).
+    sub-sample TDOAs [B, P] in lags, peak values [B, P], psr [B, P]).
 
     The taper, argmax and parabolic interpolation run inside the kernel on
-    VMEM-resident correlograms using gather-free one-hot reductions."""
+    VMEM-resident correlograms using gather-free one-hot reductions.
+
+    ``srp_onehot`` ([P, L_pad, G] steering matrix, zero rows at lag
+    padding) additionally runs SRP scoring (per-pair bf16 matmuls against
+    the VMEM-resident matrix) AND the grid argmax inside the kernel —
+    the tapered correlograms never leave VMEM for scoring, and the only
+    extra HBM traffic is one compact [B, 128] row (r3 trace: the external
+    scoring path cost ~30% of headline device time in boundary copies and
+    fusions).  Two more values are returned: argmax cell int32 [B] and
+    max score f32 [B]."""
     b = frames.shape[0]
     if b % tile_b != 0:
         raise ValueError(f"batch {b} not a multiple of tile_b {tile_b}")
     pairs_tuple = tuple(tuple(int(v) for v in row) for row in np.asarray(pairs))
     return _fused_gcc_call(
-        frames, window, cfg, pairs_tuple, tile_b, interpret, True)
+        frames, window, cfg, pairs_tuple, tile_b, interpret, True,
+        srp_onehot)
 
 
 def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,

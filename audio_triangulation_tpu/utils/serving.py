@@ -133,3 +133,14 @@ def enable_compilation_cache(cache_dir: str) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # jax initializes its cache backend lazily and then pins it: if any
+    # compilation already touched a previously-configured cache in this
+    # process, the dir update above would be silently ignored without a
+    # reset.
+    try:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc)
+
+        _cc.reset_cache()
+    except Exception:
+        pass

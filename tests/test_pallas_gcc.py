@@ -117,3 +117,81 @@ def test_sub_tiles_equivalent(rng):
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
         np.testing.assert_allclose(
             np.asarray(a[2]), np.asarray(b[2]), atol=1e-4)
+
+
+def test_in_kernel_srp_matches_external(rng):
+    """Mode B (srp_onehot given): the kernel's SRP argmax cell and max
+    score match the external bf16 matmul + argmax on the same tapered
+    correlograms, and the extra outputs leave the first five unchanged."""
+    from audio_triangulation_tpu.core.config import GridConfig
+    from audio_triangulation_tpu.core import geometry as geo
+
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True)
+    frames, win, pairs = _setup(rng, b=8, m=3)
+    mics = geo.reference_array()
+    grid = GridConfig(half_cells_x=16, half_cells_y=16, cells_per_m=8.0)
+    lut = geo.lag_lut(grid, mics, pairs, cfg)
+    oh = geo.lag_onehot(lut, cfg.num_lags)  # [P*L, G]
+    p, l, g = pairs.shape[0], cfg.num_lags, oh.shape[-1]
+    l_pad = ((l + 127) // 128) * 128
+    oh3 = np.zeros((p, l_pad, g), np.float32)
+    oh3[:, :l] = oh.reshape(p, l, g)
+
+    base = gcc_kernel.fused_gcc_peaks(
+        frames, win, pairs, cfg, tile_b=4, interpret=True)
+    got = gcc_kernel.fused_gcc_peaks(
+        frames, win, pairs, cfg, tile_b=4, interpret=True,
+        srp_onehot=jnp.asarray(oh3))
+    assert len(base) == 5 and len(got) == 7
+    for a, b_ in zip(base, got[:5]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    corr_t = np.asarray(base[0])  # [B, P, L] tapered
+    flat = jnp.asarray(corr_t).astype(jnp.bfloat16).reshape(8, p * l)
+    ref_scores = np.asarray(jnp.matmul(
+        flat, jnp.asarray(oh).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32))
+    cell, score = np.asarray(got[5]), np.asarray(got[6])
+    # per-pair f32 partial accumulation vs one flat dot: tiny differences,
+    # so compare score values to tolerance and cells via score-equivalence
+    np.testing.assert_allclose(
+        score, ref_scores.max(-1), rtol=2e-2, atol=1e-3)
+    picked = ref_scores[np.arange(8), cell]
+    np.testing.assert_allclose(
+        picked, ref_scores.max(-1), rtol=2e-2, atol=1e-3)
+
+
+def test_localizer_mode_b_matches_f32_path(rng):
+    """End-to-end: the Mode B localizer (bf16 in-kernel SRP + argmax cell)
+    agrees with the plain unfused float32 pipeline on solved positions."""
+    from audio_triangulation_tpu import Localizer
+    from audio_triangulation_tpu.core import geometry as geo
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geo.square_array(0.3)
+    src = np.array([0.5, 0.4, 1.2]) * (1.2 / np.linalg.norm([0.5, 0.4, 1.2]))
+    frames = np.asarray(synth.synth_scene(
+        src, mics, noise_rms=0.01, seed=3))
+    frames = np.broadcast_to(frames, (8, 4, 1024)).astype(np.float32)
+
+    cfg_b = PipelineConfig(phat=True, fft_pad_mode="circular",
+                           srp_dtype="bfloat16", fused_kernel="on",
+                           fused_srp="on", fused_tile_b=8)
+    loc_b = Localizer.create(mics, cfg_b, with_solver=True,
+                             init_grid_stride=3)
+    # confirm Mode B is actually active for this configuration
+    assert loc_b.srp_form == "matmul"
+    assert loc_b.params.onehot_pad is not None
+
+    cfg_f = PipelineConfig(phat=True, fft_pad_mode="circular",
+                           fused_kernel="off")
+    loc_f = Localizer.create(mics, cfg_f, with_solver=True)
+
+    out_b = loc_b(jnp.asarray(frames))
+    out_f = loc_f(jnp.asarray(frames))
+    np.testing.assert_allclose(
+        np.asarray(out_b["xy"]), np.asarray(out_f["xy"]), atol=2e-3)
+    # grid init cell may differ by bf16 rounding, but must be in the basin
+    np.testing.assert_allclose(
+        np.asarray(out_b["xy_grid"]), np.asarray(out_f["xy_grid"]),
+        atol=0.25)

@@ -58,7 +58,12 @@ def test_compilation_cache_persists(tmp_path):
     cache = str(tmp_path / "xla_cache")
     serving.enable_compilation_cache(cache)
     try:
-        loc = Localizer.create(MICS)
+        # a config no other test compiles: an identical program compiled
+        # earlier in this process (under the suite-wide cache conftest.py
+        # enables) would be served from jax's in-memory layer and never
+        # written to THIS directory
+        loc = Localizer.create(
+            MICS, PipelineConfig(taper_denom=37.0, phat_eps=3e-7))
         loc(_frames(2))  # populate
         import os
 
