@@ -343,6 +343,14 @@ class StreamConfig:
     n_sources: int = 1
     multi_min_separation_m: float = 0.4  # top-K NMS suppression radius
     multi_assoc_window_samples: float = 3.0  # TDOA re-measurement gate
+    # step_many sub-batch size: beyond ~1,024 streams the detector ring
+    # state ([S, M, ring] f32) outgrows XLA's alternate-memory (VMEM)
+    # budget and the whole batched program spills to HBM with relayout
+    # copies (r3 trace: 2,048 dense streams cost 15.7 ms device vs 2x2.94
+    # chunked — a 2.7x superlinear cliff).  step_many therefore lax.map's
+    # over sub-batches of this size, keeping each body VMEM-resident.
+    # None disables chunking (single vmapped program at any size).
+    batch_chunk_streams: Optional[int] = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,6 +81,37 @@ def test_ema_accumulates_over_events():
     assert np.linalg.norm(xy - plane) < 0.25, (xy, plane)
 
 
+def test_step_many_stream_chunking_matches_unchunked():
+    """step_many's sub-batch lax.map path (batch_chunk_streams, the fix
+    for the >1,024-stream VMEM-spill cliff) must agree with the single
+    vmapped program — including the zero-padded remainder sub-batch."""
+    mk = lambda cs: StreamingLocalizer.create(  # noqa: E731
+        MICS, stream=StreamConfig(chunk_size=512, batch_chunk_streams=cs))
+    sl_chunked, sl_plain = mk(2), mk(None)
+
+    planes_sources = [_place(0.8, 0.5), _place(-0.4, 0.7), _place(0.2, -0.9),
+                      _place(0.6, -0.3), _place(-0.7, -0.6)]
+    streams = np.stack([
+        _quiet_stream_with_event(src, t_len=4096, event_at=1500 + 300 * i,
+                                 seed=40 + i)
+        for i, (_, src) in enumerate(planes_sources)
+    ])  # 5 streams -> sub-batches of 2 with a padded remainder
+
+    st_c, st_p = sl_chunked.init_states(5), sl_plain.init_states(5)
+    for i in range(0, 4096, 512):
+        chunk = jnp.asarray(streams[:, :, i: i + 512], jnp.float32)
+        st_c, out_c = sl_chunked.step_many(st_c, chunk)
+        st_p, out_p = sl_plain.step_many(st_p, chunk)
+        np.testing.assert_array_equal(np.asarray(out_c["trigger_abs"]),
+                                      np.asarray(out_p["trigger_abs"]))
+        np.testing.assert_allclose(np.asarray(out_c["xy"]),
+                                   np.asarray(out_p["xy"]),
+                                   rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st_c.event_count),
+                                  np.asarray(st_p.event_count))
+    assert int(np.asarray(st_p.event_count).sum()) >= 5
+
+
 def test_batched_streams_match_single():
     """vmapped multi-stream stepping == per-stream stepping."""
     sl = StreamingLocalizer.create(MICS, stream=StreamConfig(chunk_size=512))
