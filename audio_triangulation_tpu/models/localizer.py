@@ -514,6 +514,13 @@ def localize_frames(
         if in_kernel_srp:
             g = params.onehot_pad.shape[-1]
             oh3 = params.onehot_pad.reshape(p_n, -1, g)
+        # NOTE(r3): scoring the UNSLICED 128-lane kernel output against the
+        # zero-row-padded steering matrix (gcc_kernel keep_lanes) was
+        # measured neutral on-device (2.985 vs 2.949 ms/iter): XLA replaces
+        # the slice->reshape chain with an equal-cost convert->copy chain —
+        # the relayouts feed the scoring matmul's chosen operand layout,
+        # not the slice — and the K=768 argmax fusion costs slightly more
+        # than the K=558 one, so the default path stays.
         outs = gcc_kernel.fused_gcc_peaks(
             flat, params.window, np.asarray(pairs_static), cfg, tile_b=tile,
             interpret=jax.default_backend() != "tpu", srp_onehot=oh3)

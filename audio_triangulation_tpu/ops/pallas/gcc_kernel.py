@@ -388,9 +388,13 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        # big tiles need more than the default 16 MB scoped-VMEM budget
+        # big tiles need more than the default 16 MB scoped-VMEM budget;
+        # the batch-tile grid dimension is embarrassingly parallel (every
+        # tile writes a disjoint output block), so tell Mosaic it may
+        # overlap/reorder grid steps (cross-step DMA/compute pipelining)
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*inputs)
 
