@@ -44,8 +44,17 @@ def main():
     results.append(rec)
     print(json.dumps(rec))
 
+    # capacity claims must be worst-case-valid: `capacity` extrapolates
+    # (budget / step * streams), which is only honest where scaling is
+    # linear, so the summary reports the measured capacity at the LARGEST
+    # real-time-feasible stream count, not the sweet-spot extrapolation.
+    # (The r2 artifact's 2,879 rode the 1,024-stream point while 2,048
+    # dense streams fell off a VMEM-spill cliff — fixed in r3 by
+    # StreamConfig.batch_chunk_streams sub-batch dispatch; the sweep
+    # through 4,096 documents the now-linear scaling.)
     best = 0
-    for s_count in (256, 1024, 2048):
+    worst_case = None
+    for s_count in (256, 1024, 2048, 4096):
         states = sl.init_states(s_count)
         chunks = jax.device_put(jnp.asarray(
             rng.integers(127, 130, (s_count, 3, chunk)), jnp.float32))
@@ -58,8 +67,12 @@ def main():
         lat = (time.perf_counter() - t0) / 20
         capacity = int(chunk_s / lat * s_count)
         best = max(best, capacity)
+        if s_count >= 1024:
+            worst_case = (capacity if worst_case is None
+                          else min(worst_case, capacity))
         rec = {"streams": s_count, "step_ms": round(lat * 1e3, 2),
-               "realtime_capacity_streams": capacity}
+               "realtime_capacity_streams": capacity,
+               "realtime_ok": lat < chunk_s}
         results.append(rec)
         print(json.dumps(rec))
 
@@ -72,7 +85,8 @@ def main():
         PipelineConfig(phat=True, band_hz=(800.0, 6000.0), band_crop=True),
         stream=StreamConfig(chunk_size=chunk))
     best_band = 0
-    for s_count in (1024, 2048):
+    worst_case_band = None
+    for s_count in (1024, 2048, 4096):
         states = sl_band.init_states(s_count)
         chunks = jax.device_put(jnp.asarray(
             rng.integers(127, 130, (s_count, 3, chunk)), jnp.float32))
@@ -85,9 +99,12 @@ def main():
         lat = (time.perf_counter() - t0) / 20
         capacity = int(chunk_s / lat * s_count)
         best_band = max(best_band, capacity)
+        worst_case_band = (capacity if worst_case_band is None
+                           else min(worst_case_band, capacity))
         rec = {"streams": s_count, "mode": "band_crop_phat",
                "step_ms": round(lat * 1e3, 2),
-               "realtime_capacity_streams": capacity}
+               "realtime_capacity_streams": capacity,
+               "realtime_ok": lat < chunk_s}
         results.append(rec)
         print(json.dumps(rec))
     best = max(best, best_band)
@@ -135,10 +152,16 @@ def main():
         results.append(rec)
         print(json.dumps(rec))
 
+    # headline value = worst-case-valid dense capacity of the production
+    # (band-cropped) config across all >=1,024-stream points — NOT the
+    # sweet-spot extrapolation; best/two-rate kept for context
     summary = {"metric": "concurrent_realtime_50khz_streams_per_chip",
-               "value": max(best, best_tworate), "unit": "streams",
-               "dense_path": best, "two_rate_path": best_tworate,
-               "vs_baseline": max(best, best_tworate)}  # reference: 1 stream
+               "value": worst_case_band, "unit": "streams",
+               "dense_path_best": best,
+               "dense_fullband_worst_case": worst_case,
+               "dense_band_crop_worst_case": worst_case_band,
+               "two_rate_path": best_tworate,
+               "vs_baseline": worst_case_band}  # reference: 1 stream
     results.append(summary)
     print(json.dumps(summary))
     with open("BENCH_STREAMING.json", "w") as f:
