@@ -55,15 +55,32 @@ def heatmap_ansi(
 
 
 class LiveView:
-    """In-place terminal refresh (cursor-up rewrite between frames)."""
+    """In-place terminal refresh with delta redraw.
+
+    Between frames of the same height, only CHANGED lines are rewritten
+    (cursor repositioning + per-line clear) — the terminal analogue of the
+    reference's changed-cells-only heatmap redraw (vga_heatmap.h:128-133),
+    which matters over slow links (SSH) exactly like it mattered on the
+    firmware's pixel bus.  Frames of a different height fall back to a
+    full block rewrite."""
 
     def __init__(self, out=None):
         self.out = out or sys.stdout
-        self._last_lines = 0
+        self._last: list[str] | None = None
 
     def update(self, text: str) -> None:
-        if self._last_lines:
-            self.out.write(f"\x1b[{self._last_lines}F\x1b[J")
-        self.out.write(text + "\n")
+        lines = text.split("\n")
+        if self._last is not None and len(lines) == len(self._last):
+            # delta redraw: reposition to the block top, rewrite only
+            # lines that differ, skip over unchanged ones
+            self.out.write(f"\x1b[{len(self._last)}F")
+            for new, old in zip(lines, self._last):
+                if new != old:
+                    self.out.write(f"\x1b[2K{new}")
+                self.out.write("\n")
+        else:
+            if self._last is not None:
+                self.out.write(f"\x1b[{len(self._last)}F\x1b[J")
+            self.out.write(text + "\n")
         self.out.flush()
-        self._last_lines = text.count("\n") + 1
+        self._last = lines

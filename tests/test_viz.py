@@ -122,6 +122,31 @@ def test_live_view_rewrites(capsys):
     assert "line1" in s and "\x1b[2F" in s
 
 
+def test_live_view_delta_redraw_skips_unchanged_lines():
+    """Same-height frames rewrite ONLY changed lines (the terminal
+    analogue of the reference's changed-cells heatmap redraw,
+    vga_heatmap.h:128-133)."""
+    import io
+
+    from audio_triangulation_tpu.viz import terminal
+
+    buf = io.StringIO()
+    lv = terminal.LiveView(out=buf)
+    lv.update("header\nrowA\nrowB")
+    mark = buf.tell()
+    lv.update("header\nrowA CHANGED\nrowB")
+    delta = buf.getvalue()[mark:]
+    # repositions to the 3-line block top, rewrites only the middle line
+    assert delta.startswith("\x1b[3F")
+    assert "rowA CHANGED" in delta and delta.count("\x1b[2K") == 1
+    assert "header" not in delta and "rowB" not in delta
+    # a frame of different height falls back to a full rewrite
+    mark = buf.tell()
+    lv.update("only")
+    tail = buf.getvalue()[mark:]
+    assert "\x1b[J" in tail and "only" in tail
+
+
 # ----------------------------------------------------------------------
 # Embedded 5x7 font (round-1 gap: Canvas.text silently no-oped without PIL)
 
