@@ -90,6 +90,12 @@ class PipelineConfig:
     # so 'off' by default; the mechanism is kept (tested bit-for-bit via
     # the compact row) for chips/shapes where the boundary copies dominate
     fused_srp: str = "off"  # 'on' | 'off'
+    # HBM budget for precomputing the large-array SRP steering matrix
+    # ([P*L8, G], bf16): when it fits, scoring is ONE MXU contraction
+    # instead of the blocked scan that rebuilds per-chunk one-hots every
+    # step (r3 config-5b trace: construction cost ~5x the matmul).
+    # 0 disables the big-matmul path.
+    srp_big_matmul_budget_bytes: int = 1024 * 1024 * 1024
     # software-pipeline depth inside the fused kernel: the batch tile is
     # split into this many sub-tiles with the next sub-tile's MXU DFT issued
     # ahead of the current one's VPU cross-power, so Mosaic can overlap the

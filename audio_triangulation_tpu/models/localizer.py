@@ -50,6 +50,13 @@ class LocalizerParams:
     # r3 headline trace).  None -> derived by padding `onehot` at trace
     # time (paths that rebuild params, e.g. sharded, stay compatible).
     onehot_pad: Optional[jnp.ndarray] = None
+    # large-array precomputed steering matrix [P*L8, G] (bf16/f32, zero
+    # rows at lag padding): scoring = ONE HBM-streamed MXU contraction
+    # instead of the blocked per-chunk one-hot scan (ops.srp
+    # big_onehot_device; r3 config-5b: 14.7 -> ~10 ms device per 256
+    # frames).  Built at create when it fits
+    # PipelineConfig.srp_big_matmul_budget_bytes; None elsewhere.
+    onehot_big: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +137,21 @@ class Localizer:
                     ohp.reshape(p_n * l_pad, g_n), dtype=dtype)
             else:
                 onehot_pad = onehot
+        onehot_big = None
+        if (srp_form != "matmul" and pairs.shape[0] > 256
+                and pipeline.srp_big_matmul_budget_bytes > 0):
+            # large-array fast path: precompute the steering matrix when
+            # it fits the HBM budget (see LocalizerParams.onehot_big).
+            # >256 pairs mirrors the blocked-scan default, so this only
+            # ever replaces the (already matmul-form) blocked path —
+            # small explicit-gather configs keep exact gather semantics
+            l8 = srp.sublane_pad_lags(pipeline.num_lags)
+            itemsize = 2 if pipeline.srp_dtype == "bfloat16" else 4
+            if (pairs.shape[0] * l8 * grid.num_cells * itemsize
+                    <= pipeline.srp_big_matmul_budget_bytes):
+                onehot_big = srp.big_onehot_device(
+                    jnp.asarray(lut_flat), pipeline.num_lags,
+                    pipeline.srp_dtype)
         win = window_ops.window_for(pipeline)
         params = LocalizerParams(
             mic_positions=jnp.asarray(mic_positions),
@@ -139,6 +161,7 @@ class Localizer:
             onehot=onehot,
             score_bias=None,
             onehot_pad=onehot_pad,
+            onehot_big=onehot_big,
         )
         return cls(
             pipeline=pipeline, grid=grid, solver=solver, params=params,
@@ -562,7 +585,14 @@ def localize_frames(
         chunk = cfg.pair_chunk
         if chunk is None and n_pairs > 256:
             chunk = 128
-        if chunk is not None and n_pairs > chunk:
+        if params.onehot_big is not None:
+            # precomputed steering matrix: one HBM-streamed contraction
+            # (the blocked scan's per-chunk one-hot construction cost ~5x
+            # the matmul itself — r3 config-5b trace)
+            scores = srp.srp_scores_matmul_big(
+                corr_t, params.onehot_big, cfg.num_lags,
+                dtype=cfg.srp_dtype)
+        elif chunk is not None and n_pairs > chunk:
             scores = srp.srp_scores_matmul_blocked(
                 corr_t, params.lut_flat, cfg.num_lags, chunk,
                 dtype=cfg.srp_dtype)

@@ -152,6 +152,53 @@ def srp_scores_matmul_blocked(
     return out
 
 
+def sublane_pad_lags(num_lags: int) -> int:
+    """Lag-axis length rounded up to the 8-sublane boundary — merging
+    (P, L8) -> P*L8 is then a free layout change (no relayout copy)."""
+    return -(-num_lags // 8) * 8
+
+
+def big_onehot_device(lut_flat: jnp.ndarray, num_lags: int,
+                      dtype: str = "bfloat16") -> jnp.ndarray:
+    """Precompute the large-array steering matrix [P*L8, G] ON DEVICE
+    (zero rows at lag padding; the 0/1 entries are exact in bf16).
+
+    For 2016-pair arrays the blocked scan (``srp_scores_matmul_blocked``)
+    reconstructs per-chunk one-hots from ``lut_flat`` every step; the r3
+    config-5b trace showed that construction (pred relayout copies, pair
+    padding, chunk reshapes) costing ~5x the actual scoring matmul
+    (~4.2 ms vs 0.83 ms per 256-frame batch).  Materializing the matrix
+    once (~590 MB bf16 at 2016 pairs x 152 lags x 961 cells) turns
+    scoring into a single HBM-streamed MXU contraction."""
+    p, g = lut_flat.shape
+    l8 = sublane_pad_lags(num_lags)
+    lanes = jnp.arange(l8, dtype=lut_flat.dtype)
+    w = (lut_flat[:, None, :] == lanes[None, :, None]).astype(
+        jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    return w.reshape(p * l8, g)
+
+
+def srp_scores_matmul_big(
+    correlograms: jnp.ndarray, onehot_big: jnp.ndarray, num_lags: int,
+    dtype: str = "float32",
+) -> jnp.ndarray:
+    """scores[..., G] via ONE contraction against a precomputed
+    [P*L8, G] steering matrix (``big_onehot_device``): the fast path for
+    large pair counts when the matrix fits the HBM budget."""
+    *lead, p, l = correlograms.shape
+    l8 = onehot_big.shape[0] // p
+    corr = correlograms
+    if l8 != l:
+        corr = jnp.concatenate(
+            [corr, jnp.zeros((*corr.shape[:-1], l8 - l), corr.dtype)],
+            axis=-1)
+    flat = corr.reshape(*lead, p * l8)
+    if dtype == "bfloat16":
+        flat = flat.astype(jnp.bfloat16)
+    return jnp.matmul(flat, onehot_big.astype(flat.dtype),
+                      preferred_element_type=jnp.float32)
+
+
 def srp_scores_int(
     correlograms: jnp.ndarray, lut_flat: jnp.ndarray
 ) -> jnp.ndarray:

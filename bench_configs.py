@@ -134,8 +134,10 @@ def main():
     one64 = synth.synth_scene(src, mics64, n=4096, seed=3)
     fr64 = jnp.asarray(
         np.broadcast_to(one64, (chunk, 64, 4096)).copy(), jnp.float32)
-    run64 = jax.jit(lambda x: loc64._jitted(loc64.params, x)["xy"])
-    dt = _timed(run64, fr64, iters=5)
+    # params as a jit ARG (closure capture would embed the large-array
+    # steering matrix as an HLO constant: HTTP 413 on remote compile)
+    run64 = jax.jit(lambda p, x: loc64._jitted(p, x)["xy"])
+    dt = _timed(run64, loc64.params, fr64, iters=5)
     fps = chunk / dt
     report("5_64mic_4096pt_batched", fps, chunk,
            {"pairs": 2016, "time_for_10k_frames_s": round(10_000 / fps, 2),
@@ -151,8 +153,8 @@ def main():
         phat=True, fft_pad_mode="circular", srp_dtype="bfloat16",
         band_hz=(800.0, 6000.0), band_crop=True)
     loc64b = Localizer.create(mics64, cfg64b, grid5, init_grid_stride=2)
-    run64b = jax.jit(lambda x: loc64b._jitted(loc64b.params, x)["xy"])
-    dt = _timed(run64b, fr64, iters=5)
+    run64b = jax.jit(lambda p, x: loc64b._jitted(p, x)["xy"])
+    dt = _timed(run64b, loc64b.params, fr64, iters=5)
     fps = chunk / dt
     report("5b_64mic_4096pt_band_crop", fps, chunk,
            {"pairs": 2016, "time_for_10k_frames_s": round(10_000 / fps, 2),

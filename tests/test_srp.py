@@ -25,6 +25,49 @@ def test_matmul_equals_gather(rng):
     np.testing.assert_allclose(s_mm, s_g, rtol=1e-5, atol=1e-5)
 
 
+def test_big_matmul_matches_blocked_and_gather(rng):
+    """The precomputed large-array steering path (srp_scores_matmul_big,
+    the r3 config-5b fast path) == blocked scan == gather."""
+    corr = jnp.asarray(
+        rng.normal(size=(4, 3, CFG.num_lags)).astype(np.float32))
+    w = srp.big_onehot_device(LUT_FLAT, CFG.num_lags, "float32")
+    l8 = srp.sublane_pad_lags(CFG.num_lags)
+    assert w.shape == (3 * l8, GRID.num_cells)
+    s_big = np.asarray(
+        srp.srp_scores_matmul_big(corr, w, CFG.num_lags, "float32"))
+    s_g = np.asarray(srp.srp_scores_gather(corr, LUT_FLAT))
+    s_b = np.asarray(srp.srp_scores_matmul_blocked(
+        corr, LUT_FLAT, CFG.num_lags, pair_chunk=2))
+    np.testing.assert_allclose(s_big, s_g, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s_big, s_b, rtol=1e-5, atol=1e-5)
+    # bf16 steering: 0/1 entries exact, argmax cell preserved
+    wb = srp.big_onehot_device(LUT_FLAT, CFG.num_lags, "bfloat16")
+    s_bf = np.asarray(
+        srp.srp_scores_matmul_big(corr, wb, CFG.num_lags, "bfloat16"))
+    np.testing.assert_array_equal(s_bf.argmax(-1), s_g.argmax(-1))
+
+
+def test_localizer_uses_big_matmul_above_256_pairs():
+    """Localizer.create precomputes onehot_big for >256-pair arrays within
+    the HBM budget, and NOT for small or budget-zero configs."""
+    from audio_triangulation_tpu.models.localizer import Localizer
+
+    small = Localizer.create(MICS)
+    assert small.params.onehot_big is None  # 3 pairs -> matmul form
+    mics25 = geometry.grid_array(5, 5, 0.05)  # 300 pairs
+    grid_s = GridConfig(half_cells_x=10, half_cells_y=10, cells_per_m=8.0)
+    loc = Localizer.create(mics25, PipelineConfig(), grid_s,
+                           srp_form="gather")
+    assert loc.params.onehot_big is not None
+    p = 300
+    l8 = srp.sublane_pad_lags(loc.pipeline.num_lags)
+    assert loc.params.onehot_big.shape == (p * l8, grid_s.num_cells)
+    off = Localizer.create(
+        mics25, PipelineConfig(srp_big_matmul_budget_bytes=0), grid_s,
+        srp_form="gather")
+    assert off.params.onehot_big is None
+
+
 def test_quantize_heatmap_levels(rng):
     scores = jnp.asarray(rng.normal(size=(2, 101 * 101)).astype(np.float32))
     levels = np.asarray(srp.quantize_heatmap(scores))

@@ -191,10 +191,13 @@ def build_config5b(batch):
     dev = jax.devices()[0]
     frames = jax.device_put(jnp.asarray(one), dev)
 
-    def run(x):
-        return loc._jitted(loc.params, x)["xy"]
+    # params passed as a jit ARGUMENT: closure capture would embed the
+    # precomputed steering matrix (~589 MB) as an HLO constant and blow
+    # the remote-compile payload limit (HTTP 413 through the axon tunnel)
+    def run(params, x):
+        return loc._jitted(params, x)["xy"]
 
-    return jax.jit(run), (frames,), batch
+    return jax.jit(run), (loc.params, frames), batch
 
 
 def build_streaming(n_streams):
