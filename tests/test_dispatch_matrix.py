@@ -15,6 +15,9 @@ import jax.numpy as jnp
 from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
 from audio_triangulation_tpu.utils import synth
 
+pytestmark = pytest.mark.smoke  # dispatch-path matrix
+
+
 
 def _frames(mics, b=16, n=256, seed=0):
     src = np.array([0.4, 0.3, 1.2])

@@ -15,6 +15,9 @@ from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
 from audio_triangulation_tpu.ops import solver as solver_ops
 from audio_triangulation_tpu.utils import synth
 
+pytestmark = pytest.mark.smoke  # end-to-end pipeline
+
+
 MICS = geometry.reference_array()
 H = 1.2
 

@@ -1,10 +1,14 @@
 """Geometry layer vs the golden (C-semantics) model."""
 
+import pytest
 import numpy as np
 
 from audio_triangulation_tpu.core import geometry
 from audio_triangulation_tpu.core.config import GridConfig, PipelineConfig
 from audio_triangulation_tpu.utils import golden
+
+pytestmark = pytest.mark.smoke  # geometry/LUT parity
+
 
 
 def test_triangle_matches_reference_float_math():

@@ -1,12 +1,16 @@
 """Bit-exact validation of the integer ops against the golden C-semantics
 model (SURVEY.md §4: unit tests with a NumPy port of the C as oracle)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from audio_triangulation_tpu.core.config import PipelineConfig
 from audio_triangulation_tpu.ops import conditioning, window as window_ops, xcorr
 from audio_triangulation_tpu.utils import golden
+
+pytestmark = pytest.mark.smoke  # golden C-semantics bit-exactness
+
 
 CFG = PipelineConfig()
 

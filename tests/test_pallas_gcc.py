@@ -1,5 +1,6 @@
 """Fused GCC Pallas kernel (interpret mode on CPU) vs the unfused MXU path."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -8,6 +9,9 @@ from audio_triangulation_tpu.core import geometry
 from audio_triangulation_tpu.ops import mxu_fft
 from audio_triangulation_tpu.ops.pallas import gcc_kernel
 from audio_triangulation_tpu.ops import window as window_ops
+
+pytestmark = pytest.mark.smoke  # fused kernel (interpret) parity
+
 
 
 def _setup(rng, b=8, m=3, n=1024):

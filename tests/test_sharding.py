@@ -1,5 +1,6 @@
 """Multi-device sharding on the 8-device virtual CPU mesh (SURVEY.md §4 d)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,9 @@ from audio_triangulation_tpu import Localizer, geometry
 from audio_triangulation_tpu.parallel import mesh as mesh_lib
 from audio_triangulation_tpu.parallel import sharded
 from audio_triangulation_tpu.utils import synth
+
+pytestmark = pytest.mark.smoke  # multi-device sharding
+
 
 MICS = geometry.reference_array()
 

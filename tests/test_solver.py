@@ -1,5 +1,6 @@
 """Gauss-Newton TDOA solver and far-field bearing."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +8,9 @@ import jax.numpy as jnp
 from audio_triangulation_tpu.core import geometry
 from audio_triangulation_tpu.core.config import SolverConfig
 from audio_triangulation_tpu.ops import solver
+
+pytestmark = pytest.mark.smoke  # GN solver
+
 
 MICS = geometry.reference_array()
 PAIRS = jnp.asarray(geometry.mic_pairs(3))

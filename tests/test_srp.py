@@ -1,11 +1,15 @@
 """SRP grid scoring: matmul == gather, heat quantization, peak extraction."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from audio_triangulation_tpu.core import geometry
 from audio_triangulation_tpu.core.config import GridConfig, PipelineConfig
 from audio_triangulation_tpu.ops import srp
+
+pytestmark = pytest.mark.smoke  # SRP scoring forms
+
 
 CFG = PipelineConfig()
 GRID = GridConfig()
