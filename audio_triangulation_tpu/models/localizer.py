@@ -412,6 +412,19 @@ def _static_batch(lead) -> int | None:
         return None
 
 
+def _use_gcc_large(cfg: PipelineConfig, pairs_static, b_total) -> bool:
+    """Whether the chunked large-array Pallas GCC kernel applies: >256
+    pairs, MXU mode, none/phat weighting only (smoothed weightings run on
+    the XLA-FFT path), default matmul precision, a real TPU backend, and
+    a static batch."""
+    return (pairs_static is not None and len(pairs_static) > 256
+            and cfg.xcorr_mode == "mxu"
+            and cfg.effective_weighting in ("none", "phat")
+            and cfg.dft_precision == "default"  # exact f32 -> XLA path
+            and jax.default_backend() == "tpu"
+            and b_total is not None)
+
+
 def _conditioned_correlograms(
     params: LocalizerParams, frames: jnp.ndarray, cfg: PipelineConfig,
     pairs_static: tuple | None = None,
@@ -443,14 +456,7 @@ def _conditioned_correlograms(
             interpret=jax.default_backend() != "tpu")
         corr = corr[:b]
         return corr.reshape(*lead, corr.shape[-2], corr.shape[-1])
-    if (pairs_static is not None and len(pairs_static) > 256
-            and cfg.xcorr_mode == "mxu"
-            # the kernel implements none/phat only; smoothed weightings
-            # run on the XLA-FFT path via correlate_frames
-            and cfg.effective_weighting in ("none", "phat")
-            and cfg.dft_precision == "default"  # exact f32 -> XLA path
-            and jax.default_backend() == "tpu"
-            and _static_batch(lead) is not None):
+    if _use_gcc_large(cfg, pairs_static, _static_batch(lead)):
         # large-array chunked Pallas kernel: spectra tile stays in VMEM
         # across pair chunks (2.1x over the XLA pair-blocked path)
         from ..ops.pallas import gcc_large
@@ -556,6 +562,14 @@ def localize_frames(
         peak_val = peak_val[:b].reshape(*lead, p)
         psr = psr[:b].reshape(*lead, p)
     else:
+        # NOTE(r3): routing large arrays through gcc_large.xcorr_large_peaks
+        # (in-kernel argmax/sub-sample/psr/taper) was measured SLOWER on
+        # config 5b — 9.50 vs 8.76 ms device per 256-frame batch: Mosaic
+        # serializes the ~15 VPU peak passes per grid step (+1.23 ms in
+        # the kernel), costing more than the ~1.6 ms of external HBM
+        # re-reads they replace.  The mechanism stays available (tested
+        # bit-equal in interpret mode) for chips where VPU/MXU overlap
+        # improves; the external masked reductions remain the default.
         best_cell = None
         corr = _conditioned_correlograms(params, frames, cfg, pairs_static)
         shifts = xcorr.best_lag(corr, k)

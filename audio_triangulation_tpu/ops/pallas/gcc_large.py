@@ -40,8 +40,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
-            re_ref, im_ref, sync_ref, syns_ref, out_ref,
-            rr_ref, jj_ref, *, tile_b, chunk, mm_dtype):
+            re_ref, im_ref, sync_ref, syns_ref, out_ref, aux_ref,
+            rr_ref, jj_ref, *, tile_b, chunk, mm_dtype, num_lags=0,
+            taper_denom=0.0):
     # PHAT happens per mic in the wrapper (whiten_reim), ONCE per spectrum
     # instead of once per pair: 2016-pair arrays would otherwise rsqrt 31x
     # the data volume inside this loop.
@@ -70,14 +71,59 @@ def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
                     preferred_element_type=jnp.float32)
             + jnp.dot(jj_ref[:], syns_ref[:],
                       preferred_element_type=jnp.float32))
-    out_ref[:] = corr.reshape(tile_b, chunk, -1)
+    if aux_ref is None:
+        out_ref[:] = corr.reshape(tile_b, chunk, -1)
+        return
+
+    # ---- in-kernel peaks + taper on the VMEM-resident correlograms ----
+    # The external masked reductions (best_lag/subsample_peak/
+    # peak_confidence + peak_taper) re-read the [B, P, L] f32 correlogram
+    # from HBM three times — 2.03 ms of the 8.76 ms config-5b device step
+    # (r3 trace).  Same gather-free one-hot math as gcc_kernel.stage_out;
+    # psr is computed on the RAW correlogram, the written output is
+    # TAPERED (reference correlations.c:26-33 semantics).
+    rows_n = tile_b * chunk
+    l_pad = corr.shape[-1]
+    k = (num_lags - 1) // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows_n, l_pad), 1)
+    valid = lane < num_lags
+    neg = jnp.float32(-3e38)
+    masked = jnp.where(valid, corr, neg)
+    v0 = jnp.max(masked, axis=-1, keepdims=True)
+    is_max = (masked == v0) & valid
+    big = jnp.where(is_max, lane, l_pad)
+    idx = jnp.min(big, axis=-1, keepdims=True)  # first max wins
+    cm = jnp.sum(jnp.where(lane == idx - 1, corr, 0.0), -1, keepdims=True)
+    cp = jnp.sum(jnp.where(lane == idx + 1, corr, 0.0), -1, keepdims=True)
+    den = cm - 2.0 * v0 + cp
+    interior = (idx >= 1) & (idx <= num_lags - 2)
+    delta = jnp.where(
+        (jnp.abs(den) > 1e-20) & interior, 0.5 * (cm - cp) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    shift = (idx - k).astype(jnp.float32)
+    tdoa = shift + delta
+    d = (lane - idx).astype(jnp.float32)
+    tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
+    outside = (jnp.abs(lane - idx) > 3) & valid
+    side = jnp.max(jnp.where(outside, corr, neg), axis=-1, keepdims=True)
+    psr = jnp.abs(v0) / jnp.maximum(jnp.abs(side), 1e-20)
+
+    out_ref[:] = tapered.reshape(tile_b, chunk, l_pad)
+    # aux: 128 lanes, 0=shift 1=tdoa 2=peak 3=psr (broadcast-select from
+    # the [rows, 1] columns — no sublane->lane relayout)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (rows_n, 128), 1)
+    aux = (jnp.where(lane8 == 0, shift, 0.0)
+           + jnp.where(lane8 == 1, tdoa, 0.0)
+           + jnp.where(lane8 == 2, v0, 0.0)
+           + jnp.where(lane8 == 3, psr, 0.0))
+    aux_ref[:] = aux.reshape(tile_b, chunk, 128)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "tile_b", "chunk", "interpret"))
+    static_argnames=("cfg", "tile_b", "chunk", "interpret", "with_peaks"))
 def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
-          interpret):
+          interpret, with_peaks=False):
     b, m, f = re.shape
     n_chunks = sel_i.shape[0]
     k = cfg.max_shift
@@ -111,28 +157,50 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sync
             pl.BlockSpec(memory_space=pltpu.VMEM),  # syns
         ],
-        out_specs=pl.BlockSpec(
-            (tile_b, chunk, l_pad), lambda bi, ci: (bi, ci, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(
+            (pl.BlockSpec((tile_b, chunk, l_pad), lambda bi, ci: (bi, ci, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((tile_b, chunk, 128), lambda bi, ci: (bi, ci, 0),
+                          memory_space=pltpu.VMEM))
+            if with_peaks else
+            pl.BlockSpec((tile_b, chunk, l_pad), lambda bi, ci: (bi, ci, 0),
+                         memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((chunk * tile_b, f), mm),
             pltpu.VMEM((chunk * tile_b, f), mm),
         ],
     )
-    kernel = functools.partial(_kernel, tile_b=tile_b, chunk=chunk,
-                               mm_dtype=mm)
-    out = pl.pallas_call(
+    kernel = functools.partial(
+        _kernel, tile_b=tile_b, chunk=chunk, mm_dtype=mm,
+        num_lags=2 * k + 1, taper_denom=cfg.taper_denom)
+    if not with_peaks:
+        def kernel(ei, ej, re_, im_, sc, ss, out, rr, jj,  # noqa: F811
+                   _k=kernel):
+            _k(ei, ej, re_, im_, sc, ss, out, None, rr, jj)
+    out_shape = jax.ShapeDtypeStruct((b, n_chunks * chunk, l_pad),
+                                     jnp.float32)
+    if with_peaks:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, n_chunks * chunk, 128),
+                                          jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (b, n_chunks * chunk, l_pad), jnp.float32),
+        out_shape=out_shape,
         # larger tiles need more than the default 16 MB scoped-VMEM budget;
         # v5e has headroom well past it (the compiler rejects true overflows)
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(sel_i, sel_j, re, im, jnp.asarray(sync), jnp.asarray(syns))
-    return out[..., : 2 * k + 1]
+    if with_peaks:
+        corr, aux = outs
+        return (corr[..., : 2 * k + 1],
+                aux[..., 0].astype(jnp.int32),  # integer best shift
+                aux[..., 1],                    # sub-sample tdoa (lags)
+                aux[..., 2],                    # raw peak value
+                aux[..., 3])                    # peak-to-sidelobe ratio
+    return outs[..., : 2 * k + 1]
 
 
 def _selection_matrices(pairs: np.ndarray, n_mics: int, chunk: int):
@@ -193,3 +261,49 @@ def xcorr_large(
     out = _call(re, im, jnp.asarray(sel_i), jnp.asarray(sel_j), cfg, tile_b,
                 chunk, interpret)
     return out[:, :p, :]
+
+
+def xcorr_large_peaks(
+    frames: jnp.ndarray,
+    pairs: np.ndarray,
+    cfg: PipelineConfig,
+    *,
+    tile_b: int = 4,
+    chunk: int = 64,
+    interpret: bool = False,
+):
+    """Large-array fused GCC + in-kernel peaks: conditioned frames
+    [B, M, N] -> (TAPERED correlograms [B, P, 2K+1], best shifts int32
+    [B, P], sub-sample TDOAs [B, P] in lags, raw peak values [B, P],
+    psr [B, P]).
+
+    The peak/taper stage runs on the VMEM-resident correlograms inside
+    the kernel instead of three external HBM re-reads of the [B, P, L]
+    f32 tensor.  Math identical to the external ops (same one-hot
+    reductions as gcc_kernel; tested bit-equal in interpret mode).
+
+    Measured SLOWER than the external path on v5e-lite (r3 config-5b
+    trace: 9.50 vs 8.76 ms device per 256-frame batch — Mosaic serializes
+    the ~15 VPU peak passes per grid step, +1.23 ms in-kernel, more than
+    the ~1.6 ms of external HBM re-reads saved), so localize_frames does
+    NOT route here by default; kept for chips whose schedulers overlap
+    VPU with MXU."""
+    b = frames.shape[0]
+    if b % tile_b != 0:
+        raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        re, im = mxu_fft.forward_spectra_band(
+            frames, cfg.fft_length, *crop, "float32")
+    else:
+        re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
+    if cfg.phat:
+        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
+    m = frames.shape[1]
+    p = pairs.shape[0]
+    sel_i, sel_j = _selection_matrices(np.asarray(pairs), m, chunk)
+    corr, shifts, tdoa, peak, psr = _call(
+        re, im, jnp.asarray(sel_i), jnp.asarray(sel_j), cfg, tile_b,
+        chunk, interpret, with_peaks=True)
+    return (corr[:, :p, :], shifts[:, :p], tdoa[:, :p], peak[:, :p],
+            psr[:, :p])

@@ -36,6 +36,36 @@ def test_large_kernel_multi_chunk(rng):
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
 
 
+def test_large_kernel_in_kernel_peaks_match_external(rng):
+    """xcorr_large_peaks (in-kernel argmax/sub-sample/psr/taper, the r3
+    config-5b fast path) == xcorr_large + the external peak ops."""
+    from audio_triangulation_tpu.ops import xcorr as xcorr_ops
+
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True,
+                         max_shift_samples=30)
+    k = cfg.max_shift
+    m = 8
+    frames = jnp.asarray(rng.normal(size=(4, m, 512)).astype(np.float32))
+    pairs = geometry.mic_pairs(m)
+    corr = gcc_large.xcorr_large(
+        frames, pairs, cfg, tile_b=2, chunk=32, interpret=True)
+    ref_shift = np.asarray(xcorr_ops.best_lag(corr, k))
+    ref_tdoa, ref_peak = map(np.asarray, xcorr_ops.subsample_peak(corr, k))
+    ref_psr = np.asarray(xcorr_ops.peak_confidence(corr, k))
+    ref_tapered = np.asarray(
+        xcorr_ops.peak_taper(corr, k, cfg.taper_denom,
+                             jnp.asarray(ref_shift)))
+
+    tapered, shift, tdoa, peak, psr = map(np.asarray, (
+        gcc_large.xcorr_large_peaks(
+            frames, pairs, cfg, tile_b=2, chunk=32, interpret=True)))
+    np.testing.assert_array_equal(shift, ref_shift)
+    np.testing.assert_allclose(tdoa, ref_tdoa, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(peak, ref_peak, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(psr, ref_psr, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(tapered, ref_tapered, rtol=1e-5, atol=1e-7)
+
+
 def test_large_kernel_bf16_matmul_close(rng):
     """matmul_dtype='bfloat16' (for chips where bf16 outrates f32) stays
     within bf16 tolerance of the f32 kernel and preserves the peak lag."""
