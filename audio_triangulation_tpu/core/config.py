@@ -353,9 +353,12 @@ class StreamConfig:
     # state ([S, M, ring] f32) outgrows XLA's alternate-memory (VMEM)
     # budget and the whole batched program spills to HBM with relayout
     # copies (r3 trace: 2,048 dense streams cost 15.7 ms device vs 2x2.94
-    # chunked — a 2.7x superlinear cliff).  step_many therefore lax.map's
-    # over sub-batches of this size, keeping each body VMEM-resident.
-    # None disables chunking (single vmapped program at any size).
+    # chunked — a 2.7x superlinear cliff).  step_many therefore issues
+    # asynchronously pipelined DISPATCHES of one compiled sub-batch
+    # program of this size (a lax.map body re-spills — see step_many's
+    # docstring; this also means the chunking only applies when step_many
+    # is called from host code, not under an enclosing jit).  None
+    # disables chunking (single vmapped program at any size).
     batch_chunk_streams: Optional[int] = 1024
 
 

@@ -525,9 +525,12 @@ def localize_frames(
         # Mode B (in-kernel SRP scoring + grid argmax): active for the
         # production solver configuration — bf16 matmul scoring, no
         # heatmap/scores consumers forced, unpadded grid.  The kernel then
-        # returns the argmax cell directly and the external scoring matmul
-        # + its boundary copies are only materialized if the caller
-        # actually reads out['scores'] (XLA DCEs them otherwise).
+        # returns the argmax cell directly.  NOTE: the external scoring
+        # matmul below still computes out['scores']; it is only dead-code
+        # eliminated when the caller wraps _jitted in an OUTER jit that
+        # discards 'scores' (as bench.py does) — plain Localizer.__call__
+        # returns the full dict, so Mode B 'on' runs scoring twice there.
+        # One more reason the default is 'off' (see core/config.py).
         p_n = len(pairs_static)
         refine = (grid_cfg.refine_peak == "on"
                   or (grid_cfg.refine_peak == "auto" and not with_solver))
@@ -591,8 +594,9 @@ def localize_frames(
         )
 
     if srp_form == "matmul":
-        # when the kernel already did the scoring+argmax (Mode B), this
-        # external matmul only materializes if the caller reads 'scores'
+        # under Mode B this external matmul duplicates the in-kernel
+        # scoring unless an outer jit discards 'scores' (see the Mode B
+        # note above)
         scores = srp.srp_scores_matmul(corr_t, params.onehot, cfg.srp_dtype)
     else:
         n_pairs = params.pairs.shape[0]

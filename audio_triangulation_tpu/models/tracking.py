@@ -121,28 +121,25 @@ def _joint_event_tables(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     import math
 
     # Guard BEFORE enumeration: E = sum_m C(N,m)·P(K,m) in closed form, so
-    # an oversize (n, k) raises immediately instead of grinding through
-    # (k+1)^n Python tuples first (N=K=8 is ~43M tuples).
+    # an oversize (n, k) raises immediately.  Construction below is O(E)
+    # (subsets x permutations), NOT O((k+1)^n) tuple filtering — e.g.
+    # N=12, K=3 has only 1,753 events and must not grind 4^12 tuples.
     e = sum(math.comb(n, m) * math.perm(k, m) for m in range(min(n, k) + 1))
-    if e > 200_000 or (k + 1) ** n > 5_000_000:
+    if e > 200_000:
         raise ValueError(
             f"exact JPDA event table has {e} events for N={n}, K={k}; "
             "use joint_association='cheap' at this scale")
-    events = []
-    for choice in itertools.product(range(-1, k), repeat=n):
-        used = [c for c in choice if c >= 0]
-        if len(used) != len(set(used)):
-            continue
-        events.append(choice)
-    assert len(events) == e, (len(events), e)
     onehot = np.zeros((e, n, k), np.float32)
     n_clutter = np.zeros((e,), np.float32)
-    for ei, choice in enumerate(events):
-        for ni, c in enumerate(choice):
-            if c < 0:
-                n_clutter[ei] += 1.0
-            else:
-                onehot[ei, ni, c] = 1.0
+    ei = 0
+    for m in range(min(n, k) + 1):
+        for subset in itertools.combinations(range(n), m):
+            for perm in itertools.permutations(range(k), m):
+                for ni, ki in zip(subset, perm):
+                    onehot[ei, ni, ki] = 1.0
+                n_clutter[ei] = n - m
+                ei += 1
+    assert ei == e, (ei, e)
     return onehot, n_clutter
 
 

@@ -198,21 +198,6 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
 
         out_ref[rows] = tapered.reshape(sb, n_pairs, l_pad)
 
-        if compact and srp_g == 0:
-            # compact packing WITHOUT in-kernel scoring: the per-pair peak
-            # scalars leave as one [SB, 128] row instead of a full-lane
-            # [SB, P, L_pad] aux tensor — the r3 trace showed the aux
-            # relayout copies + its 6x HBM write costing ~8% of device
-            # time.  (cell/score lanes stay zero; the external SRP fusion
-            # scores the f32 correlograms as before.)
-            packed = jnp.concatenate(
-                [lanes_from_rows(shift), lanes_from_rows(tdoa),
-                 lanes_from_rows(v0), lanes_from_rows(psr),
-                 jnp.zeros((sb, 128 - 4 * n_pairs), jnp.float32)],
-                axis=1)
-            cell_ref[rows] = packed
-            return
-
         if compact:
             # ---- Mode B: SRP scoring + grid argmax INSIDE the kernel ----
             # The r3 headline trace showed the kernel boundary (full-lane
@@ -328,8 +313,11 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     # full-lane aux tensor's relayout copies cost outside the kernel
     # (device 3.29 vs 2.95 ms/iter on the headline config), so the classic
     # aux output stays the default.
+    # compact == Mode B (in-kernel SRP + peaks packed into one [SB, 128]
+    # row).  A compact-WITHOUT-scoring variant was measured and removed:
+    # the sublane->lane relayout of the packed row costs more than the
+    # full-lane aux tensor's relayout copies outside (3.29 vs 2.95 ms/iter)
     compact = with_peaks and 4 * p + 2 <= 128 and srp_onehot is not None
-    with_oh = srp_onehot is not None and compact
     kernel = functools.partial(
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
@@ -339,21 +327,17 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         nyq_fold=nyq_fold,
         inv_fft_len=(1.0 / cfg.fft_length) if nyq_in_band else 0.0,
         sub_tiles=sub_tiles,
-        srp_g=int(srp_onehot.shape[-1]) if with_oh else 0,
+        srp_g=int(srp_onehot.shape[-1]) if compact else 0,
         compact=compact)
     if not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
             _k(*refs, None)
-    elif with_oh:
-        # refs: ...inputs(incl. onehot), corr, compact
+    elif compact:
+        # refs: ...inputs(incl. onehot), corr, compact row
         def kernel(f, w, c, ms, sc, ss, oh, corr, cell,  # noqa: F811
                    _k=kernel):
             _k(f, w, c, ms, sc, ss, corr, None, onehot_ref=oh,
                cell_ref=cell)
-    elif compact:
-        def kernel(f, w, c, ms, sc, ss, corr, cell,  # noqa: F811
-                   _k=kernel):
-            _k(f, w, c, ms, sc, ss, corr, None, cell_ref=cell)
 
     block = pl.BlockSpec((tile_b, p, l_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -370,9 +354,8 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     inputs = [frames, win, jnp.asarray(cos), jnp.asarray(msin),
               jnp.asarray(sync), jnp.asarray(syns)]
     if compact:
-        if with_oh:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # onehot
-            inputs.append(srp_onehot.astype(jnp.bfloat16))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # onehot
+        inputs.append(srp_onehot.astype(jnp.bfloat16))
         cell_block = pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
         out_specs = (block, cell_block)
@@ -402,16 +385,13 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         return outs[..., :num_lags]
     if compact:
         corr_t, packed = outs
-        res = (corr_t[..., :num_lags],
-               packed[:, 0:p].astype(jnp.int32),      # best shift
-               packed[:, p:2 * p],                    # sub-sample tdoa
-               packed[:, 2 * p:3 * p],                # peak value
-               packed[:, 3 * p:4 * p])                # psr
-        if with_oh:
-            return res + (
+        return (corr_t[..., :num_lags],
+                packed[:, 0:p].astype(jnp.int32),     # best shift
+                packed[:, p:2 * p],                   # sub-sample tdoa
+                packed[:, 2 * p:3 * p],               # peak value
+                packed[:, 3 * p:4 * p],               # psr
                 packed[:, 4 * p].astype(jnp.int32),   # SRP argmax cell
                 packed[:, 4 * p + 1])                 # SRP max score
-        return res
     corr_t, aux = outs
     return (corr_t[..., :num_lags],
             aux[..., 0].astype(jnp.int32),  # integer best shift

@@ -448,7 +448,11 @@ struct AlsaApi {
         dlsym(dl, "snd_pcm_readi"));
     recover = reinterpret_cast<int (*)(void*, int, int)>(
         dlsym(dl, "snd_pcm_recover"));
-    return open_ && close_ && set_params && readi && recover;
+    if (!(open_ && close_ && set_params && readi && recover)) {
+      unload();  // library loaded but lacks a symbol: release the handle
+      return false;
+    }
+    return true;
   }
   void unload() {
     if (dl) dlclose(dl);

@@ -172,6 +172,13 @@ def _open_alsa(rt, url: str, sample_rate: int, *, prefer_native: bool = True,
             "alsa:// sources need libasound (native capture) or the "
             "`arecord` binary (alsa-utils); neither is present in this "
             "environment")
+    if reconnect:
+        import warnings
+
+        warnings.warn(
+            "alsa:// reconnect=True is only honored by the native "
+            "libasound capture; the arecord subprocess fallback in use "
+            "here does not reconnect", RuntimeWarning, stacklevel=3)
     proc = subprocess.Popen(
         ["arecord", "-D", device, "-t", "raw", "-f", "S16_LE",
          "-r", str(sample_rate), "-c", str(rt.channels), "-q"],
@@ -188,7 +195,10 @@ def open_source(rt, url: str, *, sample_rate: int = 50_000,
 
     ``reconnect=True`` survives producer churn: FIFO writers may close and
     re-open, a dead TCP peer is re-dialed with backoff, a listen source
-    re-accepts the next peer on the same port (not supported for alsa://)."""
+    re-accepts the next peer on the same port.  For alsa:// the NATIVE
+    dlopen(libasound) capture honors it (the device is re-opened after
+    unrecoverable I/O errors); the `arecord` subprocess fallback does not
+    reconnect (a warning is emitted when reconnect=True falls back)."""
     scheme = url.partition("://")[0]
     if scheme == "alsa":
         return _open_alsa(rt, url, sample_rate, prefer_native=prefer_native,

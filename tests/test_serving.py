@@ -55,6 +55,8 @@ def test_aot_compile_runs_and_reports_cost():
 
 
 def test_compilation_cache_persists(tmp_path):
+    import os
+
     cache = str(tmp_path / "xla_cache")
     serving.enable_compilation_cache(cache)
     try:
@@ -65,11 +67,17 @@ def test_compilation_cache_persists(tmp_path):
         loc = Localizer.create(
             MICS, PipelineConfig(taper_denom=37.0, phat_eps=3e-7))
         loc(_frames(2))  # populate
-        import os
-
         entries = []
         for root, _, files in os.walk(cache):
             entries += files
         assert entries, "compilation cache wrote no entries"
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        # restore the SUITE-WIDE cache conftest.py configured (None would
+        # silently disable caching for every test after this one in the
+        # same process — and enable_compilation_cache pinned min compile
+        # time to 0, so restore that threshold too)
+        suite_cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/atrt-jax-test-cache")
+        serving.enable_compilation_cache(suite_cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)

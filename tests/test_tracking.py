@@ -447,6 +447,25 @@ def test_joint_event_tables_oversize_raises_fast():
     assert time.perf_counter() - t0 < 1.0
 
 
+def test_joint_event_tables_many_measurements_few_tracks():
+    """N > K with a small event table must build fast: construction is
+    O(E) over (subset, permutation) pairs, not O((K+1)^N) tuple filtering
+    (N=12, K=3 is only 1,753 events but 16.7M tuples)."""
+    import math
+    import time
+
+    t0 = time.perf_counter()
+    onehot, nclut = tracking._joint_event_tables(12, 3)
+    assert time.perf_counter() - t0 < 2.0
+    e = sum(math.comb(12, m) * math.perm(3, m) for m in range(4))
+    assert onehot.shape == (e, 12, 3)
+    assert (onehot.sum(axis=2) <= 1).all()  # measurement -> <=1 track
+    assert (onehot.sum(axis=1) <= 1).all()  # track -> <=1 measurement
+    np.testing.assert_allclose(nclut, 12 - onehot.sum(axis=(1, 2)))
+    flat = onehot.reshape(e, -1)
+    assert len({tuple(r) for r in flat.astype(int)}) == e  # unique
+
+
 def test_step_multi_shared_measurement_splits_weight():
     """One measurement between two nearby tracks: weight splits, neither
     track is fully captured (beta < 1 for both)."""
