@@ -29,10 +29,11 @@ def main():
     # batches resident in HBM processed per dispatch (lax.map): amortizes the
     # per-dispatch host->device latency exactly like a production ingest
     # pipeline that keeps the chip fed with back-to-back batches
-    # 16 resident batches amortize the per-dispatch bubble further than 8:
-    # 10.41M vs 9.86M frames/s measured (94% vs 89% of the 11.1M
-    # device-limited ceiling, r3 roofline)
-    ap.add_argument("--resident-batches", type=int, default=16)
+    # 32 resident batches amortize the per-dispatch bubble best: 10.70M /
+    # 10.41M / 9.86M frames/s measured at 32 / 16 / 8 (96% of the 11.1M
+    # device-limited ceiling, r3 roofline); 32 x 268 MB inputs still fit
+    # HBM comfortably, 64 would not
+    ap.add_argument("--resident-batches", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-solver", action="store_true")

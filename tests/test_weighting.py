@@ -200,5 +200,10 @@ def test_large_array_gate_excludes_smoothed_weightings():
 
     from audio_triangulation_tpu.models import localizer as loc_mod
 
-    src = inspect.getsource(loc_mod._conditioned_correlograms)
+    # the gate lives in the shared _use_gcc_large helper (r3 refactor)
+    src = inspect.getsource(loc_mod._use_gcc_large)
     assert 'effective_weighting in ("none", "phat")' in src
+    # behavioral check: a smoothed weighting must not report the gate open
+    cfg = PipelineConfig(weighting="scot")
+    pairs = tuple((i, j) for i in range(30) for j in range(i + 1, 30))[:300]
+    assert not loc_mod._use_gcc_large(cfg, pairs, 64)
