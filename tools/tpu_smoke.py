@@ -123,6 +123,39 @@ def main():
     check("streaming event", int(state.event_count) >= 1,
           f"events={int(state.event_count)}")
 
+    # 6b. sub-batched step_many == single program ON HARDWARE (the r3
+    # >1,024-stream cliff fix dispatches sub-batches; layouts/matmul
+    # tilings differ from the monolithic program, so check on the chip)
+    import jax.numpy as jnp2
+    from audio_triangulation_tpu.core.config import (
+        StreamConfig as _SC)
+
+    sl_c = StreamingLocalizer.create(
+        geometry.reference_array(),
+        stream=_SC(chunk_size=512, batch_chunk_streams=2))
+    sl_p = StreamingLocalizer.create(
+        geometry.reference_array(),
+        stream=_SC(chunk_size=512, batch_chunk_streams=None))
+    streams5 = np.stack([
+        np.clip(np.round(
+            rng.integers(127, 130, (3, 2048)).astype(np.float64)
+            + np.pad(110.0 * fr3[:, :1024],
+                     [(0, 0), (512 + 37 * i, 2048 - 1536 - 37 * i)])),
+            0, 255) for i in range(5)])
+    st_c, st_p = sl_c.init_states(5), sl_p.init_states(5)
+    ok = True
+    for i in range(0, 2048, 512):
+        ch = jnp2.asarray(streams5[:, :, i:i + 512], jnp2.float32)
+        st_c, out_c = sl_c.step_many(st_c, ch)
+        st_p, out_p = sl_p.step_many(st_p, ch)
+        ok = ok and np.array_equal(np.asarray(out_c["trigger_abs"]),
+                                   np.asarray(out_p["trigger_abs"]))
+        ok = ok and np.allclose(np.asarray(out_c["xy"]),
+                                np.asarray(out_p["xy"]), atol=1e-4)
+    events_c = int(np.asarray(st_c.event_count).sum())
+    check("step_many chunked == plain", ok and events_c >= 1,
+          f"events={events_c}")
+
     # 7. subspace methods on hardware (real-block-embedding eigh/solve)
     from audio_triangulation_tpu.core.config import GridConfig
     from audio_triangulation_tpu.ops import srp_freq
