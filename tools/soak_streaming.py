@@ -15,8 +15,12 @@ Writes SOAK_STREAMING.json.  Usage:
 
 import argparse
 import json
+import os
 import resource
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
