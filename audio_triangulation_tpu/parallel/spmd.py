@@ -151,7 +151,29 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
 
     from ..ops import mxu_fft, srp as srp_ops, xcorr as xcorr_ops
 
-    def per_device(frames_shard, pairs_shard, valid_shard, lut_shard):
+    # precomputed steering matrix, PAIR-AXIS SHARDED ([P_shard, L8, G] per
+    # device): same r3 fast path as the single-chip large-array scoring —
+    # the blocked scan's per-chunk one-hot construction cost ~5x its own
+    # matmul (docs/PERFORMANCE.md).  Gated on the PER-DEVICE shard fitting
+    # the HBM budget (the full matrix is split over the model axis).
+    # Padded pairs select lag 0, but their correlograms are zeroed by the
+    # valid mask, so scores are exact.
+    g_cells = lut_np.shape[-1]
+    l8 = srp_ops.sublane_pad_lags(cfg.num_lags)
+    itemsize = 2 if cfg.srp_dtype == "bfloat16" else 4
+    shard_bytes = (p + pad) * l8 * g_cells * itemsize // model_n
+    oh_dev = None
+    if (p > 256 and cfg.srp_big_matmul_budget_bytes > 0
+            and shard_bytes <= cfg.srp_big_matmul_budget_bytes):
+        oh3 = srp_ops.big_onehot_device(
+            jnp.asarray(lut_padded), cfg.num_lags, cfg.srp_dtype
+        ).reshape(p + pad, l8, g_cells)
+        oh_dev = jax.device_put(
+            oh3, jax.sharding.NamedSharding(
+                mesh, P(mesh_lib.MODEL_AXIS, None, None)))
+
+    def per_device(frames_shard, pairs_shard, valid_shard, lut_shard,
+                   oh_shard=None):
         x = localizer_mod.condition_frames(frames_shard, params.window, cfg)
         re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype,
                                          mxu_fft.dft_prec(cfg))
@@ -166,9 +188,14 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
         corr_t = xcorr_ops.peak_taper(corr, k, cfg.taper_denom, shifts)
         corr_t = corr_t * valid_shard[:, None]  # zero padded pairs
 
-        local_scores = srp_ops.srp_scores_matmul_blocked(
-            corr_t, lut_shard, cfg.num_lags,
-            pair_chunk=min(128, corr_t.shape[-2]))
+        if oh_shard is not None:
+            local_scores = srp_ops.srp_scores_matmul_big(
+                corr_t, oh_shard.reshape(-1, oh_shard.shape[-1]),
+                cfg.num_lags, dtype=cfg.srp_dtype)
+        else:
+            local_scores = srp_ops.srp_scores_matmul_blocked(
+                corr_t, lut_shard, cfg.num_lags,
+                pair_chunk=min(128, corr_t.shape[-2]))
         scores = jax.lax.psum(local_scores, mesh_lib.MODEL_AXIS)
         xy = srp_ops.grid_peak_xy(
             scores, (grid_cfg.height, grid_cfg.width),
@@ -176,20 +203,24 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
             grid_cfg.cells_per_m)
         return scores, xy
 
+    in_specs = [P(mesh_lib.DATA_AXIS, None, None),
+                P(mesh_lib.MODEL_AXIS, None),
+                P(mesh_lib.MODEL_AXIS),
+                P(mesh_lib.MODEL_AXIS, None)]
+    if oh_dev is not None:
+        in_specs.append(P(mesh_lib.MODEL_AXIS, None, None))
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(mesh_lib.DATA_AXIS, None, None),
-                  P(mesh_lib.MODEL_AXIS, None),
-                  P(mesh_lib.MODEL_AXIS),
-                  P(mesh_lib.MODEL_AXIS, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(mesh_lib.DATA_AXIS, None), P(mesh_lib.DATA_AXIS, None)),
         check_vma=False,
     )
 
     @jax.jit
     def fn(frames):
-        scores, xy = mapped(frames, pairs_dev, valid_dev, lut_dev)
+        extra = (oh_dev,) if oh_dev is not None else ()
+        scores, xy = mapped(frames, pairs_dev, valid_dev, lut_dev, *extra)
         return {"scores": scores, "xy_grid": xy}
 
     return fn

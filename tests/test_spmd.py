@@ -78,3 +78,16 @@ def test_spmd_pair_sharded_large_array():
     np.testing.assert_allclose(s_got / scale, s_ref / scale, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(out["xy_grid"]), np.asarray(ref["xy_grid"]), atol=1e-5)
+
+    # the run above exercises the precomputed pair-sharded steering matrix
+    # (per-device shard fits the budget); force the blocked fallback and
+    # check it agrees too
+    import dataclasses
+
+    loc0 = dataclasses.replace(
+        loc, pipeline=dataclasses.replace(
+            cfg, srp_big_matmul_budget_bytes=0))
+    fn0 = spmd.make_spmd_pair_localizer(loc0, mesh)
+    out0 = fn0(frames_sharded)
+    np.testing.assert_allclose(
+        np.asarray(out0["scores"]) / scale, s_ref / scale, atol=1e-4)
