@@ -223,6 +223,8 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
         scores, xy = mapped(frames, pairs_dev, valid_dev, lut_dev, *extra)
         return {"scores": scores, "xy_grid": xy}
 
+    # let callers (tests, dryrun) see which scoring path was selected
+    fn.big_steering = oh_dev is not None
     return fn
 
 

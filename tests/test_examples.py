@@ -8,10 +8,23 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_example(name):
+    # share the suite's persistent compilation cache (tests/conftest.py sets
+    # it in-process only): the examples compile many near-identical
+    # Localizers, so later examples hit entries written by earlier ones
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/atrt-jax-test-cache")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cache_cfg = ""
+    if cache:
+        env["JAX_COMPILATION_CACHE_DIR"] = cache
+        cache_cfg = (
+            "jax.config.update('jax_persistent_cache_min_compile_time_secs'"
+            ", 0.5);"
+        )
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        f"exec(open(r'{os.path.join(ROOT, 'examples', name)}').read())"
+        + cache_cfg
+        + f"exec(open(r'{os.path.join(ROOT, 'examples', name)}').read())"
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,

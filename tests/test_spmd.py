@@ -51,11 +51,11 @@ def test_spmd_pair_sharded_large_array():
 
     mics64 = geometry.grid_array(8, 8, 0.05)
     cfg = PipelineConfig(
-        frame_size_bits=11,
+        frame_size_bits=10,
         max_shift_samples=geometry.max_lag_for_array(
             mics64, PipelineConfig()),
         phat=True, fft_pad_mode="circular")
-    grid = GridConfig(half_cells_x=15, half_cells_y=15, cells_per_m=12.0)
+    grid = GridConfig(half_cells_x=10, half_cells_y=10, cells_per_m=8.0)
     loc = Localizer.create(mics64, cfg, grid, srp_form="gather",
                            with_solver=False)
 
@@ -72,6 +72,7 @@ def test_spmd_pair_sharded_large_array():
     frames_sharded = jax.device_put(frames, mesh_lib.frames_sharding(mesh))
     out = fn(frames_sharded)
 
+    assert fn.big_steering  # production path: precomputed steering shards
     s_ref = np.asarray(ref["scores"])
     s_got = np.asarray(out["scores"])
     scale = np.abs(s_ref).max()
@@ -79,15 +80,41 @@ def test_spmd_pair_sharded_large_array():
     np.testing.assert_allclose(
         np.asarray(out["xy_grid"]), np.asarray(ref["xy_grid"]), atol=1e-5)
 
-    # the run above exercises the precomputed pair-sharded steering matrix
-    # (per-device shard fits the budget); force the blocked fallback and
-    # check it agrees too
+
+def test_spmd_pair_blocked_fallback_matches_big():
+    """big-steering vs blocked-scan pair sharding agree (small array, so
+    the parity check doesn't pay a second 2016-pair compile — the 64-mic
+    test above covers the big path at scale)."""
     import dataclasses
+
+    from audio_triangulation_tpu import GridConfig
+
+    mics = geometry.circular_array(24, 0.4)  # 276 pairs > the 256 gate
+    cfg = PipelineConfig(frame_size_bits=9, max_shift_samples=16, phat=True)
+    grid = GridConfig(half_cells_x=6, half_cells_y=6, cells_per_m=6.0)
+    loc = Localizer.create(mics, cfg, grid, srp_form="gather",
+                           with_solver=False)
+    src = np.array([0.4, 0.2, 1.2]) * (1.2 / np.linalg.norm([0.4, 0.2, 1.2]))
+    frames = jnp.asarray(np.repeat(
+        synth.synth_scene(src, mics, n=cfg.frame_size, seed=7), 4, axis=0),
+        jnp.float32)
+
+    mesh = mesh_lib.make_mesh((2, 4))
+    frames_sharded = jax.device_put(frames, mesh_lib.frames_sharding(mesh))
+    fn = spmd.make_spmd_pair_localizer(loc, mesh)
+    assert fn.big_steering
+    out = fn(frames_sharded)
 
     loc0 = dataclasses.replace(
         loc, pipeline=dataclasses.replace(
             cfg, srp_big_matmul_budget_bytes=0))
     fn0 = spmd.make_spmd_pair_localizer(loc0, mesh)
+    assert not fn0.big_steering
     out0 = fn0(frames_sharded)
+
+    s = np.asarray(out["scores"])
+    scale = np.abs(s).max()
     np.testing.assert_allclose(
-        np.asarray(out0["scores"]) / scale, s_ref / scale, atol=1e-4)
+        np.asarray(out0["scores"]) / scale, s / scale, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out0["xy_grid"]), np.asarray(out["xy_grid"]), atol=1e-5)
