@@ -356,9 +356,10 @@ class StreamConfig:
     # chunked — a 2.7x superlinear cliff).  step_many therefore issues
     # asynchronously pipelined DISPATCHES of one compiled sub-batch
     # program of this size (a lax.map body re-spills — see step_many's
-    # docstring; this also means the chunking only applies when step_many
-    # is called from host code, not under an enclosing jit).  None
-    # disables chunking (single vmapped program at any size).
+    # docstring).  Dispatch-level pipelining needs host control, so under
+    # an enclosing jit step_many detects the trace and deliberately falls
+    # back to the single vmapped program.  None disables chunking
+    # (single vmapped program at any size).
     batch_chunk_streams: Optional[int] = 1024
 
 

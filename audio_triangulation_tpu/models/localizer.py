@@ -608,8 +608,7 @@ def localize_frames(
             # (the blocked scan's per-chunk one-hot construction cost ~5x
             # the matmul itself — r3 config-5b trace)
             scores = srp.srp_scores_matmul_big(
-                corr_t, params.onehot_big, cfg.num_lags,
-                dtype=cfg.srp_dtype)
+                corr_t, params.onehot_big, dtype=cfg.srp_dtype)
         elif chunk is not None and n_pairs > chunk:
             scores = srp.srp_scores_matmul_blocked(
                 corr_t, params.lut_flat, cfg.num_lags, chunk,
@@ -624,14 +623,11 @@ def localize_frames(
               or (grid_cfg.refine_peak == "auto" and not with_solver))
     if best_cell is not None:
         # Mode B: cell index straight from the kernel (refine is off in
-        # this mode) — same cell->meters mapping as srp.grid_peak_xy
-        cell = best_cell.reshape(*lead)
-        col = (cell % grid_cfg.width).astype(jnp.float32)
-        row = (cell // grid_cfg.width).astype(jnp.float32)
-        xy_grid = jnp.stack(
-            [(col - grid_cfg.half_cells_x) / grid_cfg.cells_per_m,
-             (grid_cfg.half_cells_y - row) / grid_cfg.cells_per_m],
-            axis=-1)
+        # this mode); shared cell->meters mapping
+        xy_grid = srp.cell_to_xy(
+            best_cell.reshape(*lead), grid_cfg.width,
+            (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+            grid_cfg.cells_per_m)
     else:
         xy_grid = srp.grid_peak_xy(
             scores, grid_shape,

@@ -154,7 +154,12 @@ class StreamingLocalizer:
         sweet-spot program)."""
         cs = self.stream.batch_chunk_streams
         s = chunks.shape[0]
-        if cs is None or s <= cs:
+        traced = isinstance(chunks, jax.core.Tracer) or any(
+            isinstance(x, jax.core.Tracer) for x in jax.tree.leaves(states))
+        if cs is None or s <= cs or traced:
+            # under an enclosing jit the sub-dispatches would inline into
+            # one monolithic program (no pipelining, plus pad/slice/concat
+            # overhead) — use the plain vmapped program there
             return self._jitted_batch(states, chunks)
         k = -(-s // cs)
         parts = self._split_batch(k * cs, cs)(states, chunks)
@@ -190,7 +195,9 @@ class StreamingLocalizer:
                 (jax.tree.map(lambda x: cut(x, i), states), cut(chunks, i))
                 for i in range(total // cs))
 
-        fn = jax.jit(split, donate_argnums=(0,))
+        # no donation: the padded [total,...] buffers can never alias the
+        # [cs,...] slice outputs (XLA would just warn on every compile)
+        fn = jax.jit(split)
         self._batch_helpers[key] = fn
         return fn
 
@@ -205,7 +212,8 @@ class StreamingLocalizer:
             return (jax.tree.map(cat, *state_list),
                     jax.tree.map(cat, *out_list))
 
-        fn = jax.jit(concat, donate_argnums=(0,))
+        # no donation: [cs,...] inputs can't alias the [s,...] concat output
+        fn = jax.jit(concat)
         self._batch_helpers[key] = fn
         return fn
 

@@ -179,12 +179,13 @@ def big_onehot_device(lut_flat: jnp.ndarray, num_lags: int,
 
 
 def srp_scores_matmul_big(
-    correlograms: jnp.ndarray, onehot_big: jnp.ndarray, num_lags: int,
+    correlograms: jnp.ndarray, onehot_big: jnp.ndarray,
     dtype: str = "float32",
 ) -> jnp.ndarray:
     """scores[..., G] via ONE contraction against a precomputed
     [P*L8, G] steering matrix (``big_onehot_device``): the fast path for
-    large pair counts when the matrix fits the HBM budget."""
+    large pair counts when the matrix fits the HBM budget.  The padded
+    lag length is derived from the matrix shape."""
     *lead, p, l = correlograms.shape
     l8 = onehot_big.shape[0] // p
     corr = correlograms
@@ -241,6 +242,20 @@ def grid_argmax(
     return flat_idx // w, flat_idx % w
 
 
+def cell_to_xy(cell: jnp.ndarray, width: int, half_cells: tuple[int, int],
+               cells_per_m: float, dx=0.0, dy=0.0,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """Flat grid cell index -> (x, y) meters — THE cell->meters convention
+    (vga_init_heatmap:52-54), shared by every scoring path so they cannot
+    drift.  ``dx``/``dy`` add fractional sub-cell refinement."""
+    half_x, half_y = half_cells
+    row = cell // width
+    col = cell % width
+    x_m = (col.astype(dtype) + dx - half_x) / cells_per_m
+    y_m = (half_y - (row.astype(dtype) + dy)) / cells_per_m
+    return jnp.stack([x_m, y_m], axis=-1)
+
+
 def grid_peak_xy(
     scores: jnp.ndarray,
     grid_shape: tuple[int, int],
@@ -283,9 +298,8 @@ def grid_peak_xy(
         dx = jnp.zeros_like(col, dtype=scores.dtype)
         dy = jnp.zeros_like(row, dtype=scores.dtype)
 
-    x_m = (col.astype(scores.dtype) + dx - half_x) / cells_per_m
-    y_m = (half_y - (row.astype(scores.dtype) + dy)) / cells_per_m
-    return jnp.stack([x_m, y_m], axis=-1)
+    return cell_to_xy(flat_idx, w, half_cells, cells_per_m, dx, dy,
+                      scores.dtype)
 
 
 def pad_grid_axis(arr: np.ndarray, multiple: int, axis: int = -1,

@@ -82,14 +82,10 @@ def make_spmd_grid_localizer(loc: localizer_mod.Localizer, mesh):
         contrib = jnp.where(winner_rank == min_rank, local_arg, 0)
         global_arg = jax.lax.psum(contrib, mesh_lib.MODEL_AXIS)
 
-        h, w = grid_cfg.height, grid_cfg.width
-        row = global_arg // w
-        col = global_arg % w
-        x_m = (col.astype(jnp.float32) - grid_cfg.half_cells_x) \
-            / grid_cfg.cells_per_m
-        y_m = (grid_cfg.half_cells_y - row.astype(jnp.float32)) \
-            / grid_cfg.cells_per_m
-        xy = jnp.stack([x_m, y_m], axis=-1)
+        xy = srp.cell_to_xy(
+            global_arg, grid_cfg.width,
+            (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
+            grid_cfg.cells_per_m)
         return xy, global_arg, global_max, tdoa
 
     mapped = shard_map(
@@ -124,6 +120,11 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
     cfg = loc.pipeline
     grid_cfg = loc.grid
     params = loc.params
+    # capture ONLY the window: closing over the whole params would pin the
+    # host localizer's own precomputed steering matrix (params.onehot_big,
+    # ~589 MB at 2016 pairs) in this wrapper's closure — the SPMD path
+    # builds its own pair-sharded copy below
+    window = params.window
     model_n = mesh.shape[mesh_lib.MODEL_AXIS]
 
     pairs_np = np.asarray(params.pairs)
@@ -165,16 +166,27 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
     oh_dev = None
     if (p > 256 and cfg.srp_big_matmul_budget_bytes > 0
             and shard_bytes <= cfg.srp_big_matmul_budget_bytes):
-        oh3 = srp_ops.big_onehot_device(
-            jnp.asarray(lut_padded), cfg.num_lags, cfg.srp_dtype
-        ).reshape(p + pad, l8, g_cells)
-        oh_dev = jax.device_put(
-            oh3, jax.sharding.NamedSharding(
-                mesh, P(mesh_lib.MODEL_AXIS, None, None)))
+        # build each device's [P/n, L8, G] steering shard UNDER the target
+        # sharding (lut_dev is already pair-sharded, so GSPMD keeps the
+        # construction local): materializing the full matrix on one device
+        # first would transiently allocate model_n x the per-shard budget
+        # the gate checks — an OOM in exactly the large-array regime this
+        # path serves
+        steer_dt = jnp.bfloat16 if cfg.srp_dtype == "bfloat16" \
+            else jnp.float32
+
+        def _steer(lf):
+            lanes = jnp.arange(l8, dtype=lf.dtype)
+            return (lf[:, None, :] == lanes[None, :, None]).astype(steer_dt)
+
+        oh_dev = jax.jit(
+            _steer,
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, P(mesh_lib.MODEL_AXIS, None, None)))(lut_dev)
 
     def per_device(frames_shard, pairs_shard, valid_shard, lut_shard,
                    oh_shard=None):
-        x = localizer_mod.condition_frames(frames_shard, params.window, cfg)
+        x = localizer_mod.condition_frames(frames_shard, window, cfg)
         re, im = mxu_fft.forward_spectra(x, cfg.fft_length, cfg.matmul_dtype,
                                          mxu_fft.dft_prec(cfg))
         rr, jj = mxu_fft.cross_power_reim(
@@ -191,7 +203,7 @@ def make_spmd_pair_localizer(loc: localizer_mod.Localizer, mesh):
         if oh_shard is not None:
             local_scores = srp_ops.srp_scores_matmul_big(
                 corr_t, oh_shard.reshape(-1, oh_shard.shape[-1]),
-                cfg.num_lags, dtype=cfg.srp_dtype)
+                dtype=cfg.srp_dtype)
         else:
             local_scores = srp_ops.srp_scores_matmul_blocked(
                 corr_t, lut_shard, cfg.num_lags,

@@ -426,6 +426,9 @@ struct AlsaApi {
                     unsigned) = nullptr;
   long (*readi)(void*, void*, unsigned long) = nullptr;
   int (*recover)(void*, int, int) = nullptr;
+  // optional (absent from the test shim): explicit start for nonblocking
+  // capture — a prepared capture stream only fills once started
+  int (*start_)(void*) = nullptr;
 
   bool load(const std::string& override_path) {
     const char* candidates[] = {override_path.empty() ? nullptr
@@ -448,6 +451,7 @@ struct AlsaApi {
         dlsym(dl, "snd_pcm_readi"));
     recover = reinterpret_cast<int (*)(void*, int, int)>(
         dlsym(dl, "snd_pcm_recover"));
+    start_ = reinterpret_cast<int (*)(void*)>(dlsym(dl, "snd_pcm_start"));
     if (!(open_ && close_ && set_params && readi && recover)) {
       unload();  // library loaded but lacks a symbol: release the handle
       return false;
@@ -462,6 +466,7 @@ struct AlsaApi {
 
 // ALSA ABI constants (sound/asound.h / alsa-lib pcm.h; stable ABI values)
 constexpr int kSndPcmStreamCapture = 1;
+constexpr int kSndPcmNonblock = 1;  // SND_PCM_NONBLOCK open mode
 constexpr int kSndPcmFormatS16Le = 2;
 constexpr int kSndPcmAccessRwInterleaved = 3;
 
@@ -477,7 +482,12 @@ void Source::alsa_loop() {
   bool connected_before = false;
   while (!stop.load()) {
     void* pcm = nullptr;
-    if (api.open_(&pcm, address.c_str(), kSndPcmStreamCapture, 0) < 0) {
+    // NONBLOCK: a blocking readi on a stalled/suspended device would pin
+    // this thread inside libasound and make stop() (thread.join) hang;
+    // nonblocking readi returns -EAGAIN and the loop polls, so stop stays
+    // responsive like every other source kind
+    if (api.open_(&pcm, address.c_str(), kSndPcmStreamCapture,
+                  kSndPcmNonblock) < 0) {
       error.store(kErrDeviceOpen);
       if (!reconnect) break;
       poll(nullptr, 0, 200);
@@ -490,6 +500,9 @@ void Source::alsa_loop() {
       api.close_(pcm);
       break;  // a config rejection won't fix itself; don't spin
     }
+    // nonblocking capture does not auto-start on readi: kick it explicitly
+    // (optional symbol; harmless if the stream is already running)
+    if (api.start_) api.start_(pcm);
     error.store(kErrNone);
     if (connected_before) reconnects.fetch_add(1);
     connected_before = true;

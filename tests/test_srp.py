@@ -38,7 +38,7 @@ def test_big_matmul_matches_blocked_and_gather(rng):
     l8 = srp.sublane_pad_lags(CFG.num_lags)
     assert w.shape == (3 * l8, GRID.num_cells)
     s_big = np.asarray(
-        srp.srp_scores_matmul_big(corr, w, CFG.num_lags, "float32"))
+        srp.srp_scores_matmul_big(corr, w, "float32"))
     s_g = np.asarray(srp.srp_scores_gather(corr, LUT_FLAT))
     s_b = np.asarray(srp.srp_scores_matmul_blocked(
         corr, LUT_FLAT, CFG.num_lags, pair_chunk=2))
@@ -47,7 +47,7 @@ def test_big_matmul_matches_blocked_and_gather(rng):
     # bf16 steering: 0/1 entries exact, argmax cell preserved
     wb = srp.big_onehot_device(LUT_FLAT, CFG.num_lags, "bfloat16")
     s_bf = np.asarray(
-        srp.srp_scores_matmul_big(corr, wb, CFG.num_lags, "bfloat16"))
+        srp.srp_scores_matmul_big(corr, wb, "bfloat16"))
     np.testing.assert_array_equal(s_bf.argmax(-1), s_g.argmax(-1))
 
 

@@ -184,3 +184,35 @@ def test_ema_dt_bookkeeping_matches_manual():
         last_t = t_ev
     np.testing.assert_allclose(
         np.asarray(state.ema_corr), ema, rtol=2e-4, atol=2e-2)
+
+
+def test_step_many_under_enclosing_jit_falls_back():
+    """step_many called inside a user's jit must detect the trace and use
+    the plain vmapped program (dispatch-level sub-batching needs host
+    control; inlining the split/concat would re-create the spill the
+    feature fixes) — and the result must match the host chunked path."""
+    import jax
+
+    sl = StreamingLocalizer.create(
+        MICS, stream=StreamConfig(chunk_size=512, batch_chunk_streams=2))
+    sources = [_place(0.5, 0.4), _place(-0.3, 0.6), _place(0.7, -0.2),
+               _place(-0.6, -0.5), _place(0.1, 0.8)]
+    streams = np.stack([
+        _quiet_stream_with_event(src, t_len=4096, event_at=1500 + 250 * i,
+                                 seed=90 + i)
+        for i, (_, src) in enumerate(sources)
+    ])
+
+    jitted = jax.jit(lambda st, ch: sl.step_many(st, ch))
+    st_h, st_j = sl.init_states(5), sl.init_states(5)
+    for i in range(0, 4096, 512):
+        chunk = jnp.asarray(streams[:, :, i: i + 512], jnp.float32)
+        st_h, out_h = sl.step_many(st_h, chunk)      # host: sub-batched
+        st_j, out_j = jitted(st_j, chunk)            # traced: plain vmap
+        np.testing.assert_array_equal(np.asarray(out_h["trigger_abs"]),
+                                      np.asarray(out_j["trigger_abs"]))
+        np.testing.assert_allclose(np.asarray(out_h["xy"]),
+                                   np.asarray(out_j["xy"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st_h.event_count),
+                                  np.asarray(st_j.event_count))
+    assert int(np.asarray(st_j.event_count).sum()) >= 5

@@ -342,7 +342,8 @@ int snd_pcm_open(void** pcm, const char* name, int stream, int mode) {
   *pcm = p;
   const char* log = getenv("FAKE_ALSA_LOG");
   if (log) { FILE* f = fopen(log, "a");
-             fprintf(f, "open %s stream=%d\n", name, stream); fclose(f); }
+             fprintf(f, "open %s stream=%d mode=%d\n", name, stream, mode);
+             fclose(f); }
   return 0;
 }
 
@@ -428,7 +429,8 @@ def test_alsa_native_capture_end_to_end(fake_alsa, tmp_path, monkeypatch):
     assert src.tuples_pushed > 7000
     src.stop()
     text = log.read_text()
-    assert "open hw:0 stream=1" in text          # capture stream
+    assert "open hw:0 stream=1 mode=1" in text   # capture, NONBLOCK
+    # (blocking mode would let a stalled device hang stop()/join)
     assert "params fmt=2 acc=3 ch=3 rate=50000" in text
     assert "recover -32" in text                 # overrun recovered
 
