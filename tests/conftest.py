@@ -28,6 +28,10 @@ if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# Measured and NOT adopted: jax_optimization_level='O1' and
+# jax_exec_time_optimization_effort=-1.0 were both timing-neutral on the
+# CPU backend for a compile-heavy 22-test subset (90/95/93 s) — the CPU
+# compiler ignores the effort dial, so the suite keeps XLA defaults.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

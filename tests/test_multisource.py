@@ -142,12 +142,26 @@ def _two_source_stream(xy1, xy2, t_len=16000, bursts=(3000, 7000, 11000)):
     return stream * 0.9
 
 
+_XY1, _XY2 = (0.9, 0.3), (-0.7, -0.6)
+_STREAM_RUN = None
+
+
+def _shared_multisource_run():
+    """One StreamingLocalizer(n_sources=2) run shared by the two streaming
+    tests below (identical config + stream; the run was 2x20 s of the
+    suite when each test repeated it)."""
+    global _STREAM_RUN
+    if _STREAM_RUN is None:
+        sl = StreamingLocalizer.create(
+            MICS8, PipelineConfig(phat=True),
+            stream=StreamConfig(chunk_size=512, n_sources=2))
+        _STREAM_RUN = sl.run(_two_source_stream(_XY1, _XY2))
+    return _STREAM_RUN
+
+
 def test_streaming_multisource_outputs():
-    xy1, xy2 = (0.9, 0.3), (-0.7, -0.6)
-    sl = StreamingLocalizer.create(
-        MICS8, PipelineConfig(phat=True),
-        stream=StreamConfig(chunk_size=512, n_sources=2))
-    state, outs = sl.run(_two_source_stream(xy1, xy2))
+    xy1, xy2 = _XY1, _XY2
+    state, outs = _shared_multisource_run()
     ev = [o for o in outs if bool(np.asarray(o["events"]).any())]
     assert len(ev) >= 2
     for o in ev:
@@ -163,13 +177,10 @@ def test_streaming_multisource_outputs():
 def test_streaming_multisource_feeds_jpda_tracker():
     """multi_* outputs drive Tracker.step_multi into two confirmed tracks
     near the true sources (identity kept across events)."""
-    xy1, xy2 = (0.9, 0.3), (-0.7, -0.6)
-    sl = StreamingLocalizer.create(
-        MICS8, PipelineConfig(phat=True),
-        stream=StreamConfig(chunk_size=512, n_sources=2))
+    xy1, xy2 = _XY1, _XY2
     tr = Tracker(TrackerConfig(max_tracks=4, confirm_hits=2))
     tstate = tr.init()
-    state, outs = sl.run(_two_source_stream(xy1, xy2))
+    state, outs = _shared_multisource_run()
     t = 0.0
     tout = None
     for o in outs:

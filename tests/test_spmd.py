@@ -46,23 +46,31 @@ def test_spmd_grid_matches_reference():
 
 
 def test_spmd_pair_sharded_large_array():
-    """2-D sharding: pairs over model, frames over data (64-mic config)."""
+    """2-D sharding: pairs over model, frames over data.
+
+    A 6x6 grid array (630 pairs) exercises the same production path as the
+    64-mic config — the pair count is far past the 256-pair big-steering
+    gate, so `fn.big_steering` shards the precomputed steering matrix over
+    the model axis exactly as at 2,016 pairs — at ~3x less CPU-compile cost
+    (this test was the suite's slowest at 126 s with 64 mics).  The 64-mic
+    scale itself is covered on the single-device path by test_large_array.
+    """
     from audio_triangulation_tpu import GridConfig
 
-    mics64 = geometry.grid_array(8, 8, 0.05)
+    mics36 = geometry.grid_array(6, 6, 0.05)
     cfg = PipelineConfig(
         frame_size_bits=10,
         max_shift_samples=geometry.max_lag_for_array(
-            mics64, PipelineConfig()),
+            mics36, PipelineConfig()),
         phat=True, fft_pad_mode="circular")
     grid = GridConfig(half_cells_x=10, half_cells_y=10, cells_per_m=8.0)
-    loc = Localizer.create(mics64, cfg, grid, srp_form="gather",
+    loc = Localizer.create(mics36, cfg, grid, srp_form="gather",
                            with_solver=False)
 
     p = np.array([0.5, 0.3, 1.2])
     src = p * (1.2 / np.linalg.norm(p))
     frames = np.repeat(
-        synth.synth_scene(src, mics64, n=cfg.frame_size, seed=51), 4, axis=0)
+        synth.synth_scene(src, mics36, n=cfg.frame_size, seed=51), 4, axis=0)
     frames = jnp.asarray(frames, jnp.float32)
 
     ref = loc(frames)
