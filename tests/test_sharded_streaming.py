@@ -37,7 +37,16 @@ def _streams(n_streams, t_len=4096, seed=0):
     return np.clip(np.round(out), 0, 255), planes
 
 
-def test_sharded_stream_step_matches_vmapped():
+_RUN = {}
+
+
+def _shared_run():
+    """ONE sharded run (16 streams, 8 chunks) + the single-device reference
+    run over the same chunks, shared by the parity and localization tests
+    below (running it twice cost ~10 s of suite time for no extra
+    coverage).  Sources stay at 8 distinct positions (streams 0,2,..,14)."""
+    if _RUN:
+        return _RUN
     sl = StreamingLocalizer.create(
         MICS, stream=StreamConfig(chunk_size=CHUNK))
     mesh = mesh_lib.make_mesh()
@@ -49,39 +58,41 @@ def test_sharded_stream_step_matches_vmapped():
 
     st_sharded = init_states(n)
     st_ref = sl.init_states(n)
+    outs_s, outs_r = [], []
     for i in range(0, t - t % CHUNK, CHUNK):
         chunk = jnp.asarray(streams[:, :, i: i + CHUNK])
         st_sharded, out_s = fn(st_sharded, chunk)
         st_ref, out_r = sl.step_many(st_ref, chunk)
+        outs_s.append(out_s)
+        outs_r.append(out_r)
+    _RUN.update(dict(planes=planes, st_sharded=st_sharded,
+                     outs_s=outs_s, outs_r=outs_r))
+    return _RUN
+
+
+def test_sharded_stream_step_matches_vmapped():
+    run = _shared_run()
+    for out_s, out_r in zip(run["outs_s"], run["outs_r"]):
         for key in ("event", "xy", "xy_grid", "best_shift"):
             np.testing.assert_allclose(
                 np.asarray(out_s[key]), np.asarray(out_r[key]),
                 rtol=1e-5, atol=1e-5, err_msg=key)
 
     # every even stream detected its event; odd streams stayed quiet
-    counts = np.asarray(st_sharded.event_count)
+    counts = np.asarray(run["st_sharded"].event_count)
     assert (counts[::2] >= 1).all(), counts
     assert (counts[1::2] == 0).all(), counts
 
 
 def test_sharded_stream_events_localized():
-    sl = StreamingLocalizer.create(
-        MICS, stream=StreamConfig(chunk_size=CHUNK))
-    mesh = mesh_lib.make_mesh()
-    fn, init_states = sharded.make_sharded_stream_step(sl, mesh)
-
-    n = 8
-    streams, planes = _streams(n, seed=3)
-    t = streams.shape[-1]
-    st = init_states(n)
+    run = _shared_run()
     got = {}
-    for i in range(0, t - t % CHUNK, CHUNK):
-        st, out = fn(st, jnp.asarray(streams[:, :, i: i + CHUNK]))
+    for out in run["outs_s"]:
         ev = np.asarray(out["event"])
         xy = np.asarray(out["xy"])
         for s in np.nonzero(ev)[0]:
             got.setdefault(int(s), xy[s])
-    for s, plane in enumerate(planes):
+    for s, plane in enumerate(run["planes"]):
         if plane is None:
             assert s not in got
         else:

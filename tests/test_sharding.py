@@ -135,14 +135,16 @@ def test_unsupervised_em_calibration_8mic():
         return p * (h / np.linalg.norm(p))
 
     sources = np.stack([
-        place(x, y) for x, y in rng.uniform(-1.0, 1.0, (48, 2))])
+        place(x, y) for x, y in rng.uniform(-1.0, 1.0, (32, 2))])
     frames = jnp.asarray(
         synth.synth_scene(sources, mics8, noise_rms=0.003, seed=34),
         jnp.float32)
     guess = (mics8 + rng.normal(0, 0.012, mics8.shape)).astype(np.float32)
 
-    mic_est, losses = calib.fit_em(guess, frames, em_rounds=4,
-                                   inner_steps=60)
+    # 3 rounds x 50 steps on 32 scenes converges to ratio ~0.61 (measured)
+    # against the 0.85 assert — half the wall cost of the original 4x60x48
+    mic_est, losses = calib.fit_em(guess, frames, em_rounds=3,
+                                   inner_steps=50)
     err0 = np.abs(guess - mics8).mean()
     err1 = np.abs(mic_est - mics8).mean()
     assert err1 < err0 * 0.85, (err0, err1)

@@ -97,14 +97,44 @@ def _snapshots(sources, mics, n_snap=12, n=1024, seed=0, noise=0.02):
         frames.append(acc)
     return jnp.asarray(np.stack(frames), jnp.float32)
 
+MICS8 = geometry.circular_array(8, 0.25)
+GRID8 = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
+CFG8 = PipelineConfig()
+_MEMO = {}
+
+
+def _single_source_case():
+    """Shared single-source snapshot scene + MVDR/MUSIC/SRP spectra.
+
+    Five tests below score the SAME scene; computing each spectrum once
+    (lazily) removes ~2 redundant localize_mvdr and 1 localize_music runs
+    (~20 s of the suite on a 1-CPU box)."""
+    if "frames" not in _MEMO:
+        plane, source = _place(0.6, 0.3)
+        _MEMO["plane"] = plane
+        _MEMO["frames"] = _snapshots([source], MICS8)
+    return _MEMO["plane"], _MEMO["frames"]
+
+
+def _single_source_spectrum(kind):
+    if kind not in _MEMO:
+        _, frames = _single_source_case()
+        if kind == "mvdr":
+            _MEMO[kind] = srp_freq.localize_mvdr(
+                frames, MICS8, GRID8, CFG8, bin_stride=8)
+        elif kind == "music":
+            _MEMO[kind] = srp_freq.localize_music(
+                frames, MICS8, GRID8, CFG8, bin_stride=8, n_sources=1)
+        elif kind == "srp":
+            _MEMO[kind] = srp_freq.localize_freq(
+                frames[:1], MICS8, GRID8, CFG8, bin_stride=8)
+    return _MEMO[kind]
+
+
 
 def test_mvdr_peaks_at_source():
-    mics8 = geometry.circular_array(8, 0.25)
-    grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
-    cfg = PipelineConfig()
-    plane, source = _place(0.6, 0.3)
-    frames = _snapshots([source], mics8)
-    out = srp_freq.localize_mvdr(frames, mics8, grid, cfg, bin_stride=8)
+    plane, _ = _single_source_case()
+    out = _single_source_spectrum("mvdr")
     xy = np.asarray(out["xy_grid"])
     assert np.linalg.norm(xy - plane) < 0.12, (xy, plane)
     assert np.all(np.isfinite(np.asarray(out["scores"])))
@@ -113,15 +143,8 @@ def test_mvdr_peaks_at_source():
 def test_mvdr_sharper_than_srp():
     """The Capon spectrum's mainlobe occupies a smaller fraction of the grid
     than delay-and-sum SRP (the classic adaptive-beamforming property)."""
-    mics8 = geometry.circular_array(8, 0.25)
-    grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
-    cfg = PipelineConfig()
-    _, source = _place(0.6, 0.3)
-    frames = _snapshots([source], mics8)
-
-    out_mvdr = srp_freq.localize_mvdr(frames, mics8, grid, cfg, bin_stride=8)
-    out_srp = srp_freq.localize_freq(frames[:1], mics8, grid, cfg,
-                                     bin_stride=8)
+    out_mvdr = _single_source_spectrum("mvdr")
+    out_srp = _single_source_spectrum("srp")
 
     def halfmax_fraction(scores):
         s = np.asarray(scores).reshape(-1).astype(np.float64)
@@ -136,9 +159,7 @@ def test_mvdr_sharper_than_srp():
 def test_mvdr_resolves_two_sources():
     """Two simultaneous sources appear as two local maxima in the Capon
     spectrum at their true positions."""
-    mics8 = geometry.circular_array(8, 0.25)
-    grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
-    cfg = PipelineConfig()
+    mics8, grid, cfg = MICS8, GRID8, CFG8
     plane_a, src_a = _place(0.6, 0.3)
     plane_b, src_b = _place(-0.5, -0.4)
     frames = _snapshots([src_a, src_b], mics8, n_snap=16, seed=5)
@@ -189,13 +210,8 @@ def test_complex_eigh_matches_numpy():
 
 
 def test_music_peaks_at_source():
-    mics8 = geometry.circular_array(8, 0.25)
-    grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
-    cfg = PipelineConfig()
-    plane, source = _place(0.6, 0.3)
-    frames = _snapshots([source], mics8)
-    out = srp_freq.localize_music(frames, mics8, grid, cfg, bin_stride=8,
-                                  n_sources=1)
+    plane, _ = _single_source_case()
+    out = _single_source_spectrum("music")
     xy = np.asarray(out["xy_grid"])
     assert np.linalg.norm(xy - plane) < 0.12, (xy, plane)
     assert np.all(np.isfinite(np.asarray(out["scores"])))
@@ -205,15 +221,8 @@ def test_music_sharper_than_mvdr():
     """The MUSIC pseudo-spectrum's mainlobe occupies a smaller grid fraction
     than the Capon spectrum (the classic subspace super-resolution
     property)."""
-    mics8 = geometry.circular_array(8, 0.25)
-    grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
-    cfg = PipelineConfig()
-    _, source = _place(0.6, 0.3)
-    frames = _snapshots([source], mics8)
-
-    out_music = srp_freq.localize_music(frames, mics8, grid, cfg,
-                                        bin_stride=8, n_sources=1)
-    out_mvdr = srp_freq.localize_mvdr(frames, mics8, grid, cfg, bin_stride=8)
+    out_music = _single_source_spectrum("music")
+    out_mvdr = _single_source_spectrum("mvdr")
 
     def halfmax_fraction(scores):
         s = np.asarray(scores).reshape(-1).astype(np.float64)
@@ -227,9 +236,7 @@ def test_music_sharper_than_mvdr():
 
 def test_music_resolves_two_sources():
     """n_sources=2 MUSIC shows two local maxima at the true positions."""
-    mics8 = geometry.circular_array(8, 0.25)
-    grid = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
-    cfg = PipelineConfig()
+    mics8, grid, cfg = MICS8, GRID8, CFG8
     plane_a, src_a = _place(0.6, 0.3)
     plane_b, src_b = _place(-0.5, -0.4)
     frames = _snapshots([src_a, src_b], mics8, n_snap=16, seed=5)

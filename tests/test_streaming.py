@@ -89,15 +89,16 @@ def test_step_many_stream_chunking_matches_unchunked():
         MICS, stream=StreamConfig(chunk_size=512, batch_chunk_streams=cs))
     sl_chunked, sl_plain = mk(2), mk(None)
 
-    planes_sources = [_place(0.8, 0.5), _place(-0.4, 0.7), _place(0.2, -0.9),
-                      _place(0.6, -0.3), _place(-0.7, -0.6)]
+    planes_sources = [_place(0.8, 0.5), _place(-0.4, 0.7), _place(0.2, -0.9)]
     streams = np.stack([
         _quiet_stream_with_event(src, t_len=4096, event_at=1500 + 300 * i,
                                  seed=40 + i)
         for i, (_, src) in enumerate(planes_sources)
-    ])  # 5 streams -> sub-batches of 2 with a padded remainder
+    ])  # 3 streams -> one full sub-batch of 2 + a padded remainder of 1
+    # (3 streams also lets the plain program share its compile with
+    # test_batched_streams_match_single's [3, ...] shapes)
 
-    st_c, st_p = sl_chunked.init_states(5), sl_plain.init_states(5)
+    st_c, st_p = sl_chunked.init_states(3), sl_plain.init_states(3)
     for i in range(0, 4096, 512):
         chunk = jnp.asarray(streams[:, :, i: i + 512], jnp.float32)
         st_c, out_c = sl_chunked.step_many(st_c, chunk)
@@ -109,7 +110,7 @@ def test_step_many_stream_chunking_matches_unchunked():
                                    rtol=0, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st_c.event_count),
                                   np.asarray(st_p.event_count))
-    assert int(np.asarray(st_p.event_count).sum()) >= 5
+    assert int(np.asarray(st_p.event_count).sum()) >= 3
 
 
 def test_batched_streams_match_single():
@@ -195,16 +196,15 @@ def test_step_many_under_enclosing_jit_falls_back():
 
     sl = StreamingLocalizer.create(
         MICS, stream=StreamConfig(chunk_size=512, batch_chunk_streams=2))
-    sources = [_place(0.5, 0.4), _place(-0.3, 0.6), _place(0.7, -0.2),
-               _place(-0.6, -0.5), _place(0.1, 0.8)]
+    sources = [_place(0.5, 0.4), _place(-0.3, 0.6), _place(0.7, -0.2)]
     streams = np.stack([
         _quiet_stream_with_event(src, t_len=4096, event_at=1500 + 250 * i,
                                  seed=90 + i)
         for i, (_, src) in enumerate(sources)
-    ])
+    ])  # 3 streams: the host path reuses the chunking test's programs
 
     jitted = jax.jit(lambda st, ch: sl.step_many(st, ch))
-    st_h, st_j = sl.init_states(5), sl.init_states(5)
+    st_h, st_j = sl.init_states(3), sl.init_states(3)
     for i in range(0, 4096, 512):
         chunk = jnp.asarray(streams[:, :, i: i + 512], jnp.float32)
         st_h, out_h = sl.step_many(st_h, chunk)      # host: sub-batched
@@ -215,4 +215,4 @@ def test_step_many_under_enclosing_jit_falls_back():
                                    np.asarray(out_j["xy"]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st_h.event_count),
                                   np.asarray(st_j.event_count))
-    assert int(np.asarray(st_j.event_count).sum()) >= 5
+    assert int(np.asarray(st_j.event_count).sum()) >= 3
