@@ -98,7 +98,9 @@ def _snapshots(sources, mics, n_snap=12, n=1024, seed=0, noise=0.02):
     return jnp.asarray(np.stack(frames), jnp.float32)
 
 MICS8 = geometry.circular_array(8, 0.25)
-GRID8 = GridConfig(half_cells_x=40, half_cells_y=40, cells_per_m=20.0)
+# 61x61 grid: every property below holds with wide margin (fracs 2.7e-4 vs
+# 4.8e-3 at halfmax; xy err 2e-5 m) at ~half the 81x81 compile+run cost
+GRID8 = GridConfig(half_cells_x=30, half_cells_y=30, cells_per_m=20.0)
 CFG8 = PipelineConfig()
 _MEMO = {}
 
