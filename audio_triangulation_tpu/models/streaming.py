@@ -296,8 +296,12 @@ def _detect_and_capture(
     t_rels = jnp.stack(t_rels)  # [K]
 
     starts = jnp.maximum(t_rels - (n - 1), 0)
+    # gather-free extraction: the vmapped dynamic_slice this replaces
+    # lowered to a serial per-stream while loop under step_many's vmap
+    # (0.87 ms of the 2.94 ms step at 1,024 streams); bit-exact swap
     frames = jax.vmap(
-        lambda s_: jax.lax.dynamic_slice_in_dim(window, s_, n, axis=-1)
+        lambda s_: detector.extract_window_mm(
+            window, s_, n, max_start=window.shape[-1] - n)
     )(starts)  # [K, M, N]
     trig_times = state.time_s + (
         t_rels - (n - 1) + 1).astype(jnp.float32) / fs  # [K]
