@@ -200,7 +200,16 @@ def solve_tdoa_batched(
             dy = (a00 * b[..., 1] - a01 * b[..., 0]) * inv_det
             return xy - jnp.stack([dx, dy], axis=-1)
 
-        return jax.lax.fori_loop(0, cfg.iterations, gn_step, xy0)
+        # statically unrolled: a fori_loop here lowers to a while op whose
+        # per-iteration bookkeeping and fusion barrier cost ~0.3 ms at
+        # B = 1024 in the streaming step (trace r3); the body is a handful
+        # of small einsums, so a flat graph is strictly better
+        if cfg.iterations > 32:  # keep compile bounded for unusual configs
+            return jax.lax.fori_loop(0, cfg.iterations, gn_step, xy0)
+        xy_it = xy0
+        for i in range(cfg.iterations):
+            xy_it = gn_step(i, xy_it)
+        return xy_it
 
     def pair_residual(xy, weighted=True):
         d, _ = dist_grad(xy)
@@ -373,7 +382,13 @@ def solve_tdoa_xyz(
         xyz = xyz - delta
         return xyz.at[..., 2].set(jnp.maximum(xyz[..., 2], z_min))
 
-    xyz = jax.lax.fori_loop(0, iterations, gn_step, init_xyz.astype(dt))
+    # statically unrolled, same rationale as solve_tdoa_batched's gn_loop
+    xyz = init_xyz.astype(dt)
+    if iterations > 32:
+        xyz = jax.lax.fori_loop(0, iterations, gn_step, xyz)
+    else:
+        for i in range(iterations):
+            xyz = gn_step(i, xyz)
     d, _ = dist_grad(xyz)
     r = jnp.einsum("pm,...m->...p", sel, d,
                    precision=_HI) - target  # [B, P], final only
