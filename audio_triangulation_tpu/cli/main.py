@@ -354,6 +354,15 @@ def cmd_stream(args):
                   f"(events so far: {int(state.event_count)})")
     meter = profiling.ThroughputMeter()
     track = _make_tracker(getattr(args, "track", False))
+    extractor = None
+    if getattr(args, "extract", None):
+        from ..models.extraction import StreamingExtractor
+
+        extractor = StreamingExtractor.create(
+            mics, pcfg, method=args.extract_method)
+        ex_state = extractor.init_state()
+        steer = jnp.zeros(2, jnp.float32)
+        extracted = []
     live = None
     if args.live:
         from ..viz import terminal
@@ -435,6 +444,14 @@ def cmd_stream(args):
                              int(out["trigger_abs"]) / 50_000.0)
                 if live is None:
                     print("  " + line)
+            if extractor is not None:
+                steer = jnp.asarray(xy, jnp.float32)
+        if extractor is not None:
+            # continuous virtual microphone at the latest event position
+            # (center steer = plain array average until the first fix)
+            ex_state, y = extractor.step(
+                ex_state, jnp.asarray(chunk, jnp.float32), steer)
+            extracted.append(np.asarray(y))
         if refresh_every is not None:
             while i + args.chunk > next_refresh:
                 _redraw(state, out, i)
@@ -444,6 +461,15 @@ def cmd_stream(args):
 
     if args.frames_dir:
         print(f"{frames_written} dashboard frames -> {args.frames_dir}")
+    if extractor is not None and extracted:
+        from ..utils import io as audio_io
+
+        y = np.concatenate(extracted)[extractor.latency_samples:]
+        y = y - np.mean(y)  # drop the ADC DC offset
+        peak = max(float(np.max(np.abs(y))), 1e-9)
+        audio_io.write_wav(args.extract, (0.9 / peak) * y, 50_000)
+        print(f"extracted {y.shape[0]} samples "
+              f"({extractor.method}) -> {args.extract}")
 
     print(f"[{kind}] native events: {rt.events_detected}, "
           f"jax events: {int(state.event_count)}, "
@@ -670,6 +696,12 @@ def main(argv=None):
                         "'relative' = CFAR-style floor-tracking "
                         "(out > threshold + ratio * incoming power)")
     p.add_argument("--trigger-ratio", type=float, default=4.0)
+    p.add_argument("--extract", default=None, metavar="OUT_WAV",
+                   help="beamform a continuous 'virtual microphone' at "
+                        "the latest event position and write it as a WAV "
+                        "(models/extraction.StreamingExtractor)")
+    p.add_argument("--extract-method", choices=("das", "mvdr"),
+                   default="das")
     p.add_argument("--track", action="store_true",
                    help="run the Kalman tracker over events (uses each "
                         "event's xy_cov as measurement noise); prints "

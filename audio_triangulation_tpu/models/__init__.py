@@ -8,4 +8,5 @@ from .doa import DoaEstimator  # noqa: F401
 from .calibration import CalibBatch, CalibParams, Calibrator  # noqa: F401
 from .tracking import Tracker, TrackerConfig, TrackState  # noqa: F401
 from .neural import NeuralLocalizer  # noqa: F401
+from .extraction import StreamingExtractor, ExtractorState  # noqa: F401
 from .fusion import ArrayFusionLocalizer  # noqa: F401

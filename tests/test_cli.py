@@ -193,3 +193,20 @@ def test_evaluate_manifest(tmp_path, capsys):
     assert rep["summary"]["detection_rate"] == 1.0
     assert rep["summary"]["xy_err_median_cm"] < 15.0
     assert all(r["detected"] for r in rep["rows"])
+
+
+def test_stream_extract_writes_wav(tmp_path, capsys):
+    """stream --extract: the continuous virtual-microphone WAV output."""
+    out = str(tmp_path / "vmic.wav")
+    cli.main(["stream", "--duration-samples", "16000", "--chunk", "512",
+              "--extract", out])
+    captured = capsys.readouterr().out
+    assert "extracted" in captured
+    from audio_triangulation_tpu.utils import io as audio_io
+
+    samples, rate = audio_io.read_wav(out)
+    assert rate == 50_000
+    assert samples.shape[0] == 1
+    # latency-trimmed: the whole chunks processed minus the WOLA latency
+    assert samples.shape[1] == (16000 // 512) * 512 - 256
+    assert np.max(np.abs(samples)) > 1000  # non-silent, scaled near peak
