@@ -319,6 +319,14 @@ def cmd_stream(args):
     from ..utils import profiling, synth
 
     if args.source:
+        if getattr(args, "extract", None):
+            # live ingest is event-driven (the native runtime consumes the
+            # continuous stream; Python only sees event frames), so there
+            # is no chunk stream to beamform — fail loudly, don't drop it
+            raise SystemExit(
+                "--extract is not supported with --source (live mode is "
+                "event-driven); use Localizer.extract on captured event "
+                "frames, or run without --source")
         cmd_stream_live(args)
         return
 
@@ -356,10 +364,20 @@ def cmd_stream(args):
     track = _make_tracker(getattr(args, "track", False))
     extractor = None
     if getattr(args, "extract", None):
+        import math
+
         from ..models.extraction import StreamingExtractor
 
+        # the WOLA hop must divide the chunk; the largest power-of-2
+        # common divisor of (frame=512, chunk) preserves COLA (hop is
+        # then frame / 2^k) while accepting any even-ish --chunk
+        hop = min(math.gcd(512, args.chunk), 256)
+        if hop < 8:
+            raise SystemExit(
+                f"--extract needs --chunk divisible by a WOLA hop "
+                f"(power of 2 >= 8); got --chunk {args.chunk}")
         extractor = StreamingExtractor.create(
-            mics, pcfg, method=args.extract_method)
+            mics, pcfg, hop=hop, method=args.extract_method)
         ex_state = extractor.init_state()
         steer = jnp.zeros(2, jnp.float32)
         extracted = []

@@ -104,6 +104,16 @@ class StreamingExtractor:
         :func:`..ops.beamform.extract_mvdr`)."""
         if method not in ("das", "mvdr"):
             raise ValueError(f"unknown method {method!r}")
+        if method == "das" and mvdr_kwargs:
+            raise TypeError(
+                f"method='das' takes no extra kwargs, got "
+                f"{sorted(mvdr_kwargs)} (MVDR-only knobs)")
+        allowed = {"smooth_bins", "diagonal_loading"}
+        unknown = set(mvdr_kwargs) - allowed
+        if unknown:
+            raise TypeError(
+                f"unknown extract_mvdr kwargs {sorted(unknown)}; "
+                f"allowed: {sorted(allowed)}")
         return cls(mic_positions, cfg or PipelineConfig(), frame,
                    hop if hop is not None else frame // 2, method, height,
                    constrain_sphere, mvdr_kwargs)
@@ -210,7 +220,11 @@ class StreamingExtractor:
             pad = chunk_size - t % chunk_size
             stream = np.pad(stream, [(0, 0), (0, pad)])
         lat = self.latency_samples
-        stream = np.pad(stream, [(0, 0), (0, chunk_size)])  # flush tail
+        # flush: enough whole chunks to push the last `lat` delayed samples
+        # out of the WOLA pipeline (one chunk only suffices when
+        # lat <= chunk_size)
+        flush = -(-lat // chunk_size) * chunk_size
+        stream = np.pad(stream, [(0, 0), (0, flush)])
         n_chunks = stream.shape[-1] // chunk_size
         xys = np.asarray(xys, np.float32)
         if xys.ndim == 1:

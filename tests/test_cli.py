@@ -210,3 +210,20 @@ def test_stream_extract_writes_wav(tmp_path, capsys):
     # latency-trimmed: the whole chunks processed minus the WOLA latency
     assert samples.shape[1] == (16000 // 512) * 512 - 256
     assert np.max(np.abs(samples)) > 1000  # non-silent, scaled near peak
+
+
+def test_stream_extract_odd_chunk_derives_hop(tmp_path, capsys):
+    """--chunk 640 has no 256 divisor; the CLI derives hop=128 (COLA-safe)
+    instead of crashing mid-run (review finding)."""
+    out = str(tmp_path / "vmic640.wav")
+    cli.main(["stream", "--duration-samples", "12800", "--chunk", "640",
+              "--extract", out])
+    assert "extracted" in capsys.readouterr().out
+
+
+def test_stream_extract_rejects_live_mode():
+    import pytest
+
+    with pytest.raises(SystemExit, match="not supported with --source"):
+        cli.main(["stream", "--source", "fifo:///tmp/nonexistent.fifo",
+                  "--extract", "/tmp/x.wav"])

@@ -233,3 +233,27 @@ def test_localize_then_extract_integration(mics):
     snr_beam = _snr_db(src[sl_], y[sl_])
     snr_single = _snr_db(src[sl_], stream[0, sl_])
     assert snr_beam > snr_single + 2.0
+
+
+def test_run_flushes_latency_longer_than_chunk(mics):
+    """run() must return the full t samples even when the WOLA latency
+    exceeds the chunk size (review finding: the flush pad was one chunk)."""
+    ex = StreamingExtractor.create(mics[:, :2], frame=2048, hop=512)
+    assert ex.latency_samples == 1536
+    rng = np.random.default_rng(9)
+    t = 8192
+    x = rng.standard_normal(t).astype(np.float32)
+    stream = np.broadcast_to(x, (mics.shape[0], t)).copy()
+    y = ex.run(stream, np.zeros(2), chunk_size=512)
+    assert y.shape == (t,)
+    sl = slice(2048, t - 2048)
+    np.testing.assert_allclose(y[sl], x[sl], atol=2e-4)
+
+
+def test_create_rejects_bad_kwargs(mics):
+    with pytest.raises(TypeError, match="das.*takes no extra"):
+        StreamingExtractor.create(mics[:, :2], method="das", smooth_bins=5)
+    with pytest.raises(TypeError, match="unknown extract_mvdr"):
+        StreamingExtractor.create(mics[:, :2], method="mvdr", smooth_bin=5)
+    # valid MVDR knobs still pass through
+    StreamingExtractor.create(mics[:, :2], method="mvdr", smooth_bins=5)
