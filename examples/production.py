@@ -113,3 +113,46 @@ diag = consistency.diagnose_mics(
 flags = np.nonzero(np.asarray(diag["faulty"])[0])[0]
 print(f"health: faulty mics {flags.tolist()} "
       f"(residual rms {float(np.asarray(diag['residual_rms'])[0]):.2e} s)")
+
+# --- 5. continuous source extraction: the virtual microphone -------------
+# After WHERE (localization/tracking), recover WHAT: a chunk-rate WOLA
+# beamformer glides with the steered position and emits enhanced audio
+# continuously (models/extraction; CLI: stream --extract out.wav).
+from audio_triangulation_tpu.models.extraction import StreamingExtractor
+
+fs = 50_000.0
+tgt_xy = np.array([0.5, 0.4], np.float32)
+t_len = 8192
+sig = rng.standard_normal(t_len).astype(np.float32)
+spec = np.fft.rfft(sig)
+f_hz = np.fft.rfftfreq(t_len, 1 / fs)
+spec[(f_hz < 300) | (f_hz > 8000)] = 0
+sig = np.fft.irfft(spec, t_len).astype(np.float32)
+mics4 = np.asarray(_geo.square_array(0.3), np.float32)
+mic3 = np.zeros((4, 3), np.float32)
+mic3[:, :2] = mics4
+dists = np.linalg.norm(np.array([*tgt_xy, 1.0]) - mic3, axis=-1)
+tau = (dists - dists.mean()) / 343.0 * fs
+stream4 = np.stack([
+    np.fft.irfft(np.fft.rfft(sig)
+                 * np.exp(-2j * np.pi * np.fft.rfftfreq(t_len) * tau[m]),
+                 t_len)
+    for m in range(4)]).astype(np.float32)
+clean4 = stream4.copy()
+stream4 = stream4 + 0.3 * rng.standard_normal(
+    stream4.shape).astype(np.float32)
+
+ex = StreamingExtractor.create(mics4, height=1.0, constrain_sphere=False)
+y = ex.run(stream4, tgt_xy, chunk_size=512)
+sl_ = slice(1024, t_len - 1024)
+
+
+def _snr(ref, x):
+    g = np.dot(x, ref) / np.dot(ref, ref)
+    e = x - g * ref
+    return 10 * np.log10(np.dot(x, x) / np.dot(e, e))
+
+
+in_snr = 10 * np.log10(np.var(clean4[0]) / 0.09)  # per-mic input SNR
+print(f"extraction: virtual mic SNR {_snr(sig[sl_], y[sl_]):.1f} dB vs "
+      f"{in_snr:.1f} dB per input mic (delay-and-sum gain ~6 dB at 4 mics)")

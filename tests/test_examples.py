@@ -83,6 +83,7 @@ def test_production_example(example_outputs):
     assert "streaming: 2 events" in out
     assert "tracking: confirmed track" in out
     assert "health: faulty mics [5]" in out
+    assert "extraction: virtual mic SNR" in out
 
 
 def test_robustness_example(example_outputs):
