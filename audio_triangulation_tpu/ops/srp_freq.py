@@ -243,6 +243,177 @@ def music_spectrum(
     return jnp.sum(jnp.asarray(weights)[:, None] / den, axis=0)  # [G]
 
 
+def focusing_matrices(
+    steering: np.ndarray,   # [Fk, M, G] complex64 (mic_steering_vectors)
+    f0_idx: int,
+    focus_cells: np.ndarray,
+) -> np.ndarray:
+    """RSS focusing matrices T_f [Fk, M, M] mapping each frequency's array
+    manifold onto the reference bin's (Hung & Kaveh rotational signal
+    subspace): T_f = argmin_{T unitary} ||A_0 - T A_f||_F = U V^H from the
+    SVD  A_0 A_f^H = U S V^H,  with A_f the steering matrix restricted to
+    the focus cells.
+
+    ``focus_cells`` must be a SMALL SECTOR around preliminary source
+    estimates (see :func:`select_focus_cells`), not the whole grid: one
+    unitary rotation can align two frequencies' manifolds only over a
+    narrow spatial sector, and a whole-grid fit leaves the focusing
+    residual essentially unchanged (measured: ||A_0 - T A_f||_F 60.4 ->
+    58.9 on a full 61x61 grid vs a correct spectrum with sector focusing),
+    producing garbage — on a centro-symmetric array the spectrum then
+    peaks at the ANTIPODE of the true source.
+
+    Computed HOST-SIDE in numpy: the matrices depend only on geometry and
+    the chosen sector, and complex dtypes inside TPU XLA modules carry a
+    large compile-time tax (see mvdr_spectrum) — the device only ever sees
+    their re/im parts."""
+    a0 = steering[f0_idx][:, focus_cells]            # [M, C]
+    ts = []
+    for f in range(steering.shape[0]):
+        af = steering[f][:, focus_cells]             # [M, C]
+        q = a0 @ af.conj().T                         # [M, M]
+        u, _, vh = np.linalg.svd(q)
+        ts.append(u @ vh)
+    return np.stack(ts).astype(np.complex64)        # [Fk, M, M]
+
+
+def conventional_spectrum(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    steering: jnp.ndarray,   # [Fk, M, G] complex64
+    bins: np.ndarray,
+    weights: np.ndarray,     # [Fk]
+) -> jnp.ndarray:
+    """Wideband conventional (Bartlett) spectrum over the grid:
+    P(g) = sum_f w_f Re(a_g^H R_f a_g) / M.  The cheap delay-and-sum
+    preliminary whose peaks seed CSSM's focusing sector
+    (:func:`select_focus_cells`); all-real arithmetic like its siblings."""
+    a, b = _spatial_covariance_reim(re, im, bins, 0.0)
+    p, q = _split_steering(steering)
+    # Re(a^H R a) with a = p + iq, R = A + iB (A sym, B antisym):
+    #   p^T A p + q^T A q + 2 q^T B p
+    m = re.shape[-2]
+    quad = (jnp.einsum("fmg,fmn,fng->fg", p, a, p)
+            + jnp.einsum("fmg,fmn,fng->fg", q, a, q)
+            + 2.0 * jnp.einsum("fmg,fmn,fng->fg", q, b, p))
+    return jnp.einsum("f,fg->g", jnp.asarray(weights), quad) / m
+
+
+def select_focus_cells(
+    spectrum: np.ndarray,     # [G] preliminary (Bartlett) spectrum
+    grid_hw: tuple[int, int],
+    n_peaks: int,
+    *,
+    radius_cells: int = 3,
+    suppress_cells: int = 8,
+) -> np.ndarray:
+    """Host-side focusing-sector selection for CSSM: the union of
+    (2r+1)^2 neighborhoods around the ``n_peaks`` strongest well-separated
+    peaks of a preliminary spectrum (peaks extracted greedily with a
+    ``suppress_cells``-radius exclusion zone, the same non-max suppression
+    the multi-source grid peak picker uses)."""
+    h, w = grid_hw
+    flat = np.asarray(spectrum, np.float64).reshape(-1).copy()
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    mask = np.zeros(h * w, bool)
+    for _ in range(max(1, int(n_peaks))):
+        gi = int(np.argmax(flat))
+        if not np.isfinite(flat[gi]):
+            break
+        r0, c0 = divmod(gi, w)
+        mask |= ((np.abs(rr - r0) <= radius_cells)
+                 & (np.abs(cc - c0) <= radius_cells)).reshape(-1)
+        flat[((np.abs(rr - r0) < suppress_cells)
+              & (np.abs(cc - c0) < suppress_cells)).reshape(-1)] = -np.inf
+    return np.nonzero(mask)[0]
+
+
+def music_spectrum_coherent(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    steering: np.ndarray,    # [Fk, M, G] complex64
+    bins: np.ndarray,
+    weights: np.ndarray,     # [Fk]
+    focus_cells: np.ndarray,
+    *,
+    n_sources: int = 1,
+    f0_idx: int | None = None,
+    diagonal_loading: float = 1e-3,
+) -> jnp.ndarray:
+    """Coherent wideband MUSIC (CSSM) pseudo-spectrum over the grid.
+
+    Where :func:`music_spectrum` averages per-frequency MUSIC spectra
+    (incoherent), CSSM focuses every per-bin covariance onto one reference
+    bin FIRST and eigendecomposes the average:
+
+        R_coh = sum_f w_f T_f R_f T_f^H,   then MUSIC at bin f0.
+
+    The frequency averaging restores signal-subspace rank for COHERENT
+    sources (a source plus its specular reflection is rank-1 at every
+    single bin, where incoherent MUSIC cannot separate them) and yields
+    one eigendecomposition instead of Fk.  New capability beyond the
+    reference (which has no subspace methods at all).
+
+    ``focus_cells`` is the focusing sector (see :func:`select_focus_cells`
+    and the sector-size warning on :func:`focusing_matrices`).  Use a
+    band-limited ``cfg.band_hz`` when building the steering tensor: one
+    unitary focusing per bin only holds over a moderate fractional
+    bandwidth (full-band 48 Hz-25 kHz focusing fails even with a correct
+    sector; 800-6000 Hz recovers both scenes exactly — see
+    tests/test_srp_freq.py).
+
+    TPU-shaped: the focusing matrices are host-side numpy (geometry + a
+    sector, complex SVDs); on device everything is real block-embedding
+    arithmetic — T R T^H expands into real einsums over [Fk, M, M], one
+    real-embedded eigh, and the all-real projector quadform."""
+    m = re.shape[-2]
+    if not 0 < n_sources < m:
+        raise ValueError(f"n_sources must be in [1, {m - 1}], "
+                         f"got {n_sources}")
+    fk = steering.shape[0]
+    if f0_idx is None:
+        f0_idx = fk // 2
+    t = focusing_matrices(np.asarray(steering), f0_idx,
+                          np.asarray(focus_cells))
+    t_re = jnp.asarray(np.real(t).astype(np.float32))   # [Fk, M, M]
+    t_im = jnp.asarray(np.imag(t).astype(np.float32))
+
+    a, b = _spatial_covariance_reim(re, im, bins, diagonal_loading)
+
+    # T R T^H in re/im parts: R = A + iB, T = Tr + iTi
+    #   TR   = (Tr A - Ti B) + i (Ti A + Tr B)
+    #   TRT^H: T^H = Tr^T - i Ti^T
+    tr_a = jnp.einsum("fij,fjk->fik", t_re, a)
+    ti_b = jnp.einsum("fij,fjk->fik", t_im, b)
+    ti_a = jnp.einsum("fij,fjk->fik", t_im, a)
+    tr_b = jnp.einsum("fij,fjk->fik", t_re, b)
+    p_re, p_im = tr_a - ti_b, ti_a + tr_b
+    c_re = (jnp.einsum("fik,fjk->fij", p_re, t_re)
+            + jnp.einsum("fik,fjk->fij", p_im, t_im))
+    c_im = (jnp.einsum("fik,fjk->fij", p_im, t_re)
+            - jnp.einsum("fik,fjk->fij", p_re, t_im))
+    w = jnp.asarray(weights)[:, None, None]
+    r_re = jnp.sum(w * c_re, axis=0)                    # [M, M]
+    r_im = jnp.sum(w * c_im, axis=0)
+    # enforce exact Hermitian symmetry against f32 round-off
+    r_re = 0.5 * (r_re + r_re.T)
+    r_im = 0.5 * (r_im - r_im.T)
+
+    # narrowband MUSIC at f0 on the focused covariance (real embedding)
+    top = jnp.concatenate([r_re, -r_im], axis=-1)
+    bot = jnp.concatenate([r_im, r_re], axis=-1)
+    block = jnp.concatenate([top, bot], axis=-2)        # [2M, 2M]
+    _, v2 = jnp.linalg.eigh(block)
+    w_sig = v2[:, -2 * n_sources:]                      # [2M, 2K]
+    a0_re, a0_im = _split_steering(np.asarray(steering)[f0_idx])
+    from . import linalg as cxlinalg
+
+    sig = cxlinalg.subspace_projector_quadform(
+        w_sig[None, :m, :], w_sig[None, m:, :],
+        a0_re[None], a0_im[None])[0]                    # [G]
+    return 1.0 / jnp.maximum(m - sig, 1e-6)
+
+
 def estimate_n_sources(
     frames: jnp.ndarray,
     cfg: PipelineConfig,
@@ -321,12 +492,24 @@ def localize_music(
     n_sources: int | str = 1,
     bin_stride: int = 8,
     diagonal_loading: float = 0.0,
+    coherent: bool = False,
+    focus_radius_cells: int = 3,
 ) -> dict:
     """Snapshot frames [S, M, N] -> wideband MUSIC grid spectrum + peak.
 
     The subspace analogue of :func:`localize_mvdr`: sharper pseudo-spectrum
     (super-resolution beyond the array beamwidth) at the cost of an assumed
     source count.  S snapshots estimate the spatial covariance.
+
+    ``coherent=True`` switches to CSSM focusing
+    (:func:`music_spectrum_coherent`): required when sources are mutually
+    COHERENT (e.g. a source plus its wall reflection), where the per-bin
+    covariance is rank-deficient and incoherent averaging cannot recover
+    the second source.  The focusing sector is seeded automatically from a
+    conventional (Bartlett) preliminary pass — ``focus_radius_cells``
+    around each of the ``n_sources`` strongest well-separated peaks — and
+    ``cfg.band_hz`` should be set (moderate fractional bandwidth; see the
+    music_spectrum_coherent docstring).
 
     Dispatched as THREE jitted stages (spectra | spectrum | peak): fusing
     the batched eigh, the DFT matmuls, and the argmax/gather peak into one
@@ -363,6 +546,27 @@ def localize_music(
         return music_spectrum(
             re, im, steer, bins, w,
             n_sources=n_sources, diagonal_loading=diagonal_loading)
+
+    if coherent:
+        # CSSM needs its focusing sector before its jitted stage can be
+        # traced (focusing_matrices is host numpy): run the cheap Bartlett
+        # preliminary as its own jitted stage, pick the sector host-side
+        # from its peaks, then trace the focused spectrum with the sector
+        # folded in as a constant.  One extra host round-trip on a
+        # once-per-scene path.
+        prelim_fn = jax.jit(
+            lambda re, im: conventional_spectrum(re, im, steer, bins, w))
+
+        def spectrum(re, im):  # noqa: F811 — coherent dispatch
+            cells = select_focus_cells(
+                np.asarray(prelim_fn(re, im)),
+                (grid.height, grid.width), n_sources,
+                radius_cells=focus_radius_cells)
+            coh_fn = jax.jit(
+                lambda re, im: music_spectrum_coherent(
+                    re, im, steer, bins, w, cells, n_sources=n_sources,
+                    diagonal_loading=max(diagonal_loading, 1e-3)))
+            return coh_fn(re, im)
 
     @jax.jit
     def peak(scores):

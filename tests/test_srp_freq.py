@@ -1,6 +1,8 @@
 """Frequency-domain SRP steering: consistency with lag-domain scoring and
 sub-cell accuracy beyond integer-lag quantization."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -273,3 +275,80 @@ def test_music_rejects_bad_model_order():
 
     with pytest.raises(ValueError):
         srp_freq.localize_music(frames, mics8, grid, cfg, n_sources=8)
+
+
+def _coherent_pair_snapshots(p_a, p_b, mics, n_snap=16, n=1024, seed=11,
+                             noise=0.01, delay=7, gain_b=0.8):
+    """Source B radiates a DELAYED COPY of source A's signal (a specular
+    reflection): fully correlated at every frequency bin."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for s in range(n_snap):
+        sig = synth.colored_burst(n, 50_000.0, seed=seed + 31 * s)
+        sig_b = gain_b * np.roll(sig, delay)
+        fa = synth.synth_scene(p_a, mics, n=n, signal=sig,
+                               noise_rms=0.0, seed=0)[0]
+        fb = synth.synth_scene(p_b, mics, n=n, signal=sig_b,
+                               noise_rms=0.0, seed=0)[0]
+        frames.append(fa + fb + rng.normal(0, noise, fa.shape))
+    return jnp.asarray(np.stack(frames), jnp.float32)
+
+
+def _top2_errors(scores, grid, plane_a, plane_b):
+    flat = np.asarray(scores).reshape(-1).copy()
+    found = []
+    for _ in range(2):
+        i = int(np.argmax(flat))
+        r, c = divmod(i, grid.width)
+        x = (c - grid.half_cells_x) / grid.cells_per_m
+        y = (grid.half_cells_y - r) / grid.cells_per_m
+        found.append(np.array([x, y]))
+        rr, cc = np.meshgrid(np.arange(grid.height), np.arange(grid.width),
+                             indexing="ij")
+        mask = (np.abs(rr - r) < 8) & (np.abs(cc - c) < 8)
+        flat[mask.reshape(-1)] = -np.inf
+    d_a = min(np.linalg.norm(f - plane_a) for f in found)
+    d_b = min(np.linalg.norm(f - plane_b) for f in found)
+    return d_a, d_b
+
+
+# CSSM needs a moderate fractional bandwidth (one unitary focusing per bin
+# cannot span 48 Hz-25 kHz — see the music_spectrum_coherent docstring;
+# full-band coherent runs measured peaking at the ANTIPODE on this
+# centro-symmetric circular array).
+CFG8_BAND = dataclasses.replace(CFG8, band_hz=(800.0, 6000.0))
+
+
+def test_cssm_matches_incoherent_on_single_source():
+    """Focusing must not break the ordinary case: one source, CSSM peaks
+    where incoherent MUSIC peaks."""
+    plane, _ = _single_source_case()
+    frames = _MEMO["frames"]
+    out = srp_freq.localize_music(frames, MICS8, GRID8, CFG8_BAND,
+                                  bin_stride=8, n_sources=1, coherent=True)
+    xy = np.asarray(out["xy_grid"])
+    assert np.linalg.norm(xy - plane) < 0.06, (xy, plane)
+    assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+
+def test_cssm_resolves_coherent_sources():
+    """A source plus its delayed copy (specular reflection) is rank-1 at
+    every bin — incoherent MUSIC cannot build a 2-dim signal subspace, but
+    CSSM's focused frequency averaging decorrelates the pair."""
+    mics8, grid = MICS8, GRID8
+    plane_a, src_a = _place(0.6, 0.3)
+    plane_b, src_b = _place(-0.5, -0.4)
+    frames = _coherent_pair_snapshots(src_a, src_b, mics8)
+
+    out_c = srp_freq.localize_music(frames, mics8, grid, CFG8_BAND,
+                                    bin_stride=8, n_sources=2, coherent=True)
+    da_c, db_c = _top2_errors(out_c["scores"], grid, plane_a, plane_b)
+    assert da_c < 0.15 and db_c < 0.15, (da_c, db_c)
+
+    out_i = srp_freq.localize_music(frames, mics8, grid, CFG8_BAND,
+                                    bin_stride=8, n_sources=2)
+    da_i, db_i = _top2_errors(out_i["scores"], grid, plane_a, plane_b)
+    # the incoherent spectrum's weaker-source recovery must be clearly
+    # worse than CSSM's on the same coherent scene
+    assert max(da_c, db_c) < max(da_i, db_i), (
+        (da_c, db_c), (da_i, db_i))
