@@ -782,6 +782,23 @@ def main(argv=None):
     p.add_argument("--phat-beta", type=float, default=1.0,
                    help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--max-events", type=int, default=16)
+    p.add_argument("--method", default="events",
+                   choices=("events", "srp-freq", "mvdr", "music",
+                            "music-coherent"),
+                   help="'events' (default) detects transient events and "
+                        "runs the GCC+SRP+GN pipeline on each; the others "
+                        "treat the WAV as ONE continuously emitting source "
+                        "and localize it from snapshot frames: 'srp-freq' "
+                        "(frequency-steered SRP), 'mvdr' (Capon), 'music' "
+                        "(wideband incoherent subspace), 'music-coherent' "
+                        "(CSSM focusing — resolves a source plus its "
+                        "reflection; set --band, e.g. 800:6000)")
+    p.add_argument("--snapshots", type=int, default=16,
+                   help="snapshot frames for the subspace methods "
+                        "(highest-energy frames of the file)")
+    p.add_argument("--n-sources", default="1",
+                   help="subspace model order: an int or 'auto' "
+                        "(MDL selection; music methods only)")
     p.add_argument("--diagnose", action="store_true",
                    help="print array health (TDOA cycle-consistency "
                         "per-mic scores + faulty-mic flags)")
@@ -823,6 +840,49 @@ def main(argv=None):
 
 
 
+def _localize_wav_subspace(args, samples, mics, cfg, rate):
+    """localize-wav --method srp-freq|mvdr|music|music-coherent: treat the
+    WAV as a continuously emitting source, take the highest-energy frames
+    as spatial-covariance snapshots, and localize on the grid."""
+    import jax.numpy as jnp
+
+    from ..core.config import GridConfig
+    from ..ops import srp_freq
+
+    n = cfg.frame_size
+    n_frames = samples.shape[-1] // n
+    if n_frames < 1:
+        raise SystemExit(f"wav shorter than one {n}-sample frame")
+    chopped = samples[:, : n_frames * n].reshape(
+        samples.shape[0], n_frames, n).transpose(1, 0, 2)  # [S, M, N]
+    energy = np.sum(chopped.astype(np.float64) ** 2, axis=(1, 2))
+    keep = np.sort(np.argsort(energy)[-max(1, args.snapshots):])
+    frames = jnp.asarray(chopped[keep], jnp.float32)
+    grid = GridConfig()
+
+    n_sources = (args.n_sources if args.n_sources == "auto"
+                 else int(args.n_sources))
+    if args.method == "srp-freq":
+        out = srp_freq.localize_freq(frames[:1], mics, grid, cfg)
+        xy = np.asarray(out["xy_grid"])[0]
+    elif args.method == "mvdr":
+        out = srp_freq.localize_mvdr(frames, mics, grid, cfg)
+        xy = np.asarray(out["xy_grid"])
+    else:
+        coherent = args.method == "music-coherent"
+        if coherent and cfg.band_hz is None:
+            print("warning: CSSM focusing needs a moderate fractional "
+                  "bandwidth — pass --band (e.g. 800:6000)")
+        out = srp_freq.localize_music(
+            frames, mics, grid, cfg, n_sources=n_sources,
+            coherent=coherent)
+        xy = np.asarray(out["xy_grid"])
+    print(f"{args.method}: xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m  "
+          f"({frames.shape[0]} snapshots of {n} samples)")
+    if "n_sources_estimated" in out:
+        print(f"estimated sources (MDL): {out['n_sources_estimated']}")
+
+
 def cmd_localize_wav(args):
     """Localize events in a multi-channel WAV file (offline ingest path)."""
     import jax.numpy as jnp
@@ -840,6 +900,9 @@ def cmd_localize_wav(args):
                          weighting=args.weighting,
                          band_hz=_parse_band(args.band),
                          phat_beta=args.phat_beta)
+    if args.method != "events":
+        _localize_wav_subspace(args, samples, mics, cfg, rate)
+        return
     loc = Localizer.create(mics, cfg)
 
     idxs, frames = _detect_event_frames(samples, cfg, args.max_events)

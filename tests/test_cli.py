@@ -21,6 +21,42 @@ def test_stream_demo(capsys):
     assert "native events" in captured
 
 
+def test_localize_wav_subspace_methods(tmp_path, capsys):
+    """--method music/music-coherent: the WAV as one continuous source,
+    localized from snapshot covariances instead of event detection."""
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.utils import io as audio_io
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.circular_array(8, 0.15)  # the CLI's circular radius
+    p = np.array([0.6, 0.3, 1.2])
+    src = p * (1.2 / np.linalg.norm(p))
+    rng = np.random.default_rng(7)
+    chunks = []
+    for s in range(10):
+        fr = synth.synth_scene(src, mics, n=1024, seed=100 + s,
+                               noise_rms=0.0)[0]
+        chunks.append(fr + rng.normal(0, 0.01, fr.shape))
+    stream = np.concatenate(chunks, axis=-1)  # [M, 10*1024]
+    wav = str(tmp_path / "cont.wav")
+    audio_io.write_wav(
+        wav, (stream * 1000).astype(np.int16), 50_000)
+
+    def run(*extra):
+        cli.main(["localize-wav", wav, "--array", "circular", "--mics",
+                  "8", "--snapshots", "10", *extra])
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines() if "xy=(" in l][0]
+        xy = line.split("xy=(")[1].split(")")[0]
+        x, y = (float(v) for v in xy.split(","))
+        return np.hypot(x - 0.6, y - 0.3), out
+
+    err_m, _ = run("--method", "music")
+    assert err_m < 0.12, err_m
+    err_c, _ = run("--method", "music-coherent", "--band", "800:6000")
+    assert err_c < 0.12, err_c
+
+
 def test_gen_window(capsys):
     cli.main(["gen-window", "--length", "64"])
     captured = capsys.readouterr().out
