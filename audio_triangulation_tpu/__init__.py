@@ -18,9 +18,11 @@ from .core.config import (  # noqa: F401
     ShardingConfig,
     SolverConfig,
     StreamConfig,
+    VolumeConfig,
 )
 from .core import geometry  # noqa: F401
 from .models.localizer import Localizer, LocalizerParams, localize_frames  # noqa: F401
+from .models.volume import VolumeLocalizer  # noqa: F401
 
 __all__ = [
     "PipelineConfig",
@@ -28,6 +30,8 @@ __all__ = [
     "SolverConfig",
     "StreamConfig",
     "ShardingConfig",
+    "VolumeConfig",
+    "VolumeLocalizer",
     "geometry",
     "Localizer",
     "LocalizerParams",

@@ -311,6 +311,50 @@ class GridConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VolumeConfig:
+    """Volumetric (3-D) SRP localization grid (new capability; the
+    reference's grid is the fixed-height 2-D cap of GridConfig —
+    vga.h:27-35).  A box of (2*half_x+1) x (2*half_y+1) x z_cells
+    candidate points: x/y centered on the array like GridConfig,
+    z spanning [z_min_m, z_max_m] inclusive."""
+
+    half_cells_x: int = 20
+    half_cells_y: int = 20
+    cells_per_m: float = 10.0
+    z_min_m: float = 0.2
+    z_max_m: float = 2.2
+    z_cells: int = 21
+
+    def __post_init__(self):
+        if self.z_cells < 1:
+            raise ValueError("z_cells must be >= 1")
+        if self.z_max_m < self.z_min_m:
+            raise ValueError("z_max_m < z_min_m")
+
+    @property
+    def width(self) -> int:
+        return 2 * self.half_cells_x + 1
+
+    @property
+    def height(self) -> int:
+        return 2 * self.half_cells_y + 1
+
+    @property
+    def depth(self) -> int:
+        return self.z_cells
+
+    @property
+    def num_cells(self) -> int:
+        return self.width * self.height * self.depth
+
+    @property
+    def z_step_m(self) -> float:
+        if self.z_cells == 1:
+            return 0.0
+        return (self.z_max_m - self.z_min_m) / (self.z_cells - 1)
+
+
+@dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Closed-form / iterative TDOA solver (new capability; the reference's
     only solver is the grid search itself)."""

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .config import GridConfig, PipelineConfig
+from .config import GridConfig, PipelineConfig, VolumeConfig
 
 
 # ----------------------------------------------------------------------
@@ -85,6 +85,17 @@ def grid_array(nx: int, ny: int, pitch_m: float, *, dtype=np.float32) -> np.ndar
     ys = (np.arange(ny) - (ny - 1) / 2.0) * pitch_m
     gx, gy = np.meshgrid(xs, ys, indexing="xy")
     return np.stack([gx.ravel(), gy.ravel()], axis=-1).astype(dtype)
+
+
+def tetrahedral_array(radius_m: float, *, dtype=np.float32) -> np.ndarray:
+    """Regular-tetrahedron array [4, 3] with vertices ``radius_m`` from the
+    centroid — the minimal NON-COPLANAR array.  Planar arrays cannot
+    resolve elevation sign and have poor z sensitivity near their plane;
+    volumetric localization (VolumeConfig / VolumeLocalizer) wants z
+    diversity in the array itself."""
+    v = np.array([[1.0, 1.0, 1.0], [1.0, -1.0, -1.0],
+                  [-1.0, 1.0, -1.0], [-1.0, -1.0, 1.0]])
+    return (v / np.sqrt(3.0) * radius_m).astype(dtype)
 
 
 def reference_array(dtype=np.float32) -> np.ndarray:
@@ -196,6 +207,40 @@ def lag_lut(
     k = pipeline.max_shift
     shifts = np.clip(shifts, -k, k)
     return np.transpose(shifts + k, (2, 0, 1)).astype(np.int32)  # [P, H, W]
+
+
+def volume_points(vol: VolumeConfig, dtype=np.float32) -> np.ndarray:
+    """Candidate source points [D, H, W, 3] for the volumetric grid.
+
+    x/y follow the same cell->meters mapping as :func:`grid_points`
+    (vga_heatmap.h:52-60); z sweeps [z_min_m, z_max_m] in ``z_cells``
+    steps — a true 3-D search box, no sphere/plane projection."""
+    xs = (np.arange(vol.width, dtype=dtype)
+          - vol.half_cells_x) / dtype(vol.cells_per_m)
+    ys = (vol.half_cells_y
+          - np.arange(vol.height, dtype=dtype)) / dtype(vol.cells_per_m)
+    zs = (np.float64(vol.z_min_m)
+          + np.arange(vol.depth, dtype=np.float64) * vol.z_step_m)
+    gz, gy, gx = np.meshgrid(zs.astype(dtype), ys, xs, indexing="ij")
+    return np.stack([gx, gy, gz], axis=-1).astype(dtype)  # [D, H, W, 3]
+
+
+def volume_lag_lut(
+    vol: VolumeConfig,
+    positions: np.ndarray,
+    pairs: np.ndarray,
+    pipeline: PipelineConfig,
+) -> np.ndarray:
+    """Integer lag-index LUT [P, D, H, W] for volumetric SRP scoring —
+    :func:`lag_lut` generalized to the 3-D box (same roundf/clamp/offset
+    semantics as the reference's vga_heatmap.h:48-93 precompute)."""
+    pts = volume_points(vol)  # [D, H, W, 3]
+    dt = expected_tdoas(pts, positions, pairs, pipeline.speed_of_sound_mps)
+    v = dt * np.float32(pipeline.sample_rate_hz)
+    shifts = np.trunc(v + np.copysign(np.float32(0.5), v)).astype(np.int32)
+    k = pipeline.max_shift
+    shifts = np.clip(shifts, -k, k)
+    return np.transpose(shifts + k, (3, 0, 1, 2)).astype(np.int32)
 
 
 def lag_onehot(lut: np.ndarray, num_lags: int, dtype=np.float32) -> np.ndarray:
