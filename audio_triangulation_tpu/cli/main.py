@@ -73,7 +73,19 @@ def _mic_array(args):
     if args.array == "grid":
         side = int(np.sqrt(args.mics))
         return geometry.grid_array(side, side, 0.05)
+    if args.array == "tetra":
+        # minimal non-coplanar array: required for volumetric (--volume)
+        # height resolution (planar arrays cannot resolve elevation sign)
+        return geometry.tetrahedral_array(0.3)
     raise SystemExit(f"unknown array {args.array}")
+
+
+def _volume_config(args):
+    from ..core.config import VolumeConfig
+
+    lo, hi = (args.z_range.split(":") if args.z_range else ("0.2", "2.2"))
+    return VolumeConfig(z_min_m=float(lo), z_max_m=float(hi),
+                        z_cells=args.z_cells)
 
 
 def cmd_evaluate(args):
@@ -175,6 +187,9 @@ def cmd_simulate(args):
     from ..viz import png, render
 
     mics = _mic_array(args)
+    if args.volume:
+        _simulate_volume(args, mics)
+        return
     plane, frames = _build_scene(args, mics)
     loc = Localizer.create(
         mics, PipelineConfig(phat=args.phat, weighting=args.weighting,
@@ -209,6 +224,45 @@ def cmd_simulate(args):
         )
         png.write_png(args.out, img)
         print(f"dashboard -> {args.out}")
+
+
+def _simulate_volume(args, mics):
+    """simulate --volume: 3-D box SRP search + free-xyz GN refinement
+    (models.volume.VolumeLocalizer) with the true source at the literal
+    (x, y, height) point, no plane/sphere projection."""
+    import jax.numpy as jnp
+
+    from .. import PipelineConfig, VolumeLocalizer
+    from ..core import geometry
+    from ..utils import synth
+    from ..viz import png, render
+
+    if mics.shape[1] < 3 or np.ptp(mics[:, 2]) < 1e-6:
+        print("note: coplanar array — height estimates are ambiguous in "
+              "sign and weak near the array plane (use --array tetra)")
+    cfg = PipelineConfig(
+        phat=args.phat, weighting=args.weighting,
+        band_hz=_parse_band(args.band), phat_beta=args.phat_beta,
+        max_shift_samples=geometry.max_lag_for_array(
+            mics, PipelineConfig()))
+    vol = _volume_config(args)
+    true = np.array([args.x, args.y, args.height])
+    frames = synth.synth_scene(true, mics, noise_rms=args.noise,
+                               seed=args.seed)
+    loc = VolumeLocalizer.create(mics, cfg, vol)
+    out = loc(jnp.asarray(frames, jnp.float32))
+    xyz = np.asarray(out["xyz"])[0]
+    print(f"true    : ({true[0]:+.3f}, {true[1]:+.3f}, {true[2]:+.3f}) m")
+    print(f"estimate: ({xyz[0]:+.3f}, {xyz[1]:+.3f}, {xyz[2]:+.3f}) m   "
+          f"err {np.linalg.norm(xyz - true) * 100:.1f} cm")
+    print(f"TDOAs (samples): "
+          f"{np.round(np.asarray(out['tdoa_samples'])[0], 2)}")
+    if args.out:
+        img = render.volume_panels(
+            np.asarray(out["scores"])[0], vol,
+            mic_positions=mics, xyz=xyz)
+        png.write_png(args.out, img)
+        print(f"volume view -> {args.out}")
 
 
 def _make_tracker(enabled: bool):
@@ -656,7 +710,8 @@ def main(argv=None):
 
     def common(p):
         p.add_argument("--array", default="reference",
-                       choices=["reference", "square", "circular", "grid"])
+                       choices=["reference", "square", "circular", "grid",
+                                "tetra"])
         p.add_argument("--mics", type=int, default=8)
         p.add_argument("--x", type=float, default=0.8)
         p.add_argument("--y", type=float, default=0.5)
@@ -677,6 +732,14 @@ def main(argv=None):
     p.add_argument("--phat-beta", type=float, default=1.0,
                    help="partial PHAT exponent (1.0 = full whitening)")
     p.add_argument("--out", default="dashboard.png")
+    p.add_argument("--volume", action="store_true",
+                   help="3-D box search (models.volume) instead of the "
+                        "fixed-height grid; --height is then the true "
+                        "source z, and --out renders top+side views")
+    p.add_argument("--z-range", metavar="LO:HI",
+                   help="volume z extent in meters (default 0.2:2.2)")
+    p.add_argument("--z-cells", type=int, default=21,
+                   help="volume z resolution (default 21)")
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("evaluate",
@@ -808,6 +871,14 @@ def main(argv=None):
                         "_NNN suffix)")
     p.add_argument("--extract-method", choices=("das", "mvdr"),
                    default="das")
+    p.add_argument("--volume", action="store_true",
+                   help="solve (x, y, z) per event via the 3-D box search "
+                        "(models.volume; wants a non-coplanar array, "
+                        "e.g. --array tetra)")
+    p.add_argument("--z-range", metavar="LO:HI",
+                   help="volume z extent in meters (default 0.2:2.2)")
+    p.add_argument("--z-cells", type=int, default=21,
+                   help="volume z resolution (default 21)")
     p.set_defaults(fn=cmd_localize_wav)
 
     p = sub.add_parser(
@@ -903,13 +974,31 @@ def cmd_localize_wav(args):
     if args.method != "events":
         _localize_wav_subspace(args, samples, mics, cfg, rate)
         return
-    loc = Localizer.create(mics, cfg)
+    if args.volume:
+        import dataclasses
+
+        from .. import VolumeLocalizer
+        from ..core import geometry
+
+        cfg = dataclasses.replace(
+            cfg, max_shift_samples=geometry.max_lag_for_array(mics, cfg))
+        loc = VolumeLocalizer.create(mics, cfg, _volume_config(args))
+    else:
+        loc = Localizer.create(mics, cfg)
 
     idxs, frames = _detect_event_frames(samples, cfg, args.max_events)
     if len(idxs) == 0:
         print("no events detected")
         return
     out = loc(frames)
+    if args.volume:
+        xyz = np.asarray(out["xyz"])
+        for i, t in enumerate(idxs):
+            print(f"event @ {t / rate:8.3f}s (sample {t}): "
+                  f"xyz=({xyz[i, 0]:+.3f}, {xyz[i, 1]:+.3f}, "
+                  f"{xyz[i, 2]:+.3f}) m  "
+                  f"shifts={np.asarray(out['best_shift'])[i]}")
+        return
     xy = np.asarray(out["xy"])
     for i, t in enumerate(idxs):
         print(f"event @ {t / rate:8.3f}s (sample {t}): "

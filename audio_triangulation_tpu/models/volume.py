@@ -64,6 +64,13 @@ class VolumeLocalizer:
         dtype=jnp.float32,
     ) -> "VolumeLocalizer":
         mic_positions = np.asarray(mic_positions, dtype=np.float32)
+        if pipeline.max_shift_samples is None:
+            # the lag window must cover the array aperture (the reference's
+            # fixed +-46 assumes its 0.2 m triangle; larger apertures clip)
+            pipeline = dataclasses.replace(
+                pipeline,
+                max_shift_samples=geometry.max_lag_for_array(
+                    mic_positions, pipeline))
         pairs = geometry.mic_pairs(mic_positions.shape[0])
         lut = geometry.volume_lag_lut(
             volume, mic_positions, pairs, pipeline)  # [P, D, H, W]

@@ -215,6 +215,96 @@ def status_text(
     return "\n".join(lines)
 
 
+def _continuous_rgb(a: np.ndarray) -> np.ndarray:
+    """Map a 2-D score array to the continuous black->blue->red->yellow->
+    white ramp (shared with heatmap_rgb's 'continuous' mode)."""
+    a = np.asarray(a, np.float64)
+    lo, hi = float(a.min()), float(a.max())
+    t = (a - lo) / (hi - lo + 1e-30)
+    stops = np.array([
+        (0, 0, 0), (0, 0, 170), (200, 30, 30), (255, 220, 60),
+        (255, 255, 255)], dtype=np.float64)
+    idx = np.clip(t * (len(stops) - 1), 0, len(stops) - 1 - 1e-9)
+    i0 = idx.astype(np.int64)
+    frac = (idx - i0)[..., None]
+    return (stops[i0] * (1 - frac) + stops[i0 + 1] * frac).astype(np.uint8)
+
+
+def volume_panels(
+    scores: np.ndarray,
+    volume,
+    *,
+    mic_positions: np.ndarray | None = None,
+    xyz: np.ndarray | None = None,
+    cell_px: int = 4,
+) -> np.ndarray:
+    """Two maximum-intensity projections of a volumetric SRP score field
+    (models.volume): top view (x-y, max over z) and side view (x-z, max
+    over y), side by side.  The 2-D heatmap has no reference analogue for
+    the z axis, so the side view is the new capability's visualization.
+
+    scores: flat [G3] or [D, H, W]; volume: VolumeConfig;
+    xyz: optional [3] estimate to mark on both views."""
+    d, h, w = volume.depth, volume.height, volume.width
+    vol = np.asarray(scores, np.float64).reshape(d, h, w)
+    gap = 12
+
+    # top view: VolumeConfig duck-types GridConfig's fields used by
+    # heatmap_rgb (width/height/half_cells_x/half_cells_y/cells_per_m)
+    top = heatmap_rgb(
+        vol.max(axis=0), volume, mode="continuous", cell_px=cell_px,
+        mic_positions=(None if mic_positions is None
+                       else np.asarray(mic_positions)[:, :2]))
+
+    # side view: x horizontal (same mapping as the top view), z vertical
+    # with z increasing UP the image
+    side_img = _continuous_rgb(vol.max(axis=1)[::-1])  # [D, W] flipped
+    side_img = np.repeat(np.repeat(side_img, cell_px, axis=0),
+                         cell_px, axis=1)
+    side = Canvas(side_img.shape[1], side_img.shape[0])
+    side.rgb[:] = side_img
+
+    def side_px(x_m, z_m):
+        px = int(round((volume.half_cells_x + x_m * volume.cells_per_m)
+                       * cell_px + cell_px / 2))
+        zi = 0.0 if volume.depth == 1 else (
+            (z_m - volume.z_min_m) / max(volume.z_step_m, 1e-12))
+        py = int(round((d - 1 - zi) * cell_px + cell_px / 2))
+        return px, py
+
+    if mic_positions is not None:
+        marker_cols = [RED, BLUE, WHITE]
+        m3 = np.asarray(mic_positions, np.float64)
+        if m3.shape[1] < 3:
+            m3 = np.concatenate(
+                [m3, np.zeros((m3.shape[0], 1))], axis=1)
+        for i, (mx, _, mz) in enumerate(m3):
+            px, py = side_px(mx, mz)
+            side.circle(px, py, 3, marker_cols[i] if i < 3 else 14)
+
+    canvas = Canvas(top.shape[1] + gap + side.rgb.shape[1],
+                    max(top.shape[0], side.rgb.shape[0]) + 12)
+    canvas.blit(top, 0, 12)
+    canvas.blit(side.rgb, top.shape[1] + gap, 12)
+    canvas.text("top (x-y)", 2, 2, GREEN)
+    canvas.text("side (x-z)", top.shape[1] + gap + 2, 2, GREEN)
+
+    if xyz is not None:
+        x, y, z = (float(v) for v in np.asarray(xyz)[:3])
+        cx = volume.half_cells_x * cell_px + cell_px // 2
+        cy = volume.half_cells_y * cell_px + cell_px // 2
+        tx = int(round(cx + x * volume.cells_per_m * cell_px))
+        ty = int(round(cy - y * volume.cells_per_m * cell_px)) + 12
+        canvas.line(tx - 3, ty, tx + 3, ty, GREEN)
+        canvas.line(tx, ty - 3, tx, ty + 3, GREEN)
+        sx, sy = side_px(x, z)
+        sx += top.shape[1] + gap
+        sy += 12
+        canvas.line(sx - 3, sy, sx + 3, sy, GREEN)
+        canvas.line(sx, sy - 3, sx, sy + 3, GREEN)
+    return canvas.rgb
+
+
 def dashboard(
     *,
     frames: np.ndarray,

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
 from audio_triangulation_tpu.models.doa import DoaEstimator
-from audio_triangulation_tpu.models.volumetric import VolumetricLocalizer
+from audio_triangulation_tpu import VolumeConfig, VolumeLocalizer
 from audio_triangulation_tpu.ops import srp
 from audio_triangulation_tpu.utils import synth
 
@@ -23,8 +23,10 @@ print(f"DoA: true {az_true:.1f} deg -> est {float(out['azimuth_deg'][0]):.1f}")
 
 # --- volumetric 3-D localization ----------------------------------------
 mics_big = geometry.circular_array(8, 0.5)
-vl = VolumetricLocalizer.create(
-    mics_big, heights=(0.4, 0.6, 0.8, 1.0, 1.2), pipeline=PipelineConfig())
+vl = VolumeLocalizer.create(
+    mics_big, PipelineConfig(),
+    VolumeConfig(half_cells_x=24, half_cells_y=24, cells_per_m=16.0,
+                 z_min_m=0.4, z_max_m=1.2, z_cells=5))
 src3 = np.array([0.3, 0.2, 0.8])
 frames = synth.synth_scene(src3, mics_big, noise_rms=0.005, seed=1)
 out = vl(jnp.asarray(frames, jnp.float32))

@@ -263,3 +263,45 @@ def test_stream_extract_rejects_live_mode():
     with pytest.raises(SystemExit, match="not supported with --source"):
         cli.main(["stream", "--source", "fifo:///tmp/nonexistent.fifo",
                   "--extract", "/tmp/x.wav"])
+
+
+def test_simulate_volume(tmp_path, capsys):
+    """simulate --volume: 3-D estimate near truth + top/side view PNG."""
+    out = str(tmp_path / "vol.png")
+    cli.main(["simulate", "--volume", "--array", "tetra",
+              "--x", "0.5", "--y", "-0.3", "--height", "1.4",
+              "--phat", "--band", "700:7000", "--out", out])
+    text = capsys.readouterr().out
+    assert "estimate: (" in text and "volume view ->" in text
+    est = [float(v) for v in
+           text.split("estimate: (")[1].split(")")[0].split(",")]
+    assert abs(est[0] - 0.5) < 0.15 and abs(est[1] + 0.3) < 0.15
+    assert abs(est[2] - 1.4) < 0.25
+    import os
+
+    assert os.path.getsize(out) > 500
+
+
+def test_localize_wav_volume(tmp_path, capsys):
+    """localize-wav --volume prints per-event xyz."""
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.utils import io as audio_io
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.tetrahedral_array(0.3)
+    rng = np.random.default_rng(5)
+    src = np.array([0.4, 0.3, 1.2])
+    fr = synth.synth_scene(src, mics, seed=5)[0]
+    streams = rng.integers(127, 130, size=(4, 10000)).astype(np.float64)
+    streams[:, 4000:5024] += 110.0 * fr
+    wav = str(tmp_path / "scene3d.wav")
+    audio_io.write_wav(
+        wav, np.clip(np.round(streams), 0, 255).astype(np.int16), 50_000)
+
+    cli.main(["localize-wav", wav, "--array", "tetra", "--volume",
+              "--phat", "--band", "700:7000"])
+    out = capsys.readouterr().out
+    assert "xyz=(" in out
+    est = [float(v) for v in out.split("xyz=(")[1].split(")")[0].split(",")]
+    assert abs(est[0] - 0.4) < 0.2 and abs(est[1] - 0.3) < 0.2
+    assert abs(est[2] - 1.2) < 0.35

@@ -252,3 +252,28 @@ def test_dashboard_with_uncertainty_overlay():
         xy_cov=np.diag([0.004, 0.004]),
     )
     assert img.shape == (480, 640, 3)
+
+
+def test_volume_panels_marks_peak():
+    """volume_panels: top+side MIP views; the xyz marker lands on the
+    brightest cell of each projection."""
+    import numpy as np
+
+    from audio_triangulation_tpu.core.config import VolumeConfig
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.viz import render
+
+    vol = VolumeConfig(half_cells_x=10, half_cells_y=10, cells_per_m=10.0,
+                       z_min_m=0.5, z_max_m=1.5, z_cells=11)
+    true = np.array([0.3, -0.2, 1.1])
+    pts = geometry.volume_points(vol).astype(np.float64)
+    scores = np.exp(-((pts - true) ** 2).sum(-1) / 0.02).reshape(-1)
+    img = render.volume_panels(
+        scores, vol, mic_positions=geometry.tetrahedral_array(0.2),
+        xyz=true, cell_px=4)
+    assert img.ndim == 3 and img.shape[2] == 3
+    # both panels present: width covers top + gap + side
+    assert img.shape[1] >= 2 * vol.width * 4
+    # the hottest pixels (white ramp end) exist in both halves
+    half = img.shape[1] // 2
+    assert img[:, :half].max() > 200 and img[:, half:].max() > 200

@@ -117,3 +117,52 @@ def test_volume_rejects_bad_frames():
     loc = VolumeLocalizer.create(MICS_T, CFG_T, VOL)
     with pytest.raises(ValueError):
         loc(jnp.zeros((2, 3, CFG_T.frame_size)))  # wrong mic count
+
+
+# ---------------------------------------------------------------------
+# Planar-array height recovery (originally tests/test_volumetric.py,
+# consolidated when models/volumetric merged into models/volume)
+# ---------------------------------------------------------------------
+
+# a planar array cannot resolve the z sign; use sources above the array
+# and a z range strictly > 0.  Range observability needs aperture: 0.5 m.
+MICS8 = geometry.circular_array(8, 0.5)
+VOL8 = VolumeConfig(half_cells_x=24, half_cells_y=24, cells_per_m=16.0,
+                    z_min_m=0.4, z_max_m=1.2, z_cells=5)
+
+
+def test_planar_array_recovers_xyz():
+    # plain GCC: on clean additive-noise scenes its sub-sample TDOAs are
+    # ~100x tighter than PHAT's (see BENCH_ACCURACY.json), which the
+    # weakly observable range direction needs
+    vl = VolumeLocalizer.create(MICS8, PipelineConfig(), VOL8)
+    sources = np.array([
+        [0.3, 0.2, 0.6],
+        [-0.3, 0.4, 1.0],
+        [0.5, -0.3, 0.8],
+    ])
+    frames = synth.synth_scene(sources, MICS8, noise_rms=0.01, seed=61)
+    out = vl(jnp.asarray(frames, jnp.float32))
+    xyz = np.asarray(out["xyz"])
+    for i, s in enumerate(sources):
+        # the free-xyz GN refinement resolves the coarse grid to cm level
+        assert np.linalg.norm(xyz[i] - s) < 0.05, (i, xyz[i], s)
+
+
+def test_z_refinement_resolves_range_ambiguity():
+    """Integer-lag SRP grids are nearly flat along the source ray (range
+    is weakly observable from rounded lags), so the coarse z argmax can
+    land a plane off — the free-xyz GN refinement from sub-sample TDOAs
+    is what pins the height."""
+    vol = VolumeConfig(half_cells_x=24, half_cells_y=24, cells_per_m=16.0,
+                       z_min_m=0.4, z_max_m=1.2, z_cells=3)
+    vl = VolumeLocalizer.create(MICS8, PipelineConfig(), vol)
+    src = np.array([[0.2, 0.4, 0.8]])
+    frames = synth.synth_scene(src, MICS8, noise_rms=0.0, seed=62)
+    out = vl(jnp.asarray(frames, jnp.float32))
+    # coarse argmax: within one z plane of truth
+    zi = int(np.asarray(out["scores"])[0].argmax()) \
+        // (vol.height * vol.width)
+    assert abs(zi - 1) <= 1
+    # refined: centimeter-level height
+    assert abs(float(out["xyz"][0, 2]) - 0.8) < 0.05
