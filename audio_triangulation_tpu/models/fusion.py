@@ -55,6 +55,8 @@ class FusionParams:
     onehot: jnp.ndarray      # [K, P*L, G] per-array steering matrices
     cat_mics: jnp.ndarray    # [K*M, 2] concatenated mics (joint solve)
     cat_pairs: jnp.ndarray   # [K*P, 2] pair indices into cat_mics
+    cross_pairs: jnp.ndarray  # [Pc, 2] cross-array pairs into cat_mics
+    mic_array_id: jnp.ndarray  # [K*M] array index per concatenated mic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +73,9 @@ class ArrayFusionLocalizer:
     solver: SolverConfig
     params: FusionParams
     with_solver: bool = True
+    # lag window covering the WORLD aperture (cross-array baselines) for
+    # the sync solve's cross correlograms; intra scoring keeps cfg.max_shift
+    sync_max_shift: int = 0
 
     @classmethod
     def create(
@@ -115,6 +120,11 @@ class ArrayFusionLocalizer:
         cat_mics = np.concatenate(arrays, axis=0)  # [K*M, 2]
         cat_pairs = np.concatenate(
             [pairs + i * m for i in range(k)], axis=0)  # [K*P, 2]
+        # cross-array pairs (for the sync solve): every mic pair spanning
+        # two different arrays
+        aid = np.repeat(np.arange(k), m)  # [K*M]
+        ii, jj = np.triu_indices(k * m, 1)
+        cross = np.stack([ii, jj], axis=-1)[aid[ii] != aid[jj]]
         win = window_ops.window_for(pipeline)
         params = FusionParams(
             mic_world=jnp.asarray(np.stack(arrays)),
@@ -123,9 +133,13 @@ class ArrayFusionLocalizer:
             onehot=jnp.asarray(np.stack(onehots), dtype=dtype),
             cat_mics=jnp.asarray(cat_mics),
             cat_pairs=jnp.asarray(cat_pairs),
+            cross_pairs=jnp.asarray(cross.astype(np.int32)),
+            mic_array_id=jnp.asarray(aid.astype(np.int32)),
         )
         return cls(pipeline=pipeline, grid=grid, solver=solver,
-                   params=params, with_solver=with_solver)
+                   params=params, with_solver=with_solver,
+                   sync_max_shift=geometry.max_lag_for_array(
+                       cat_mics, pipeline))
 
     # ------------------------------------------------------------------
     @property
@@ -155,6 +169,42 @@ class ArrayFusionLocalizer:
                 grid_cfg=self.grid,
                 solver_cfg=self.solver,
                 with_solver=self.with_solver,
+                pairs_static=tuple(
+                    tuple(int(v) for v in row)
+                    for row in np.asarray(self.params.pairs)),
+            )
+        )
+
+    def localize_sync(self, frames: jnp.ndarray,
+                      weights: jnp.ndarray | None = None) -> dict:
+        """Joint localization + clock synchronization over an EVENT BATCH.
+
+        frames [E, K, M, N]: E events captured by K free-running (mutually
+        unsynchronized) arrays.  Cross-array TDOAs carry the unknown
+        per-array clock offsets; all E positions and the K-1 shared offsets
+        (array 0 = time reference) are solved jointly
+        (ops.solver.solve_tdoa_sync).  More events pin the offsets harder.
+        Returns the intra-only outputs plus 'xy_sync' [E, 2],
+        'clock_offsets_s' [K-1], 'sync_rms_m' [E], 'tdoa_cross' [E, Pc]."""
+        k, m = self.params.mic_world.shape[:2]
+        n = self.pipeline.frame_size
+        if frames.ndim != 4 or frames.shape[-3:] != (k, m, n):
+            raise ValueError(
+                f"localize_sync wants frames [E, {k} arrays, {m} mics, "
+                f"{n} samples]; got {frames.shape}")
+        w = (jnp.ones((k,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        return self._jitted_sync(self.params, frames, w)
+
+    @functools.cached_property
+    def _jitted_sync(self):
+        return jax.jit(
+            functools.partial(
+                fuse_frames_sync,
+                cfg=self.pipeline,
+                grid_cfg=self.grid,
+                solver_cfg=self.solver,
+                sync_max_shift=self.sync_max_shift,
                 pairs_static=tuple(
                     tuple(int(v) for v in row)
                     for row in np.asarray(self.params.pairs)),
@@ -261,4 +311,95 @@ def fuse_frames(
     else:
         out["xy"] = xy_grid
         out["rms_m"] = jnp.zeros(tdoa.shape[:-2], corr_t.dtype)
+    return out
+
+
+def cross_array_tdoas(
+    params: FusionParams,
+    frames: jnp.ndarray,
+    cfg: PipelineConfig,
+    sync_max_shift: int,
+) -> jnp.ndarray:
+    """Sub-sample TDOAs [..., Pc] for the cross-array pairs.
+
+    Cross-array baselines exceed any single array's aperture, so these
+    correlograms use their own lag window (``sync_max_shift``, derived
+    from the WORLD mic set) on the XLA-FFT path — the intra-array hot
+    paths are untouched."""
+    *lead, k, m, n = frames.shape
+    flat = frames.reshape(*lead, k * m, n)
+    cfg_sync = dataclasses.replace(
+        cfg, max_shift_samples=sync_max_shift,
+        # band_crop/fused dials are tuned for the intra lag budget; the
+        # plain FFT path is correct for any lag window.  The DPSS window
+        # is DISABLED here: cross-array delays reach hundreds of samples,
+        # so the transient sits far off-center in one frame of the pair
+        # and the taper's asymmetric attenuation biases the peak by
+        # ~0.3 samples (measured) — the window's purposes (reference
+        # parity, spectral control at short lags) don't apply to
+        # long-baseline pairs
+        window_enabled=False)
+    cond = localizer_mod.condition_frames(flat, params.window, cfg_sync)
+    corr = xcorr.xcorr_fft(cond, params.cross_pairs, cfg_sync)
+    tdoa, _ = xcorr.subsample_peak(corr, sync_max_shift)
+    if not cfg.subsample_peak:
+        tdoa = xcorr.best_lag(corr, sync_max_shift).astype(corr.dtype)
+    return tdoa
+
+
+def fuse_frames_sync(
+    params: FusionParams,
+    frames: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    grid_cfg: GridConfig,
+    solver_cfg: SolverConfig,
+    sync_max_shift: int,
+    pairs_static: tuple | None = None,
+) -> dict:
+    """Fusion with UNSYNCHRONIZED arrays: intra-array pipeline (offset-free
+    by construction — a pair inside one array shares its clock) seeds a
+    joint solve over all events' positions plus the K-1 inter-array clock
+    offsets, with the cross-array TDOA pairs supplying both the offsets'
+    observability and long-baseline range information.
+
+    frames [E, K, M, N] (one leading event axis; the offsets are shared
+    across it).  See ArrayFusionLocalizer.localize_sync.
+    """
+    out = fuse_frames(params, frames, weights,
+                      cfg=cfg, grid_cfg=grid_cfg, solver_cfg=solver_cfg,
+                      with_solver=True, pairs_static=pairs_static)
+    tdoa_cross = cross_array_tdoas(
+        params, frames, cfg, sync_max_shift)  # [E, Pc]
+    out["tdoa_cross"] = tdoa_cross
+
+    e, k, p = out["tdoa_samples"].shape
+    fs = cfg.sample_rate_hz
+    tdoa_all = jnp.concatenate(
+        [out["tdoa_samples"].reshape(e, k * p) / fs,
+         tdoa_cross / fs], axis=-1)  # [E, KP + Pc]
+    pairs_all = jnp.concatenate(
+        [params.cat_pairs, params.cross_pairs], axis=0)
+    # per-pair weights: intra pairs inherit their array's weight; a cross
+    # pair gets the geometric mean of its two arrays'
+    aid = params.mic_array_id
+    w_intra = jnp.repeat(weights, p)
+    w_cross = jnp.sqrt(
+        jnp.take(weights, jnp.take(aid, params.cross_pairs[:, 0]))
+        * jnp.take(weights, jnp.take(aid, params.cross_pairs[:, 1])))
+    w_all = jnp.concatenate([w_intra, w_cross])
+
+    xy_sync, offsets, rms = solver_ops.solve_tdoa_sync(
+        tdoa_all, params.cat_mics, pairs_all,
+        aid, int(params.mic_world.shape[0]),
+        speed_of_sound=cfg.speed_of_sound_mps,
+        height=grid_cfg.height_m,
+        init_xy=out["xy"],
+        weights=w_all,
+        iterations=solver_cfg.iterations + 4,
+        damping=solver_cfg.damping)
+    out["xy_sync"] = xy_sync
+    out["clock_offsets_s"] = offsets
+    out["sync_rms_m"] = rms
     return out

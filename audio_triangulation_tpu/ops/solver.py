@@ -396,6 +396,129 @@ def solve_tdoa_xyz(
     return xyz, rms
 
 
+def solve_tdoa_sync(
+    tdoas: jnp.ndarray,
+    mic_positions: jnp.ndarray,
+    pairs: jnp.ndarray,
+    mic_array_id: jnp.ndarray,
+    n_arrays: int,
+    *,
+    speed_of_sound: float,
+    height: float,
+    init_xy: jnp.ndarray,
+    init_offsets_s: jnp.ndarray | None = None,
+    weights: jnp.ndarray | None = None,
+    iterations: int = 12,
+    damping: float = 1e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Joint localization + clock synchronization across arrays.
+
+    Multi-array fusion with independent ADC clocks: a TDOA between mics of
+    DIFFERENT arrays carries the unknown inter-array clock offset,
+
+        tau_p = (||s - m_j|| - ||s - m_i||) / c + (delta_a(j) - delta_a(i)),
+
+    while intra-array TDOAs are offset-free.  This solves ALL events'
+    positions and the shared per-array offsets jointly by damped
+    Gauss-Newton with the classic bundle-adjustment structure: the normal
+    matrix is block-diagonal in the E per-event 2x2 position blocks plus a
+    dense (K-1) offset block, so each iteration eliminates the positions by
+    a batched closed-form 2x2 inverse and solves only the small offset
+    Schur complement (array 0 is the time reference, delta_0 = 0).
+    New capability — the reference is a single synchronous array
+    (src/components/constants.h ADC channel map); cross-array baselines
+    are exactly what fixes its range ambiguity, and offsets are what a
+    real distributed deployment must estimate to use them.
+
+    tdoas: [E, P] seconds over pairs into the CONCATENATED mic set;
+    mic_array_id: [Mall] array index per mic; init_xy: [E, 2] (plane model
+    at z = height, world frame).  weights: optional [P] per-pair.
+    Returns (xy [E, 2], offsets_s [K-1] seconds, rms [E] meters).
+    """
+    if n_arrays < 2:
+        raise ValueError("solve_tdoa_sync needs >= 2 arrays")
+    dt = init_xy.dtype
+    e_events = tdoas.shape[0]
+    m = mic_positions.shape[0]
+    mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
+        mic_positions.astype(dt))
+    c = jnp.asarray(speed_of_sound, dt)
+    h = jnp.asarray(height, dt)
+    target = tdoas.astype(dt) * c  # [E, P] meters
+    damp = jnp.asarray(damping, dt)
+    kk = n_arrays - 1
+
+    sel = consistency.pair_selection(pairs, m, dt)  # [P, M] +-1
+    # offset-difference design D [P, K-1]: row p reads
+    # delta_a(j_p) - delta_a(i_p) with delta_0 fixed at 0
+    a_of = jnp.asarray(mic_array_id, jnp.int32)
+    aj = jnp.take(a_of, pairs[:, 1])  # [P]
+    ai = jnp.take(a_of, pairs[:, 0])
+    ks = jnp.arange(1, n_arrays, dtype=jnp.int32)
+    d_mat = ((aj[:, None] == ks) .astype(dt)
+             - (ai[:, None] == ks).astype(dt))  # [P, K-1]
+    w = None if weights is None else weights.astype(dt)  # [P]
+    jd = c * d_mat  # [P, K-1] d residual / d offsets (constant)
+    jd_w = jd if w is None else jd * w[:, None]
+
+    def dist_grad(xy):
+        """plane model: source (x, y, height); d [E, M], grad [E, M, 2]."""
+        s = jnp.concatenate(
+            [xy, jnp.full(xy.shape[:-1] + (1,), h, dt)], axis=-1)
+        diff = s[..., None, :] - mic3  # [E, M, 3]
+        d = jnp.linalg.norm(diff, axis=-1)
+        u = diff / jnp.maximum(d[..., None], 1e-12)
+        return d, u[..., :2]
+
+    def step(xy, off):
+        d, gd = dist_grad(xy)  # [E, M], [E, M, 2]
+        r = (jnp.einsum("pm,em->ep", sel, d, precision=_HI)
+             + c * (d_mat @ off) - target)  # [E, P] meters
+        jp = jnp.einsum("pm,emj->epj", sel, gd, precision=_HI)  # [E, P, 2]
+        if w is not None:
+            r = r * w
+            jp = jp * w[:, None]
+        # normal-equation blocks
+        a = jnp.einsum("epi,epj->eij", jp, jp, precision=_HI)  # [E, 2, 2]
+        b = jnp.einsum("epi,pk->eik", jp, jd_w, precision=_HI)  # [E, 2, K-1]
+        bp = jnp.einsum("epi,ep->ei", jp, r, precision=_HI)  # [E, 2]
+        cmat = e_events * jnp.matmul(jd_w.T, jd_w, precision=_HI)  # [K-1,K-1]
+        bd = jnp.einsum("pk,ep->k", jd_w, r, precision=_HI)  # [K-1]
+        # closed-form damped 2x2 inverses
+        a00 = a[:, 0, 0] + damp
+        a11 = a[:, 1, 1] + damp
+        a01 = a[:, 0, 1]
+        det = jnp.maximum(jnp.abs(a00 * a11 - a01 * a01), 1e-20)
+        inv = jnp.stack([
+            jnp.stack([a11, -a01], axis=-1),
+            jnp.stack([-a01, a00], axis=-1)], axis=-2) / det[:, None, None]
+        ainv_b = jnp.einsum("eij,ejk->eik", inv, b,
+                            precision=_HI)  # [E, 2, K-1]
+        ainv_bp = jnp.einsum("eij,ej->ei", inv, bp, precision=_HI)  # [E, 2]
+        # offset Schur complement
+        schur = (cmat - jnp.einsum("eik,eil->kl", b, ainv_b, precision=_HI)
+                 + damp * jnp.eye(kk, dtype=dt))
+        rhs = bd - jnp.einsum("eik,ei->k", b, ainv_bp, precision=_HI)
+        d_off = jnp.linalg.solve(schur, rhs[:, None])[:, 0]  # [K-1]
+        d_xy = ainv_bp - jnp.einsum("eik,k->ei", ainv_b, d_off,
+                                    precision=_HI)  # [E, 2]
+        return xy - d_xy, off - d_off
+
+    xy = init_xy.astype(dt)
+    off = (jnp.zeros((kk,), dt) if init_offsets_s is None
+           else init_offsets_s.astype(dt))
+    for _ in range(iterations):  # statically unrolled (small graphs)
+        xy, off = step(xy, off)
+
+    d, _ = dist_grad(xy)
+    r = (jnp.einsum("pm,em->ep", sel, d, precision=_HI)
+         + c * (d_mat @ off) - target)
+    if w is not None:
+        r = r * w
+    rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
+    return xy, off, rms
+
+
 def farfield_bearing(
     tdoas: jnp.ndarray,
     mic_positions: jnp.ndarray,
