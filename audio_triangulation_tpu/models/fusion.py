@@ -176,7 +176,8 @@ class ArrayFusionLocalizer:
         )
 
     def localize_sync(self, frames: jnp.ndarray,
-                      weights: jnp.ndarray | None = None) -> dict:
+                      weights: jnp.ndarray | None = None,
+                      event_times_s: jnp.ndarray | None = None) -> dict:
         """Joint localization + clock synchronization over an EVENT BATCH.
 
         frames [E, K, M, N]: E events captured by K free-running (mutually
@@ -184,8 +185,12 @@ class ArrayFusionLocalizer:
         per-array clock offsets; all E positions and the K-1 shared offsets
         (array 0 = time reference) are solved jointly
         (ops.solver.solve_tdoa_sync).  More events pin the offsets harder.
+        With ``event_times_s`` [E] (capture timestamps), per-array clock
+        DRIFT rates are estimated too (offset + skew model — free-running
+        crystals drift tens of samples per minute).
         Returns the intra-only outputs plus 'xy_sync' [E, 2],
-        'clock_offsets_s' [K-1], 'sync_rms_m' [E], 'tdoa_cross' [E, Pc]."""
+        'clock_offsets_s' [K-1], 'sync_rms_m' [E], 'tdoa_cross' [E, Pc]
+        (+ 'clock_drift' [K-1] seconds/second when times are given)."""
         k, m = self.params.mic_world.shape[:2]
         n = self.pipeline.frame_size
         if frames.ndim != 4 or frames.shape[-3:] != (k, m, n):
@@ -194,7 +199,11 @@ class ArrayFusionLocalizer:
                 f"{n} samples]; got {frames.shape}")
         w = (jnp.ones((k,), jnp.float32) if weights is None
              else jnp.asarray(weights, jnp.float32))
-        return self._jitted_sync(self.params, frames, w)
+        times = (None if event_times_s is None
+                 else jnp.asarray(event_times_s, jnp.float32))
+        # None vs array retraces the same jitted callable (two cache
+        # entries: offset-only and offset+drift)
+        return self._jitted_sync(self.params, frames, w, times)
 
     @functools.cached_property
     def _jitted_sync(self):
@@ -351,6 +360,7 @@ def fuse_frames_sync(
     params: FusionParams,
     frames: jnp.ndarray,
     weights: jnp.ndarray,
+    event_times_s: jnp.ndarray | None = None,
     *,
     cfg: PipelineConfig,
     grid_cfg: GridConfig,
@@ -390,15 +400,21 @@ def fuse_frames_sync(
         * jnp.take(weights, jnp.take(aid, params.cross_pairs[:, 1])))
     w_all = jnp.concatenate([w_intra, w_cross])
 
-    xy_sync, offsets, rms = solver_ops.solve_tdoa_sync(
+    res = solver_ops.solve_tdoa_sync(
         tdoa_all, params.cat_mics, pairs_all,
         aid, int(params.mic_world.shape[0]),
         speed_of_sound=cfg.speed_of_sound_mps,
         height=grid_cfg.height_m,
         init_xy=out["xy"],
         weights=w_all,
+        event_times_s=event_times_s,
         iterations=solver_cfg.iterations + 4,
         damping=solver_cfg.damping)
+    if event_times_s is None:
+        xy_sync, offsets, rms = res
+    else:
+        xy_sync, offsets, drift, rms = res
+        out["clock_drift"] = drift
     out["xy_sync"] = xy_sync
     out["clock_offsets_s"] = offsets
     out["sync_rms_m"] = rms

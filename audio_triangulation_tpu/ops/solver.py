@@ -408,9 +408,10 @@ def solve_tdoa_sync(
     init_xy: jnp.ndarray,
     init_offsets_s: jnp.ndarray | None = None,
     weights: jnp.ndarray | None = None,
+    event_times_s: jnp.ndarray | None = None,
     iterations: int = 12,
     damping: float = 1e-3,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """Joint localization + clock synchronization across arrays.
 
     Multi-array fusion with independent ADC clocks: a TDOA between mics of
@@ -422,23 +423,31 @@ def solve_tdoa_sync(
     positions and the shared per-array offsets jointly by damped
     Gauss-Newton with the classic bundle-adjustment structure: the normal
     matrix is block-diagonal in the E per-event 2x2 position blocks plus a
-    dense (K-1) offset block, so each iteration eliminates the positions by
-    a batched closed-form 2x2 inverse and solves only the small offset
-    Schur complement (array 0 is the time reference, delta_0 = 0).
+    dense shared block, so each iteration eliminates the positions by a
+    batched closed-form 2x2 inverse and solves only the small shared Schur
+    complement (array 0 is the time reference, delta_0 = 0).
     New capability — the reference is a single synchronous array
     (src/components/constants.h ADC channel map); cross-array baselines
     are exactly what fixes its range ambiguity, and offsets are what a
     real distributed deployment must estimate to use them.
 
+    With ``event_times_s`` [E] given, each array's clock error is modeled
+    as offset PLUS skew, delta_k + rho_k * (t - t_mean) — free-running
+    ADC crystals drift tens of ppm, i.e. tens of samples per minute, so
+    any session longer than a few seconds needs the linear term.  The
+    shared block then has 2(K-1) unknowns and the drift rate rho
+    (seconds of clock error per second) is returned too.
+
     tdoas: [E, P] seconds over pairs into the CONCATENATED mic set;
     mic_array_id: [Mall] array index per mic; init_xy: [E, 2] (plane model
     at z = height, world frame).  weights: optional [P] per-pair.
-    Returns (xy [E, 2], offsets_s [K-1] seconds, rms [E] meters).
+    Returns (xy [E, 2], offsets_s [K-1], rms [E]) — plus drift [K-1]
+    before rms when ``event_times_s`` is given:
+    (xy, offsets_s, drift_s_per_s, rms).
     """
     if n_arrays < 2:
         raise ValueError("solve_tdoa_sync needs >= 2 arrays")
     dt = init_xy.dtype
-    e_events = tdoas.shape[0]
     m = mic_positions.shape[0]
     mic3 = jnp.zeros((m, 3), dt).at[:, : mic_positions.shape[1]].set(
         mic_positions.astype(dt))
@@ -447,6 +456,8 @@ def solve_tdoa_sync(
     target = tdoas.astype(dt) * c  # [E, P] meters
     damp = jnp.asarray(damping, dt)
     kk = n_arrays - 1
+    with_drift = event_times_s is not None
+    n_shared = 2 * kk if with_drift else kk
 
     sel = consistency.pair_selection(pairs, m, dt)  # [P, M] +-1
     # offset-difference design D [P, K-1]: row p reads
@@ -455,10 +466,22 @@ def solve_tdoa_sync(
     aj = jnp.take(a_of, pairs[:, 1])  # [P]
     ai = jnp.take(a_of, pairs[:, 0])
     ks = jnp.arange(1, n_arrays, dtype=jnp.int32)
-    d_mat = ((aj[:, None] == ks) .astype(dt)
+    d_mat = ((aj[:, None] == ks).astype(dt)
              - (ai[:, None] == ks).astype(dt))  # [P, K-1]
     w = None if weights is None else weights.astype(dt)  # [P]
-    jd = c * d_mat  # [P, K-1] d residual / d offsets (constant)
+    # per-event shared-block Jacobian jd [E, P, S]: c*D for the offsets,
+    # c*D*(t_e - t_mean) for the drift columns (centered times keep the
+    # two column groups near-orthogonal)
+    e_events = tdoas.shape[0]
+    if with_drift:
+        t = event_times_s.astype(dt)
+        t = t - jnp.mean(t)  # [E]
+        jd = jnp.concatenate([
+            jnp.broadcast_to(c * d_mat, (e_events,) + d_mat.shape),
+            c * d_mat * t[:, None, None]], axis=-1)  # [E, P, 2(K-1)]
+    else:
+        jd = jnp.broadcast_to(
+            c * d_mat, (e_events,) + d_mat.shape)  # [E, P, K-1]
     jd_w = jd if w is None else jd * w[:, None]
 
     def dist_grad(xy):
@@ -470,20 +493,25 @@ def solve_tdoa_sync(
         u = diff / jnp.maximum(d[..., None], 1e-12)
         return d, u[..., :2]
 
-    def step(xy, off):
-        d, gd = dist_grad(xy)  # [E, M], [E, M, 2]
+    def raw_residual(xy, shared):
+        d, gd = dist_grad(xy)
         r = (jnp.einsum("pm,em->ep", sel, d, precision=_HI)
-             + c * (d_mat @ off) - target)  # [E, P] meters
+             + jnp.einsum("eps,s->ep", jd, shared, precision=_HI)
+             - target)  # [E, P] meters
+        return r, gd
+
+    def step(xy, shared):
+        r, gd = raw_residual(xy, shared)
         jp = jnp.einsum("pm,emj->epj", sel, gd, precision=_HI)  # [E, P, 2]
         if w is not None:
             r = r * w
             jp = jp * w[:, None]
         # normal-equation blocks
         a = jnp.einsum("epi,epj->eij", jp, jp, precision=_HI)  # [E, 2, 2]
-        b = jnp.einsum("epi,pk->eik", jp, jd_w, precision=_HI)  # [E, 2, K-1]
+        b = jnp.einsum("epi,eps->eis", jp, jd_w, precision=_HI)  # [E, 2, S]
         bp = jnp.einsum("epi,ep->ei", jp, r, precision=_HI)  # [E, 2]
-        cmat = e_events * jnp.matmul(jd_w.T, jd_w, precision=_HI)  # [K-1,K-1]
-        bd = jnp.einsum("pk,ep->k", jd_w, r, precision=_HI)  # [K-1]
+        cmat = jnp.einsum("eps,epq->sq", jd_w, jd_w, precision=_HI)  # [S, S]
+        bd = jnp.einsum("eps,ep->s", jd_w, r, precision=_HI)  # [S]
         # closed-form damped 2x2 inverses
         a00 = a[:, 0, 0] + damp
         a11 = a[:, 1, 1] + damp
@@ -492,31 +520,32 @@ def solve_tdoa_sync(
         inv = jnp.stack([
             jnp.stack([a11, -a01], axis=-1),
             jnp.stack([-a01, a00], axis=-1)], axis=-2) / det[:, None, None]
-        ainv_b = jnp.einsum("eij,ejk->eik", inv, b,
-                            precision=_HI)  # [E, 2, K-1]
+        ainv_b = jnp.einsum("eij,ejs->eis", inv, b,
+                            precision=_HI)  # [E, 2, S]
         ainv_bp = jnp.einsum("eij,ej->ei", inv, bp, precision=_HI)  # [E, 2]
-        # offset Schur complement
-        schur = (cmat - jnp.einsum("eik,eil->kl", b, ainv_b, precision=_HI)
-                 + damp * jnp.eye(kk, dtype=dt))
-        rhs = bd - jnp.einsum("eik,ei->k", b, ainv_bp, precision=_HI)
-        d_off = jnp.linalg.solve(schur, rhs[:, None])[:, 0]  # [K-1]
-        d_xy = ainv_bp - jnp.einsum("eik,k->ei", ainv_b, d_off,
+        # shared-block Schur complement
+        schur = (cmat - jnp.einsum("eis,eiq->sq", b, ainv_b, precision=_HI)
+                 + damp * jnp.eye(n_shared, dtype=dt))
+        rhs = bd - jnp.einsum("eis,ei->s", b, ainv_bp, precision=_HI)
+        d_sh = jnp.linalg.solve(schur, rhs[:, None])[:, 0]  # [S]
+        d_xy = ainv_bp - jnp.einsum("eis,s->ei", ainv_b, d_sh,
                                     precision=_HI)  # [E, 2]
-        return xy - d_xy, off - d_off
+        return xy - d_xy, shared - d_sh
 
     xy = init_xy.astype(dt)
-    off = (jnp.zeros((kk,), dt) if init_offsets_s is None
-           else init_offsets_s.astype(dt))
+    shared = jnp.zeros((n_shared,), dt)
+    if init_offsets_s is not None:
+        shared = shared.at[:kk].set(init_offsets_s.astype(dt))
     for _ in range(iterations):  # statically unrolled (small graphs)
-        xy, off = step(xy, off)
+        xy, shared = step(xy, shared)
 
-    d, _ = dist_grad(xy)
-    r = (jnp.einsum("pm,em->ep", sel, d, precision=_HI)
-         + c * (d_mat @ off) - target)
+    r, _ = raw_residual(xy, shared)
     if w is not None:
         r = r * w
     rms = jnp.sqrt(jnp.mean(r * r, axis=-1))
-    return xy, off, rms
+    if with_drift:
+        return xy, shared[:kk], shared[kk:], rms
+    return xy, shared, rms
 
 
 def farfield_bearing(

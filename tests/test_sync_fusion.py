@@ -129,3 +129,76 @@ def test_localize_sync_validates_shape():
     fus = ArrayFusionLocalizer.create(ARRAYS[:2], PipelineConfig())
     with pytest.raises(ValueError):
         fus.localize_sync(jnp.zeros((2, 3, 4, 1024)))  # 3 arrays, built 2
+
+
+# ---------------------------------------------------------------------
+# Clock drift (skew): offset + rho*t model over timestamped events
+# ---------------------------------------------------------------------
+
+TRUE_DRIFT = np.array([0.0, 25e-6, -40e-6])  # s/s: 25 / -40 ppm skews
+
+
+def test_solver_recovers_drift_exactly():
+    """Noise-free TDOAs over a 40 s session: offsets AND ppm-scale drift
+    rates recovered (a 40 ppm skew is ~2 samples/second — ignoring it
+    would corrupt the whole session)."""
+    rng = np.random.default_rng(3)
+    pairs = geometry.mic_pairs(12)
+    src = rng.uniform(-2, 2, (8, 2))
+    times = np.linspace(0.0, 40.0, 8)
+    tdoa = _exact_tdoas(src, pairs)
+    off_t = (TRUE_OFF[None, :] + TRUE_DRIFT[None, :] * times[:, None])
+    dsign = off_t[:, AID[pairs[:, 1]]] - off_t[:, AID[pairs[:, 0]]]
+    tdoa = tdoa - (TRUE_OFF[AID[pairs[:, 1]]]
+                   - TRUE_OFF[AID[pairs[:, 0]]]) + dsign
+    init = src + rng.normal(0, 0.2, src.shape)
+    xy, off, drift, rms = solver_ops.solve_tdoa_sync(
+        jnp.asarray(tdoa, jnp.float32), jnp.asarray(CAT),
+        jnp.asarray(pairs), jnp.asarray(AID), 3,
+        speed_of_sound=C, height=H,
+        init_xy=jnp.asarray(init, jnp.float32),
+        event_times_s=jnp.asarray(times, jnp.float32))
+    # offsets are referenced to t_mean; compare the model at each event
+    tt = times - times.mean()
+    est_t = (np.concatenate([[0.0], np.asarray(off)])[None]
+             + np.concatenate([[0.0], np.asarray(drift)])[None]
+             * tt[:, None])
+    true_t = TRUE_OFF[None] + TRUE_DRIFT[None] * times[:, None]
+    true_t = true_t - true_t[:, :1]  # array 0 is the reference
+    est_t = est_t - est_t[:, :1]
+    # the absolute epoch is unobservable; compare offset DIFFERENCES
+    assert np.abs(est_t - true_t).max() * FS < 0.02, (est_t, true_t)
+    assert np.abs(np.asarray(xy) - src).max() < 2e-3
+    assert np.abs(np.asarray(drift) - TRUE_DRIFT[1:]).max() < 1e-7
+
+
+def test_localize_sync_with_drift_end_to_end():
+    """Raw frames over a 30 s session with drifting clocks: drift
+    recovered to ~1 ppm and positions stay cm-level, while the
+    offset-only model visibly degrades on the late events."""
+    fus = ArrayFusionLocalizer.create(
+        ARRAYS, PipelineConfig(phat=True, band_hz=(700.0, 7000.0)))
+    src = np.array([[0.8, 0.9], [-0.6, 1.6], [1.8, -0.4],
+                    [0.2, 2.2], [-1.2, -0.8], [2.4, 1.2],
+                    [0.5, 0.2], [-1.8, 1.0]])
+    times = np.linspace(0.0, 30.0, len(src))
+    mic3 = np.concatenate([CAT, np.zeros((12, 1))], -1)
+    src3 = np.concatenate([src, np.full((len(src), 1), H)], -1)
+    fr = synth.synth_scene(src3, mic3, noise_rms=0.004, seed=11)
+    off_t = (TRUE_OFF[None, :] + TRUE_DRIFT[None, :] * times[:, None])
+    fr = synth.fractional_delay(
+        fr, off_t[:, AID] * FS)  # [E, 12] per-event per-mic delays
+    frames = jnp.asarray(fr.reshape(len(src), 3, 4, -1), jnp.float32)
+
+    out = fus.localize_sync(frames, event_times_s=times)
+    drift = np.asarray(out["clock_drift"])
+    assert np.abs(drift - TRUE_DRIFT[1:]).max() < 3e-6, (
+        drift * 1e6, TRUE_DRIFT[1:] * 1e6)
+    err = np.linalg.norm(np.asarray(out["xy_sync"]) - src, axis=-1)
+    assert err.max() < 0.08, err
+
+    # offset-only model on the same drifting data: late events' cross
+    # TDOAs are samples off -> positions measurably worse
+    out0 = fus.localize_sync(frames)
+    err0 = np.linalg.norm(np.asarray(out0["xy_sync"]) - src, axis=-1)
+    assert err.mean() < err0.mean(), (err, err0)
