@@ -33,11 +33,16 @@ class TrackerConfig:
     """Constant-velocity Kalman tracker bank configuration."""
 
     max_tracks: int = 4
+    # position dimension: 2 (xy, the default) or 3 (xyz — pair with the
+    # volumetric localizer's 3-D positions).  State per track is
+    # [pos(dim), vel(dim)]; measurements are [dim].
+    dim: int = 2
     # continuous white-noise acceleration spectral density [(m/s^2)^2 * s]
     process_noise: float = 1.0
-    # measurement noise std [m] on each xy component
+    # measurement noise std [m] on each position component
     measurement_noise: float = 0.03
-    # association gate: Mahalanobis distance^2 (2 dof; 9.21 = 99%)
+    # association gate: Mahalanobis distance^2 (2 dof; 9.21 = 99%.
+    # For dim=3 the 99% point is 11.34 — set it explicitly)
     gate_maha2: float = 9.21
     # initial velocity std [m/s] for a freshly spawned track
     init_vel_std: float = 1.0
@@ -74,8 +79,8 @@ class TrackerConfig:
 class TrackState:
     """Tracker bank state (a pytree; leading axis = track slot)."""
 
-    x: jnp.ndarray        # [K, 4] state: x, y, vx, vy
-    p: jnp.ndarray        # [K, 4, 4] covariance
+    x: jnp.ndarray        # [K, 2*dim] state: pos(dim), vel(dim)
+    p: jnp.ndarray        # [K, 2*dim, 2*dim] covariance
     active: jnp.ndarray   # [K] bool
     hits: jnp.ndarray     # [K] int32
     last_t: jnp.ndarray   # [K] float32 time of last update
@@ -88,9 +93,10 @@ class TrackState:
 
 def init_state(cfg: TrackerConfig) -> TrackState:
     k = cfg.max_tracks
+    sd = 2 * cfg.dim
     return TrackState(
-        x=jnp.zeros((k, 4), jnp.float32),
-        p=jnp.zeros((k, 4, 4), jnp.float32),
+        x=jnp.zeros((k, sd), jnp.float32),
+        p=jnp.zeros((k, sd, sd), jnp.float32),
         active=jnp.zeros((k,), bool),
         hits=jnp.zeros((k,), jnp.int32),
         last_t=jnp.zeros((k,), jnp.float32),
@@ -143,74 +149,91 @@ def _joint_event_tables(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     return onehot, n_clutter
 
 
-def _predict(x, p, dt, q):
-    """CV-model predict for one track: x [4], p [4,4], dt scalar."""
-    f = jnp.eye(4, dtype=x.dtype)
-    f = f.at[0, 2].set(dt).at[1, 3].set(dt)
+def _inv_det(s):
+    """Batched closed-form inverse + determinant of tiny SPD innovation
+    covariances (2x2 / 3x3 adjugate — no per-track LU custom calls)."""
+    d = s.shape[-1]
+    if d == 2:
+        det = s[..., 0, 0] * s[..., 1, 1] - s[..., 0, 1] * s[..., 1, 0]
+        det = jnp.maximum(det, 1e-12)
+        inv = jnp.stack([
+            jnp.stack([s[..., 1, 1], -s[..., 0, 1]], -1),
+            jnp.stack([-s[..., 1, 0], s[..., 0, 0]], -1),
+        ], -2) / det[..., None, None]
+        return inv, det
+    if d == 3:
+        a, b, c = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+        dd, e, f = s[..., 1, 0], s[..., 1, 1], s[..., 1, 2]
+        g, h, i = s[..., 2, 0], s[..., 2, 1], s[..., 2, 2]
+        co00 = e * i - f * h
+        co01 = f * g - dd * i
+        co02 = dd * h - e * g
+        det = jnp.maximum(a * co00 + b * co01 + c * co02, 1e-15)
+        adj = jnp.stack([
+            jnp.stack([co00, c * h - b * i, b * f - c * e], -1),
+            jnp.stack([co01, a * i - c * g, c * dd - a * f], -1),
+            jnp.stack([co02, b * g - a * h, a * e - b * dd], -1),
+        ], -2)
+        return adj / det[..., None, None], det
+    det = jnp.maximum(jnp.linalg.det(s), 1e-15)
+    return jnp.linalg.inv(s), det
+
+
+def _predict(x, p, dt, q, dim):
+    """CV-model predict for one track: x [2*dim], p [2*dim, 2*dim]."""
+    f = jnp.eye(2 * dim, dtype=x.dtype)
+    f = f.at[jnp.arange(dim), dim + jnp.arange(dim)].set(dt)
     # white-noise-acceleration Q per axis
     d3 = dt * dt * dt / 3.0
     d2 = dt * dt / 2.0
-    qm = jnp.zeros((4, 4), x.dtype)
-    qm = qm.at[0, 0].set(d3).at[0, 2].set(d2)
-    qm = qm.at[2, 0].set(d2).at[2, 2].set(dt)
-    qm = qm.at[1, 1].set(d3).at[1, 3].set(d2)
-    qm = qm.at[3, 1].set(d2).at[3, 3].set(dt)
+    eye = jnp.eye(dim, dtype=x.dtype)
+    qm = jnp.concatenate([
+        jnp.concatenate([d3 * eye, d2 * eye], axis=1),
+        jnp.concatenate([d2 * eye, dt * eye], axis=1)], axis=0)
     xn = f @ x
     pn = f @ p @ f.T + q * qm
     return xn, pn
 
 
-def _predict_all(state: TrackState, t, cfg: TrackerConfig, r_terms=None):
+def _predict_all(state: TrackState, t, cfg: TrackerConfig, r=None):
     """Coast-drop + predict every active track to time t; returns the
-    predicted states and innovation-covariance pieces shared by the
-    association variants.
+    predicted states and the innovation covariance S = HPH' + R [K, d, d]
+    with its inverse/determinant, shared by the association variants.
 
-    ``r_terms`` = (r00, r11, r01) measurement-noise covariance components;
-    defaults to the isotropic cfg.measurement_noise**2."""
-    if r_terms is None:
-        r2 = cfg.measurement_noise ** 2
-        r_terms = (r2, r2, 0.0)
-    r00, r11, r01 = r_terms
+    ``r`` [d, d] measurement-noise covariance; defaults to the isotropic
+    cfg.measurement_noise**2 I."""
+    dim = cfg.dim
+    if r is None:
+        r = cfg.measurement_noise ** 2 * jnp.eye(dim, dtype=jnp.float32)
     stale = state.active & ((t - state.last_t) > cfg.max_coast_s)
     active = state.active & ~stale
     dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
 
     dt = jnp.maximum(t - state.last_t, 0.0) * active  # [K]
-    xp, pp = jax.vmap(_predict, in_axes=(0, 0, 0, None))(
-        state.x, state.p, dt, cfg.process_noise)
-    s00 = pp[:, 0, 0] + r00
-    s11 = pp[:, 1, 1] + r11
-    s01 = pp[:, 0, 1] + r01
-    det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
-    return active, dropped, xp, pp, s00, s11, s01, det
+    xp, pp = jax.vmap(
+        functools.partial(_predict, q=cfg.process_noise, dim=dim)
+    )(state.x, state.p, dt)
+    s = pp[:, :dim, :dim] + r
+    sinv, det = _inv_det(s)
+    return active, dropped, xp, pp, s, sinv, det
 
 
-def _spawn_cov(cfg: TrackerConfig, r_terms=None) -> jnp.ndarray:
-    if r_terms is None:
-        r2 = cfg.measurement_noise ** 2
-        r_terms = (r2, r2, 0.0)
-    r00 = jnp.asarray(r_terms[0], jnp.float32)
-    r11 = jnp.asarray(r_terms[1], jnp.float32)
-    r01 = jnp.asarray(r_terms[2], jnp.float32)
+def _spawn_cov(cfg: TrackerConfig, r=None) -> jnp.ndarray:
+    dim = cfg.dim
+    if r is None:
+        r = cfg.measurement_noise ** 2 * jnp.eye(dim, dtype=jnp.float32)
     v2 = jnp.asarray(cfg.init_vel_std ** 2, jnp.float32)
-    zero = jnp.zeros((), jnp.float32)
-    row = lambda a, b, c, d: jnp.stack([a, b, c, d])
-    return jnp.stack([
-        row(r00, r01, zero, zero),
-        row(r01, r11, zero, zero),
-        row(zero, zero, v2, zero),
-        row(zero, zero, zero, v2)])
+    z = jnp.zeros((dim, dim), jnp.float32)
+    return jnp.concatenate([
+        jnp.concatenate([r.astype(jnp.float32), z], axis=1),
+        jnp.concatenate([z, v2 * jnp.eye(dim, dtype=jnp.float32)], axis=1),
+    ], axis=0)
 
 
-def _gain(pp, s00, s11, s01, det):
+def _gain(pp, sinv, dim):
     """Kalman gain K = P H^T S^-1 (H = position selector), batched [K]."""
-    inv00 = s11 / det
-    inv11 = s00 / det
-    inv01 = -s01 / det
-    pht = pp[:, :, :2]  # [K, 4, 2]
-    sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
-                      jnp.stack([inv01, inv11], -1)], -2)  # [K, 2, 2]
-    return jnp.einsum("kij,kjl->kil", pht, sinv)  # [K, 4, 2]
+    pht = pp[:, :, :dim]  # [K, 2d, d]
+    return jnp.einsum("kij,kjl->kil", pht, sinv)  # [K, 2d, d]
 
 
 def step(
@@ -237,20 +260,17 @@ def step(
     - 'assigned' scalar int32: slot updated by this measurement (-1 none)
     """
     k = cfg.max_tracks
+    dim = cfg.dim
     z = z.astype(jnp.float32)
     t = jnp.asarray(t, jnp.float32)
 
-    r_terms = None
-    if z_cov is not None:
-        z_cov = z_cov.astype(jnp.float32)
-        r_terms = (z_cov[0, 0], z_cov[1, 1], z_cov[0, 1])
-    active, dropped, xp, pp, s00, s11, s01, det = _predict_all(
-        state, t, cfg, r_terms)
+    r = None if z_cov is None else z_cov.astype(jnp.float32)
+    active, dropped, xp, pp, s_cov, sinv, det = _predict_all(
+        state, t, cfg, r)
 
     # ---- associate: Mahalanobis distance to each predicted position -----
-    innov = z[None, :] - xp[:, :2]  # [K, 2]
-    maha2 = (innov[:, 0] ** 2 * s11 - 2.0 * innov[:, 0] * innov[:, 1] * s01
-             + innov[:, 1] ** 2 * s00) / det
+    innov = z[None, :] - xp[:, :dim]  # [K, d]
+    maha2 = jnp.einsum("ki,kij,kj->k", innov, sinv, innov)
     maha2 = jnp.where(active, maha2, jnp.inf)
     best = jnp.argmin(maha2)
     gated = active & (maha2 <= cfg.gate_maha2)  # [K]
@@ -262,7 +282,7 @@ def step(
         like = jnp.where(
             gated,
             jnp.exp(-0.5 * jnp.minimum(maha2, 80.0))
-            / (2.0 * jnp.pi * jnp.sqrt(det)),
+            / ((2.0 * jnp.pi) ** (dim / 2.0) * jnp.sqrt(det)),
             0.0)  # [K]
         denom = cfg.clutter_density + cfg.detect_prob * jnp.sum(like)
         b = valid * cfg.detect_prob * like / denom  # [K]
@@ -278,10 +298,10 @@ def step(
         spawn = valid & ~can_assoc
 
     # ---- weighted Kalman update (every gated track, weight b_k) ----------
-    gain = _gain(pp, s00, s11, s01, det)  # [K, 4, 2]
-    ky = jnp.einsum("kij,kj->ki", gain, innov)    # [K, 4] K @ innovation
+    gain = _gain(pp, sinv, dim)  # [K, 2d, d]
+    ky = jnp.einsum("kij,kj->ki", gain, innov)    # [K, 2d] K @ innovation
     x_new = xp + b[:, None] * ky
-    ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
+    ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :dim, :])  # K S K^T
     # PDA covariance: P- - b KSK' + b(1-b) (Ky)(Ky)' (the spread-of-means
     # term; zero in hard mode where b is 0/1)
     spread = (b * (1.0 - b))[:, None, None] * (
@@ -297,8 +317,8 @@ def step(
     have_free = jnp.any(free)
     do_spawn = spawn & have_free
     sm = (jnp.arange(k) == spawn_slot) & do_spawn
-    x0 = jnp.concatenate([z, jnp.zeros((2,), jnp.float32)])
-    p0 = _spawn_cov(cfg, r_terms)
+    x0 = jnp.concatenate([z, jnp.zeros((dim,), jnp.float32)])
+    p0 = _spawn_cov(cfg, r)
     x_new = jnp.where(sm[:, None], x0[None, :], x_new)
     p_new = jnp.where(sm[:, None, None], p0[None], p_new)
     active = active | sm
@@ -316,8 +336,8 @@ def step(
         born_t=born_t, track_id=track_id, next_id=next_id, dropped=dropped,
         unassigned=unassigned)
     out = {
-        "track_xy": x_new[:, :2],
-        "track_vel": x_new[:, 2:],
+        "track_xy": x_new[:, :dim],
+        "track_vel": x_new[:, dim:],
         "track_active": active,
         "track_confirmed": active & (hits >= cfg.confirm_hits),
         "track_id": track_id,
@@ -373,32 +393,31 @@ def step_multi(
     (tested).
     """
     k = cfg.max_tracks
+    dim = cfg.dim
     n = zs.shape[0]
     zs = zs.astype(jnp.float32)
     t = jnp.asarray(t, jnp.float32)
     valids = valids.astype(bool)
 
-    active, dropped, xp, pp, s00, s11, s01, det = _predict_all(state, t, cfg)
+    active, dropped, xp, pp, s_cov, sinv, det = _predict_all(state, t, cfg)
     if z_covs is not None:
         # heterogeneous R: innovation covariance per (measurement, track)
         z_covs = z_covs.astype(jnp.float32)
-        s00 = pp[None, :, 0, 0] + z_covs[:, None, 0, 0]  # [N, K]
-        s11 = pp[None, :, 1, 1] + z_covs[:, None, 1, 1]
-        s01 = pp[None, :, 0, 1] + z_covs[:, None, 0, 1]
-        det = jnp.maximum(s00 * s11 - s01 * s01, 1e-12)
+        s_cov = pp[None, :, :dim, :dim] + z_covs[:, None]  # [N, K, d, d]
+        sinv, det = _inv_det(s_cov)
 
     # ---- likelihood matrix over (measurement, track) ---------------------
-    # with z_covs, s00/s11/s01/det are already [N, K]; without, [K]
+    # with z_covs, sinv/det are already [N, K, ...]; without, [K, ...]
     # broadcasting against the [N, K] innovations below
-    innov = zs[:, None, :] - xp[None, :, :2]  # [N, K, 2]
-    maha2 = (innov[..., 0] ** 2 * s11
-             - 2.0 * innov[..., 0] * innov[..., 1] * s01
-             + innov[..., 1] ** 2 * s00) / det  # [N, K]
+    innov = zs[:, None, :] - xp[None, :, :dim]  # [N, K, d]
+    si = sinv if sinv.ndim == 4 else sinv[None]  # [N or 1, K, d, d]
+    maha2 = (innov[..., None, :] @ si
+             @ innov[..., :, None])[..., 0, 0]  # [N, K]
     gated = active[None, :] & (maha2 <= cfg.gate_maha2) & valids[:, None]
     like = jnp.where(
         gated,
         jnp.exp(-0.5 * jnp.minimum(maha2, 80.0))
-        / (2.0 * jnp.pi * jnp.sqrt(det)),
+        / ((2.0 * jnp.pi) ** (dim / 2.0) * jnp.sqrt(det)),
         0.0)  # [N, K]
     b_const = cfg.clutter_density / cfg.detect_prob
     if cfg.joint_association == "exact":
@@ -426,33 +445,28 @@ def step_multi(
     # ---- combined weighted Kalman update per track -----------------------
     w_k = jnp.sum(beta, axis=0)  # [K] total association probability
     if z_covs is None:
-        ybar = jnp.einsum("nk,nki->ki", beta, innov)  # [K, 2]
-        gain = _gain(pp, s00, s11, s01, det)  # [K, 4, 2]
+        ybar = jnp.einsum("nk,nki->ki", beta, innov)  # [K, d]
+        gain = _gain(pp, sinv, dim)  # [K, 2d, d]
         x_new = xp + jnp.einsum("kij,kj->ki", gain, ybar)
-        ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :2, :])  # K S K^T
+        ksk = jnp.einsum("kij,kjl->kil", gain, pp[:, :dim, :])  # K S K^T
         # spread-of-innovations term: K (sum_n b y y' - ybar ybar') K'
         yy = (jnp.einsum("nk,nki,nkj->kij", beta, innov, innov)
-              - ybar[:, :, None] * ybar[:, None, :])  # [K, 2, 2]
+              - ybar[:, :, None] * ybar[:, None, :])  # [K, d, d]
         p_new = (pp - w_k[:, None, None] * ksk
                  + jnp.einsum("kij,kjl,kml->kim", gain, yy, gain))
     else:
-        # per-(n, k) gains: K_nk = P_k H^T S_nk^-1 ([N, K, 4, 2])
-        inv00 = s11 / det
-        inv11 = s00 / det
-        inv01 = -s01 / det
-        sinv = jnp.stack([jnp.stack([inv00, inv01], -1),
-                          jnp.stack([inv01, inv11], -1)], -2)  # [N, K, 2, 2]
-        pht = pp[None, :, :, :2]  # [1, K, 4, 2]
+        # per-(n, k) gains: K_nk = P_k H^T S_nk^-1 ([N, K, 2d, d])
+        pht = pp[None, :, :, :dim]  # [1, K, 2d, d]
         gain_nk = jnp.einsum("nkij,nkjl->nkil",
                              jnp.broadcast_to(
                                  pht, (zs.shape[0],) + pht.shape[1:]),
-                             sinv)  # [N, K, 4, 2]
-        ky = jnp.einsum("nkij,nkj->nki", gain_nk, innov)  # [N, K, 4]
-        kybar = jnp.einsum("nk,nki->ki", beta, ky)        # [K, 4]
+                             sinv)  # [N, K, 2d, d]
+        ky = jnp.einsum("nkij,nkj->nki", gain_nk, innov)  # [N, K, 2d]
+        kybar = jnp.einsum("nk,nki->ki", beta, ky)        # [K, 2d]
         x_new = xp + kybar
         # P = P- - sum_n b K S K' + (sum_n b Ky Ky' - kybar kybar');
         # K S K' = K (H P) since K = P H' S^-1
-        hp = pp[None, :, :2, :]  # [1, K, 2, 4]
+        hp = pp[None, :, :dim, :]  # [1, K, d, 2d]
         ksk = jnp.einsum("nkij,nkjl->nkil", gain_nk,
                          jnp.broadcast_to(
                              hp, (zs.shape[0],) + hp.shape[1:]))
@@ -479,7 +493,7 @@ def step_multi(
         have_free = jnp.any(free)
         do_spawn = spawn_n[i] & have_free
         sm = (jnp.arange(k) == spawn_slot) & do_spawn
-        x0 = jnp.concatenate([zs[i], jnp.zeros((2,), jnp.float32)])
+        x0 = jnp.concatenate([zs[i], jnp.zeros((dim,), jnp.float32)])
         x_new = jnp.where(sm[:, None], x0[None, :], x_new)
         p_new = jnp.where(sm[:, None, None], p0[None], p_new)
         free = free & ~sm
@@ -498,8 +512,8 @@ def step_multi(
         unassigned=unassigned)
     dominant = (jnp.max(beta, axis=1) > 0.5)  # [N]
     out = {
-        "track_xy": x_new[:, :2],
-        "track_vel": x_new[:, 2:],
+        "track_xy": x_new[:, :dim],
+        "track_vel": x_new[:, dim:],
         "track_active": active,
         "track_confirmed": active & (hits_new >= cfg.confirm_hits),
         "track_id": track_id,

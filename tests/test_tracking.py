@@ -351,13 +351,11 @@ def test_step_multi_exact_beta_matches_bruteforce():
     # recompute the likelihood matrix the way step_multi does
     t1 = 1.05
     zs = np.array([[0.25, 0.05], [-0.05, 0.2]])
-    active, _, xp, pp, s00, s11, s01, det = tracking._predict_all(
+    active, _, xp, pp, s_cov, sinv, det = tracking._predict_all(
         st, jnp.float32(t1), cfg)
     innov = zs[:, None, :] - np.asarray(xp)[None, :, :2]
-    s00, s11, s01, det = (np.asarray(v) for v in (s00, s11, s01, det))
-    maha2 = (innov[..., 0] ** 2 * s11
-             - 2 * innov[..., 0] * innov[..., 1] * s01
-             + innov[..., 1] ** 2 * s00) / det
+    sinv, det = np.asarray(sinv), np.asarray(det)
+    maha2 = np.einsum("nki,kij,nkj->nk", innov, sinv, innov)
     like = np.where(np.asarray(active)[None, :],
                     np.exp(-0.5 * np.minimum(maha2, 80.0))
                     / (2 * np.pi * np.sqrt(det)), 0.0)
@@ -485,3 +483,100 @@ def test_step_multi_shared_measurement_splits_weight():
     on = beta[act[: len(beta)]] if beta.shape[0] == act.shape[0] else beta
     top2 = np.sort(beta)[-2:]
     assert top2[0] > 0.1 and top2[1] < 0.9, beta
+
+
+# ---------------------------------------------------------------------
+# 3-D tracking (dim=3): pairs with the volumetric localizer's xyz
+# ---------------------------------------------------------------------
+
+def test_track_3d_constant_velocity():
+    """dim=3 bank recovers position AND vertical velocity of a rising
+    source (the axis 2-D tracking cannot represent)."""
+    rng = np.random.default_rng(21)
+    cfg = TrackerConfig(dim=3, measurement_noise=0.03, process_noise=0.1,
+                        gate_maha2=11.34)
+    tr = Tracker(cfg)
+    st = tr.init()
+    p0 = np.array([0.2, -0.3, 0.5])
+    v = np.array([0.3, -0.1, 0.25])  # rising at 25 cm/s
+    out = None
+    for t in np.arange(0.1, 2.1, 0.1):
+        z = p0 + v * t + rng.normal(0, 0.02, 3)
+        st, out = tr.step(st, z, t)
+    k = int(np.asarray(out["assigned"]))
+    assert k >= 0 and bool(np.asarray(out["track_confirmed"])[k])
+    xyz = np.asarray(out["track_xy"])[k]       # [3] (name kept; [dim])
+    vel = np.asarray(out["track_vel"])[k]      # [3]
+    assert np.linalg.norm(xyz - (p0 + v * 2.0)) < 0.06, xyz
+    assert np.linalg.norm(vel - v) < 0.12, vel
+    assert abs(vel[2] - 0.25) < 0.1, vel
+
+
+def test_step_multi_3d_separates_heights():
+    """Two sources sharing (x, y) at different heights: a dim=3 JPDA bank
+    keeps two distinct confirmed tracks (a 2-D tracker would merge them)."""
+    rng = np.random.default_rng(22)
+    cfg = TrackerConfig(dim=3, association="soft", measurement_noise=0.03,
+                        process_noise=0.05, gate_maha2=11.34,
+                        joint_association="exact")
+    tr = Tracker(cfg)
+    st = tr.init()
+    out = None
+    for t in np.arange(0.1, 1.6, 0.1):
+        zs = np.stack([
+            np.array([0.4, 0.2, 0.6]) + rng.normal(0, 0.015, 3),
+            np.array([0.4, 0.2, 1.8]) + rng.normal(0, 0.015, 3)])
+        st, out = tr.step_multi(st, zs, t)
+    conf = np.asarray(out["track_confirmed"])
+    assert conf.sum() == 2, conf
+    zvals = np.sort(np.asarray(out["track_xy"])[conf][:, 2])
+    assert abs(zvals[0] - 0.6) < 0.1 and abs(zvals[1] - 1.8) < 0.1, zvals
+
+
+def test_volume_localizer_feeds_3d_tracker():
+    """End-to-end volumetric chain: raw frames of a moving source ->
+    VolumeLocalizer xyz -> dim=3 tracker -> confirmed track with the
+    injected 3-D velocity."""
+    from audio_triangulation_tpu import PipelineConfig, VolumeConfig
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.models.volume import VolumeLocalizer
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.tetrahedral_array(0.3)
+    cfg = PipelineConfig(
+        phat=True, band_hz=(700.0, 7000.0), window_enabled=False,
+        max_shift_samples=geometry.max_lag_for_array(
+            mics, PipelineConfig()))
+    vol = VolumeConfig(half_cells_x=14, half_cells_y=14, cells_per_m=10.0,
+                       z_min_m=0.3, z_max_m=2.1, z_cells=19)
+    loc = VolumeLocalizer.create(mics, cfg, vol)
+
+    p0 = np.array([0.3, -0.5, 0.6])
+    v = np.array([0.2, 0.3, 0.35])
+    times = np.arange(0.15, 1.66, 0.15)  # 11 events
+    src = p0 + v * times[:, None]
+    frames = jnp.asarray(
+        synth.synth_scene(src, mics, noise_rms=0.004, seed=23), jnp.float32)
+    xyz = np.asarray(loc(frames)["xyz"])  # [T, 3]
+
+    # low process noise: the source is truly constant-velocity, and the
+    # volumetric measurements have correlated errors along the weakly
+    # observable range direction that a twitchy filter would chase
+    tr = Tracker(TrackerConfig(dim=3, measurement_noise=0.04,
+                               process_noise=0.1, gate_maha2=11.34))
+    st = tr.init()
+    out = None
+    for t, z in zip(times, xyz):
+        st, out = tr.step(st, z, float(t))
+    k = int(np.asarray(out["assigned"]))
+    assert k >= 0 and bool(np.asarray(out["track_confirmed"])[k])
+    vel = np.asarray(out["track_vel"])[k]
+    assert np.linalg.norm(vel - v) < 0.25, (vel, v)
+    pos = np.asarray(out["track_xy"])[k]
+    assert np.linalg.norm(pos - src[-1]) < 0.12, (pos, src[-1])
+    # this trajectory contains one ~0.5 m range-direction outlier event:
+    # the 3-dof gate must have isolated it (spawned, never confirmed)
+    # instead of letting it pollute the confirmed track
+    conf = np.asarray(out["track_confirmed"])
+    act = np.asarray(out["track_active"])
+    assert act.sum() >= 2 and conf.sum() == 1, (act, conf)
