@@ -265,20 +265,25 @@ def _simulate_volume(args, mics):
         print(f"volume view -> {args.out}")
 
 
-def _make_tracker(enabled: bool):
+def _make_tracker(enabled: bool, dim: int = 2):
     """(tracker, state, update_fn) for the stream commands' --track flag;
-    update_fn(xy, cov, t) -> one-line track summary (or '')."""
+    update_fn(z, cov, t) -> one-line track summary (or '').  dim=3 pairs
+    with --solve-xyz (measurements are xyz; 99% chi2 gate for 3 dof)."""
     if not enabled:
         return None
 
     from ..models.tracking import Tracker, TrackerConfig
 
-    trk = Tracker(TrackerConfig())
+    trk = Tracker(TrackerConfig(dim=dim,
+                                gate_maha2=11.34 if dim == 3 else 9.21))
     holder = {"state": trk.init(), "n_active": 0}
 
-    def update(xy, cov, t):
+    def _fmt(v):
+        return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
+
+    def update(z, cov, t):
         holder["state"], out = trk.step(
-            holder["state"], np.asarray(xy, np.float32), float(t), True,
+            holder["state"], np.asarray(z, np.float32), float(t), True,
             z_cov=None if cov is None else np.asarray(cov, np.float32))
         k = int(out["assigned"])
         n_active = int(np.asarray(out["track_active"]).sum())
@@ -297,10 +302,10 @@ def _make_tracker(enabled: bool):
         vel = np.asarray(out["track_vel"])[k]
         conf = bool(np.asarray(out["track_confirmed"])[k])
         sig = ("" if cov is None else
-               f" sigma={np.sqrt(max(np.trace(np.asarray(cov)) / 2, 0)):.3f}m")
+               f" sigma="
+               f"{np.sqrt(max(np.trace(np.asarray(cov)) / dim, 0)):.3f}m")
         return (f"track #{tid}{'*' if conf else ''}: "
-                f"({txy[0]:+.3f}, {txy[1]:+.3f}) m "
-                f"v=({vel[0]:+.2f}, {vel[1]:+.2f}) m/s{sig}")
+                f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}")
 
     return update
 
@@ -385,7 +390,22 @@ def cmd_stream(args):
         return
 
     mics = _mic_array(args)
-    plane, event_frames = _build_scene(args, mics)
+    solve_xyz = bool(getattr(args, "solve_xyz", False))
+    if solve_xyz and np.ptp(mics[:, 2]) < 1e-6:
+        raise SystemExit(
+            "--solve-xyz needs a non-coplanar array (planar arrays cannot "
+            "resolve elevation sign); use --array tetra")
+    if solve_xyz:
+        # a genuinely 3-D scene: the source sits at (x, y, height) itself
+        # rather than the planar demo's sphere-projected point
+        from ..utils import synth
+
+        source = np.array([args.x, args.y, args.height])
+        plane = source[:2]
+        event_frames = synth.synth_scene(
+            source, mics, noise_rms=args.noise, seed=args.seed)
+    else:
+        plane, event_frames = _build_scene(args, mics)
 
     rng = np.random.default_rng(args.seed)
     t_len = args.duration_samples
@@ -399,10 +419,25 @@ def cmd_stream(args):
 
     rt = native_rt.create_ingest_runtime(mics.shape[0])
     kind = type(rt).__name__
-    pcfg = PipelineConfig(trigger_mode=args.trigger_mode,
-                          trigger_ratio=args.trigger_ratio)
+    if solve_xyz:
+        # free-3-D range rides wavefront curvature, so sub-sample TDOA
+        # accuracy matters: band-limited PHAT, window off (the DPSS taper
+        # amplitude-modulates large inter-mic delays, biasing peaks ~1
+        # sample), lag range from the actual array
+        from ..core import geometry
+
+        pcfg = PipelineConfig(
+            trigger_mode=args.trigger_mode,
+            trigger_ratio=args.trigger_ratio,
+            phat=True, band_hz=(700.0, 7000.0), window_enabled=False,
+            max_shift_samples=geometry.max_lag_for_array(
+                mics, PipelineConfig()))
+    else:
+        pcfg = PipelineConfig(trigger_mode=args.trigger_mode,
+                              trigger_ratio=args.trigger_ratio)
     sl = StreamingLocalizer.create(
-        mics, pcfg, stream=StreamConfig(chunk_size=args.chunk))
+        mics, pcfg,
+        stream=StreamConfig(chunk_size=args.chunk, solve_xyz=solve_xyz))
     state = sl.init_state()
     if args.checkpoint:
         import os
@@ -415,7 +450,8 @@ def cmd_stream(args):
             print(f"resumed from {args.checkpoint} "
                   f"(events so far: {int(state.event_count)})")
     meter = profiling.ThroughputMeter()
-    track = _make_tracker(getattr(args, "track", False))
+    track = _make_tracker(getattr(args, "track", False),
+                          dim=3 if solve_xyz else 2)
     extractor = None
     if getattr(args, "extract", None):
         import math
@@ -505,14 +541,20 @@ def cmd_stream(args):
             # GN-refined position when the streaming solver is on,
             # else the SRP grid peak
             xy = np.asarray(out.get("xy", out["xy_grid"]))
+            xyz = np.asarray(out["xyz"]) if "xyz" in out else None
             if live is None:
+                extra = ("" if xyz is None else
+                         f" xyz=({xyz[0]:+.3f}, {xyz[1]:+.3f}, "
+                         f"{xyz[2]:+.3f}) m")
                 print(f"event @ sample {int(out['trigger_abs'])}: "
-                      f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m "
+                      f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m{extra} "
                       f"shifts={np.asarray(out['best_shift'])}")
             if track is not None:
+                # the 3-D solve has no covariance output; the tracker's
+                # configured measurement noise stands in for it
                 cov = (np.asarray(out["xy_cov"])
-                       if "xy_cov" in out else None)
-                line = track(xy, cov,
+                       if "xy_cov" in out and xyz is None else None)
+                line = track(xy if xyz is None else xyz, cov,
                              int(out["trigger_abs"]) / 50_000.0)
                 if live is None:
                     print("  " + line)
@@ -786,7 +828,14 @@ def main(argv=None):
     p.add_argument("--track", action="store_true",
                    help="run the Kalman tracker over events (uses each "
                         "event's xy_cov as measurement noise); prints "
-                        "track id/position/velocity per event")
+                        "track id/position/velocity per event; with "
+                        "--solve-xyz the tracker runs in 3-D")
+    p.add_argument("--solve-xyz", action="store_true",
+                   help="also solve each event's free 3-D position from "
+                        "the smoothed TDOAs (multi-start GN over "
+                        "StreamConfig.xyz_z_inits; needs a non-coplanar "
+                        "array, e.g. --array tetra); the demo scene then "
+                        "places the source at (--x, --y, --height)")
     p.add_argument("--live", action="store_true",
                    help="in-place ANSI heatmap (the live VGA analogue)")
     p.add_argument("--refresh-hz", type=float, default=None,

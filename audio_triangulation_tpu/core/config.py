@@ -405,6 +405,13 @@ class StreamConfig:
     # back to the single vmapped program.  None disables chunking
     # (single vmapped program at any size).
     batch_chunk_streams: Optional[int] = 1024
+    # free-(x, y, z) solve of each step's smoothed TDOAs (with_solver
+    # path): multi-start GN over ``xyz_z_inits`` heights (no volumetric
+    # grid in the loop — ops.solver.solve_tdoa_xyz_multistart), adding
+    # 'xyz' / 'xyz_rms_m' outputs.  Wants a non-coplanar array
+    # (geometry.tetrahedral_array); pair with a dim=3 tracker.
+    solve_xyz: bool = False
+    xyz_z_inits: tuple = (0.4, 1.2, 2.0)
 
 
 @dataclasses.dataclass(frozen=True)

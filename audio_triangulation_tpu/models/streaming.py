@@ -123,6 +123,8 @@ class StreamingLocalizer:
                 n_sources=self.stream.n_sources,
                 multi_min_separation_m=self.stream.multi_min_separation_m,
                 multi_assoc_window=self.stream.multi_assoc_window_samples,
+                solve_xyz=self.stream.solve_xyz,
+                xyz_z_inits=self.stream.xyz_z_inits,
             ),
             donate_argnums=(0,),
         )
@@ -233,6 +235,8 @@ class StreamingLocalizer:
                 n_sources=self.stream.n_sources,
                 multi_min_separation_m=self.stream.multi_min_separation_m,
                 multi_assoc_window=self.stream.multi_assoc_window_samples,
+                solve_xyz=self.stream.solve_xyz,
+                xyz_z_inits=self.stream.xyz_z_inits,
             )
         )
         return jax.jit(vstep, donate_argnums=(0,))
@@ -323,6 +327,8 @@ def stream_step(
     n_sources: int = 1,
     multi_min_separation_m: float = 0.4,
     multi_assoc_window: float = 3.0,
+    solve_xyz: bool = False,
+    xyz_z_inits: tuple = (0.4, 1.2, 2.0),
 ):
     """One streaming step: returns (new_state, outputs dict).
 
@@ -434,6 +440,15 @@ def stream_step(
         out["xy_cov"] = solver_ops.solution_covariance(
             xy, rms, params.mic_positions, params.pairs,
             height=grid_cfg.height_m, cfg=solver_cfg)[0]
+        if solve_xyz:
+            # free 3-D position from the same smoothed TDOAs (multi-start
+            # GN; no volumetric grid in the loop) — feeds a dim=3 tracker
+            xyz, xyz_rms = solver_ops.solve_tdoa_xyz_multistart(
+                tdoa_s, params.mic_positions, params.pairs,
+                speed_of_sound=cfg.speed_of_sound_mps,
+                init_xy=xy, z_inits=xyz_z_inits)
+            out["xyz"] = xyz[0]
+            out["xyz_rms_m"] = xyz_rms[0]
 
     if n_sources > 1:
         # simultaneous-source resolution per event slot, from the RAW

@@ -396,6 +396,50 @@ def solve_tdoa_xyz(
     return xyz, rms
 
 
+def solve_tdoa_xyz_multistart(
+    tdoas: jnp.ndarray,
+    mic_positions: jnp.ndarray,
+    pairs: jnp.ndarray,
+    *,
+    speed_of_sound: float,
+    init_xy: jnp.ndarray,
+    z_inits: tuple = (0.4, 1.2, 2.0),
+    iterations: int = 40,
+    damping: float = 1e-4,
+    z_min: float = 0.05,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Free 3-D solve without a volumetric grid: multi-start over a few z
+    initializations, keeping the lowest-residual branch per batch item.
+
+    Rationale: from a single plane-height init, GN stalls on nearly
+    overhead sources (range enters only through wavefront curvature, so
+    the z gradient is tiny — measured 0.36 m residual error after 12
+    iterations); three z starts with light damping converge everywhere
+    (measured <1 cm on exact TDOAs, incl. the overhead case).  Cost is
+    len(z_inits) small batched solves — the streaming-step-friendly
+    alternative to scoring a full VolumeConfig grid.
+
+    tdoas: [B, P] seconds; init_xy: [B, 2].  Returns (xyz [B, 3], rms [B]).
+    """
+    outs = []
+    for z0 in z_inits:
+        init = jnp.concatenate(
+            [init_xy,
+             jnp.full(init_xy.shape[:-1] + (1,), z0, init_xy.dtype)],
+            axis=-1)
+        outs.append(solve_tdoa_xyz(
+            tdoas, mic_positions, pairs,
+            speed_of_sound=speed_of_sound, init_xyz=init,
+            iterations=iterations, damping=damping, z_min=z_min))
+    xyzs = jnp.stack([o[0] for o in outs])  # [Z, B, 3]
+    rmss = jnp.stack([o[1] for o in outs])  # [Z, B]
+    pick = jnp.argmin(rmss, axis=0)  # [B]
+    take = jax.nn.one_hot(pick, len(z_inits), dtype=xyzs.dtype)  # [B, Z]
+    xyz = jnp.einsum("bz,zbi->bi", take, xyzs)
+    rms = jnp.einsum("bz,zb->b", take, rmss)
+    return xyz, rms
+
+
 def solve_tdoa_sync(
     tdoas: jnp.ndarray,
     mic_positions: jnp.ndarray,

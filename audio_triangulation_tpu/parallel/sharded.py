@@ -141,6 +141,8 @@ def make_sharded_stream_step(sl, mesh):
             n_sources=sl.stream.n_sources,
             multi_min_separation_m=sl.stream.multi_min_separation_m,
             multi_assoc_window=sl.stream.multi_assoc_window_samples,
+            solve_xyz=sl.stream.solve_xyz,
+            xyz_z_inits=sl.stream.xyz_z_inits,
         )
     )
     # the single spec is a pytree prefix: every state leaf / the chunk array

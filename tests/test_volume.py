@@ -166,3 +166,37 @@ def test_z_refinement_resolves_range_ambiguity():
     assert abs(zi - 1) <= 1
     # refined: centimeter-level height
     assert abs(float(out["xyz"][0, 2]) - 0.8) < 0.05
+
+
+def test_streaming_solve_xyz():
+    """stream.solve_xyz: the live path emits a free-3-D position from each
+    step's smoothed TDOAs (multi-start GN, no volumetric grid in the loop),
+    ready for a dim=3 tracker."""
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+
+    rng = np.random.default_rng(31)
+    src = np.array([0.4, -0.3, 1.7])  # well off the default plane height
+    # ADC-scale stream (the detector threshold is the firmware's int
+    # formula): mid-scale DC + small noise + strong bursts
+    streams = rng.integers(127, 130, size=(4, 30_000)).astype(np.float64)
+    for at in (8_000, 20_000):
+        fr = synth.synth_scene(src, MICS_T, noise_rms=0.0,
+                               seed=int(at))[0]
+        streams[:, at: at + 1024] += 110.0 * fr
+    streams = np.clip(np.round(streams), 0, 255)
+
+    sl = StreamingLocalizer.create(
+        MICS_T, CFG_T,
+        stream=StreamConfig(chunk_size=512, solve_xyz=True,
+                            xyz_z_inits=(0.4, 1.2, 2.0)),
+        with_solver=True)
+    state = sl.init_state()
+    got = None
+    for i in range(0, 30_000 - 30_000 % 512, 512):
+        state, out = sl(state, jnp.asarray(streams[:, i: i + 512]))
+        if bool(out["event"]):
+            got = np.asarray(out["xyz"])
+    assert got is not None, "no events detected"
+    assert np.linalg.norm(got - src) < 0.12, (got, src)
+    assert abs(got[2] - 1.7) < 0.12, got
