@@ -200,3 +200,24 @@ def test_streaming_solve_xyz():
     assert got is not None, "no events detected"
     assert np.linalg.norm(got - src) < 0.12, (got, src)
     assert abs(got[2] - 1.7) < 0.12, got
+
+
+def test_xyz_multistart_recovers_overhead_source():
+    """The motivating case for solve_tdoa_xyz_multistart: a nearly overhead
+    source, where range enters only through wavefront curvature and a
+    single plane-height GN init stalls.  Exact TDOAs -> <1 cm."""
+    from audio_triangulation_tpu.ops import solver as solver_ops
+
+    pairs = geometry.mic_pairs(MICS_T.shape[0])
+    src = np.array([0.02, -0.01, 1.9])
+    d = np.linalg.norm(np.asarray(MICS_T, np.float64) - src, axis=1)
+    # ops.solver convention: tau_p = (d_j - d_i) / c (pair_selection)
+    td = (d[pairs[:, 1]] - d[pairs[:, 0]]) / CFG_T.speed_of_sound_mps
+
+    xyz, rms = solver_ops.solve_tdoa_xyz_multistart(
+        jnp.asarray(td, jnp.float64)[None],
+        jnp.asarray(MICS_T, jnp.float64), jnp.asarray(pairs),
+        speed_of_sound=CFG_T.speed_of_sound_mps,
+        init_xy=jnp.zeros((1, 2), jnp.float64))
+    assert np.linalg.norm(np.asarray(xyz[0]) - src) < 0.01, np.asarray(xyz)
+    assert float(rms[0]) < 1e-6
