@@ -231,6 +231,10 @@ class LocalizerServer:
             resp["xy"] = np.asarray(out["xy"]).tolist()
         if "xy_cov" in out:
             resp["xy_cov"] = np.asarray(out["xy_cov"]).tolist()
+        if "xyz" in out:
+            # free-3-D solve (StreamConfig.solve_xyz via stream_factory)
+            resp["xyz"] = np.asarray(out["xyz"]).tolist()
+            resp["xyz_rms_m"] = float(np.asarray(out["xyz_rms_m"]))
         return resp
 
     # ------------------------------------------------------------------

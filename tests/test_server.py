@@ -145,3 +145,48 @@ def test_wrong_shape_is_400(server):
     assert e.value.code == 400
     code, _ = _req(server, "/healthz")
     assert code == 200
+
+
+def test_streaming_session_serves_xyz():
+    """A stream_factory with StreamConfig.solve_xyz serves per-event free-3-D
+    positions ('xyz'/'xyz_rms_m') alongside the planar solve."""
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+
+    mics = geometry.tetrahedral_array(0.3)
+    cfg = PipelineConfig(
+        phat=True, band_hz=(700.0, 7000.0), window_enabled=False,
+        max_shift_samples=geometry.max_lag_for_array(mics, PipelineConfig()))
+    loc = Localizer.create(mics, cfg)
+    srv = LocalizerServer(
+        loc, port=0,
+        stream_factory=lambda: StreamingLocalizer.create(
+            mics, cfg, stream=StreamConfig(solve_xyz=True),
+            with_solver=True)).start()
+    try:
+        src = np.array([0.4, -0.3, 1.7])
+        frames = synth.synth_scene(src, mics, noise_rms=0.0, seed=7)
+        rng = np.random.default_rng(7)
+        streams = rng.integers(127, 130, size=(4, 8192)).astype(np.float64)
+        streams[:, 3000:3000 + 1024] += 110.0 * frames[0]
+        streams = np.clip(np.round(streams), 0, 255).astype(np.float32)
+
+        code, body = _req(srv, "/streams", b"{}",
+                          headers={"Content-Type": "application/json"})
+        assert code == 200
+        sid = body["id"]
+        got = None
+        for i in range(0, streams.shape[-1] - 511, 512):
+            c = np.ascontiguousarray(streams[:, i: i + 512])
+            code, out = _req(
+                srv, f"/streams/{sid}", c.tobytes(),
+                headers={"Content-Type": "application/octet-stream",
+                         "X-Shape": f"{c.shape[0]},{c.shape[1]}"})
+            assert code == 200
+            if out["event"]:
+                got = out
+        assert got is not None and "xyz" in got, got
+        assert np.linalg.norm(np.asarray(got["xyz"]) - src) < 0.15, got
+        assert got["xyz_rms_m"] < 0.05
+    finally:
+        srv.stop()
