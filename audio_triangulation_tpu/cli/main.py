@@ -617,6 +617,33 @@ def cmd_doa(args):
     from ..models.doa import DoaEstimator
     from ..utils import synth
 
+    if getattr(args, "elevation", None) is not None:
+        # spherical DoA: plane wave from (azimuth, elevation) on a tetra
+        # array, azimuth AND elevation estimated (Doa3dEstimator)
+        from ..core.config import PipelineConfig
+        from ..models.doa import Doa3dEstimator
+
+        mics = geometry.tetrahedral_array(0.3)
+        cfg = PipelineConfig(
+            phat=True, window_enabled=False,
+            max_shift_samples=geometry.max_lag_for_array(
+                mics, PipelineConfig()))
+        est = Doa3dEstimator.create(mics, cfg, n_dirs=2048)
+        az, el = np.deg2rad(args.azimuth), np.deg2rad(args.elevation)
+        u = np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                      np.sin(el)])
+        rng = np.random.default_rng(args.seed)
+        tau = -(np.asarray(mics, np.float64) @ u) / 343.0 * 50_000.0
+        sig = synth.chirp_burst(1024, 50_000.0)
+        frames = synth.fractional_delay(
+            np.broadcast_to(sig, (mics.shape[0], 1024)), tau)
+        frames = frames + rng.normal(0, args.noise, frames.shape)
+        out = est(jnp.asarray(frames, jnp.float32)[None])
+        print(f"true bearing : az {args.azimuth:7.2f}  "
+              f"el {args.elevation:6.2f} deg")
+        print(f"SRP estimate : az {float(out['azimuth_deg'][0]):7.2f}  "
+              f"el {float(out['elevation_deg'][0]):6.2f} deg")
+        return
     mics = geometry.circular_array(args.mics, 0.15)
     ang = np.deg2rad(args.azimuth)
     src = 50.0 * np.array([np.cos(ang), np.sin(ang), 0.0])
@@ -869,6 +896,10 @@ def main(argv=None):
                    help="'music' runs wideband subspace DoA over "
                         "--snapshots independent bursts")
     p.add_argument("--snapshots", type=int, default=12)
+    p.add_argument("--elevation", type=float, default=None,
+                   help="also estimate elevation: spherical SRP on a "
+                        "tetrahedral array with the plane wave arriving "
+                        "from (--azimuth, --elevation) degrees")
     p.set_defaults(fn=cmd_doa)
 
     p = sub.add_parser("gen-window", help="emit the Q15 DPSS window C table")

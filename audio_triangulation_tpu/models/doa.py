@@ -388,3 +388,164 @@ def estimate_doa_music(
     if n_estimated is not None:
         out["n_sources_estimated"] = n_estimated  # 0 = silence detected
     return out
+
+
+# ----------------------------------------------------------------------
+# Spherical (azimuth + elevation) SRP DoA — full-bearing generalization of
+# the azimuth estimator for non-coplanar (e.g. tetrahedral) arrays.
+# New capability beyond the reference (whose only spatial model is the
+# near-field planar grid, src/components/vga/vga_heatmap.h:48-93).
+
+
+def sphere_directions(n_dirs: int, hemisphere: bool = False) -> np.ndarray:
+    """Fibonacci lattice of unit bearings [D, 3] — near-uniform coverage of
+    the full sphere (or the upper hemisphere: the right steering set for
+    coplanar arrays, whose +-z ambiguity makes the lower half redundant)."""
+    i = np.arange(n_dirs, dtype=np.float64) + 0.5
+    z = 1.0 - (i / n_dirs if hemisphere else 2.0 * i / n_dirs)
+    phi = i * (np.pi * (3.0 - np.sqrt(5.0)))  # golden angle
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack(
+        [r * np.cos(phi), r * np.sin(phi), z], axis=-1).astype(np.float32)
+
+
+def sphere_lag_lut(
+    mic_positions: np.ndarray,
+    pairs: np.ndarray,
+    pipeline: PipelineConfig,
+    dirs: np.ndarray,
+) -> np.ndarray:
+    """Integer lag LUT [P, D] over unit bearings ``dirs`` [D, 3] (the
+    spherical analogue of :func:`azimuth_lag_lut`; same far-field TDOA
+    model tau_p(u) = -(m_j - m_i) . u / c and firmware rounding)."""
+    m = np.asarray(mic_positions, np.float64)
+    m3 = np.zeros((m.shape[0], 3))
+    m3[:, : m.shape[1]] = m
+    d = m3[pairs[:, 1]] - m3[pairs[:, 0]]  # [P, 3]
+    tau = -(d @ np.asarray(dirs, np.float64).T) / pipeline.speed_of_sound_mps
+    v = tau * pipeline.sample_rate_hz
+    shifts = np.trunc(v + np.copysign(0.5, v)).astype(np.int32)
+    k = pipeline.max_shift
+    return np.clip(shifts, -k, k) + k
+
+
+@dataclasses.dataclass(frozen=True)
+class Doa3dEstimator:
+    """Jitted spherical SRP estimator: azimuth AND elevation.
+
+    Scores a Fibonacci lattice of bearings with the same one-hot steering
+    matmul as the azimuth estimator, then refines the grid peak with the
+    dimension-generic least-squares bearing solve on the sub-sample TDOAs
+    (ops.solver.farfield_bearing).  Elevation needs a non-coplanar array
+    (geometry.tetrahedral_array); coplanar arrays are accepted but steer
+    the upper hemisphere only (+-z ambiguity) and their LS z-component is
+    damped to ~0, so 'elevation_deg' is grid-resolution-coarse there."""
+
+    pipeline: PipelineConfig
+    dirs: jnp.ndarray  # [D, 3] unit bearings
+    params: localizer_mod.LocalizerParams  # mic_positions stored [M, 3]
+    onehot_sph: jnp.ndarray  # [P*L, D]
+
+    @classmethod
+    def create(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig = PipelineConfig(phat=True),
+        n_dirs: int = 2048,
+        *,
+        hemisphere: bool | None = None,
+    ) -> "Doa3dEstimator":
+        """``hemisphere=None`` auto-selects: upper hemisphere for coplanar
+        arrays, full sphere otherwise."""
+        m = np.asarray(mic_positions, np.float32)
+        m3 = np.zeros((m.shape[0], 3), np.float32)
+        m3[:, : m.shape[1]] = m
+        if hemisphere is None:
+            hemisphere = bool(np.ptp(m3[:, 2]) < 1e-6)
+        dirs = sphere_directions(n_dirs, hemisphere=hemisphere)
+        pairs = geometry.mic_pairs(m3.shape[0])
+        lut = sphere_lag_lut(m3, pairs, pipeline, dirs)  # [P, D]
+        num_lags = pipeline.num_lags
+        p = lut.shape[0]
+        onehot = np.zeros((p, num_lags, n_dirs), np.float32)
+        pp = np.repeat(np.arange(p), n_dirs)
+        onehot[pp, lut.ravel(), np.tile(np.arange(n_dirs), p)] = 1.0
+        params = localizer_mod.LocalizerParams(
+            mic_positions=jnp.asarray(m3),
+            pairs=jnp.asarray(pairs),
+            window=jnp.asarray(window_ops.window_for(pipeline)),
+            lut_flat=jnp.asarray(lut),
+            onehot=None,
+            score_bias=None,
+        )
+        return cls(pipeline=pipeline, dirs=jnp.asarray(dirs), params=params,
+                   onehot_sph=jnp.asarray(
+                       onehot.reshape(p * num_lags, n_dirs)))
+
+    def __call__(self, frames: jnp.ndarray) -> dict:
+        return self._jitted(self.params, self.onehot_sph, self.dirs, frames)
+
+    @functools.cached_property
+    def _jitted(self):
+        pairs_static = tuple(
+            tuple(int(v) for v in row)
+            for row in np.asarray(self.params.pairs))
+        coplanar = bool(
+            np.ptp(np.asarray(self.params.mic_positions)[:, 2]) < 1e-6)
+        return jax.jit(functools.partial(
+            estimate_doa_3d, cfg=self.pipeline, pairs_static=pairs_static,
+            coplanar=coplanar))
+
+
+def estimate_doa_3d(
+    params: localizer_mod.LocalizerParams,
+    onehot_sph: jnp.ndarray,
+    dirs: jnp.ndarray,
+    frames: jnp.ndarray,
+    *,
+    cfg: PipelineConfig,
+    pairs_static: tuple | None = None,
+    coplanar: bool = False,
+) -> dict:
+    """frames [..., M, N] -> spherical DoA.
+
+    Returns 'azimuth_deg'/'elevation_deg' [...], 'bearing' [..., 3]
+    (refined unit), 'bearing_grid' [..., 3] (lattice peak), 'scores'
+    [..., D], 'tdoa_samples', 'best_shift'.  Non-coplanar arrays refine
+    both angles with the LS bearing solve on the sub-sample TDOAs;
+    ``coplanar=True`` (static) takes azimuth from the LS solve (whose z
+    row is degenerate there) and elevation from the hemisphere grid peak."""
+    k = cfg.max_shift
+    corr = localizer_mod._conditioned_correlograms(
+        params, frames, cfg, pairs_static)
+    shifts = xcorr.best_lag(corr, k)
+    corr_t = (xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
+              if cfg.taper_enabled else corr)
+    scores = srp.srp_scores_matmul(corr_t, onehot_sph)  # [..., D]
+    u_grid = jnp.take(dirs, jnp.argmax(scores, axis=-1), axis=0)  # [..., 3]
+
+    tdoa_samples, _ = xcorr.subsample_peak(corr, k)
+    u_ls = solver_ops.farfield_bearing(
+        tdoa_samples / cfg.sample_rate_hz,
+        params.mic_positions, params.pairs, cfg.speed_of_sound_mps)
+    if coplanar:
+        # the LS z row is rank-deficient: keep the LS azimuth (exact in
+        # the plane) and take elevation from the hemisphere grid peak
+        el_rad = jnp.arcsin(jnp.clip(u_grid[..., 2], -1.0, 1.0))
+        az_rad = jnp.arctan2(u_ls[..., 1], u_ls[..., 0])
+        ce = jnp.cos(el_rad)
+        u = jnp.stack([ce * jnp.cos(az_rad), ce * jnp.sin(az_rad),
+                       jnp.sin(el_rad)], axis=-1)
+    else:
+        u = u_ls
+    az = jnp.degrees(jnp.arctan2(u[..., 1], u[..., 0])) % 360.0
+    el = jnp.degrees(jnp.arcsin(jnp.clip(u[..., 2], -1.0, 1.0)))
+    return {
+        "azimuth_deg": az,
+        "elevation_deg": el,
+        "bearing": u,
+        "bearing_grid": u_grid,
+        "scores": scores,
+        "tdoa_samples": tdoa_samples,
+        "best_shift": shifts,
+    }

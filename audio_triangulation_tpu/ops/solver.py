@@ -601,14 +601,19 @@ def farfield_bearing(
     """Linear far-field direction estimate (new capability, for DoA configs).
 
     Least-squares unit vector u from (m_j - m_i) . u ~= -c * tau_p.
-    Works batched: tdoas [..., P] -> bearings [..., 2] (unit)."""
+    Dimension-generic: mic_positions [M, dim] (dim 2 or 3) -> bearings
+    [..., dim] (unit), batched over leading tdoa axes.  For a coplanar
+    [M, 3] array the z row of the normal equations is rank-deficient; the
+    damping keeps it solvable and the z component collapses to ~0 (the
+    caller resolves the +-z ambiguity, e.g. Doa3dEstimator's hemisphere
+    grid)."""
     d = (jnp.take(mic_positions, pairs[:, 1], axis=0)
-         - jnp.take(mic_positions, pairs[:, 0], axis=0))  # [P, 2]
+         - jnp.take(mic_positions, pairs[:, 0], axis=0))  # [P, dim]
     rhs = -speed_of_sound * tdoas  # [..., P]
-    ata = jnp.matmul(d.T, d, precision=_HI)  # [2, 2]
+    ata = jnp.matmul(d.T, d, precision=_HI)  # [dim, dim]
     atb = jnp.einsum("pi,...p->...i", d, rhs, precision=_HI)
     u = jnp.linalg.solve(
-        ata + 1e-9 * jnp.eye(2, dtype=d.dtype), atb[..., None]
+        ata + 1e-9 * jnp.eye(d.shape[1], dtype=d.dtype), atb[..., None]
     )[..., 0]
     norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
     return u / jnp.maximum(norm, 1e-12)
