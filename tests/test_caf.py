@@ -1,0 +1,161 @@
+"""Delay-Doppler cross-ambiguity (ops.caf): moving sources time-scale each
+mic's signal; the CAF scans resampling-matrix scale hypotheses, de-smears
+the TDOA, and yields an instantaneous velocity estimate from one frame.
+New capability beyond the reference's static correlator
+(src/components/correlations.c:9-18)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_triangulation_tpu import PipelineConfig
+from audio_triangulation_tpu.core import geometry
+from audio_triangulation_tpu.ops import caf as caf_ops
+from audio_triangulation_tpu.ops import window as window_ops
+
+FS = 50_000.0
+C = 343.0
+N = 1024
+F0, F1, TB = 800.0, 9000.0, 0.018  # burst band / duration (s)
+
+# Doppler-SENSITIVE test signal: a linear chirp is the classic
+# Doppler-TOLERANT waveform (its ambiguity function is a delay-Doppler
+# ridge, so a wrong scale masquerades as a shifted delay); a random
+# multi-sine burst has a thumbtack ambiguity, which is what the CAF needs
+# to discriminate scale.  Components are fixed (seeded) so every test sees
+# the same source signal, evaluable at arbitrary (scaled) times.
+_rng = np.random.default_rng(1234)
+_N_TONES = 120
+_FREQS = _rng.uniform(F0, F1, _N_TONES)
+_PHASES = _rng.uniform(0.0, 2 * np.pi, _N_TONES)
+_AMPS = _rng.uniform(0.5, 1.0, _N_TONES) / np.sqrt(_N_TONES)
+
+
+def _burst_at(t):
+    """Hann-enveloped random multi-sine evaluated at arbitrary times (s)."""
+    tt = np.clip(t, 0.0, TB)
+    env = np.where((t >= 0) & (t <= TB),
+                   0.5 - 0.5 * np.cos(2 * np.pi * tt / TB), 0.0)
+    sig = np.sum(
+        _AMPS[:, None] * np.sin(2 * np.pi * _FREQS[:, None] * tt[None]
+                                + _PHASES[:, None]), axis=0)
+    return env * sig
+
+
+def _moving_frames(mics, x0, v, noise=0.002, seed=0, t_offset=0.0008):
+    """Physically exact moving-source synthesis: r_i(t) = s(t - d_i(t)/c)
+    with d_i(t) = |x0 + v t - m_i| linearized (d_i0 + rdot_i t)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(N) / FS
+    m = np.asarray(mics, np.float64)
+    x0 = np.asarray(x0, np.float64)
+    rows = []
+    for mi in m:
+        d0 = np.linalg.norm(x0 - mi)
+        u = (x0 - mi) / d0
+        rdot = float(u @ np.asarray(v, np.float64))  # d|x-m|/dt at t=0
+        rows.append(_burst_at(t * (1.0 - rdot / C) - d0 / C + t_offset))
+    out = np.stack(rows) + rng.normal(0.0, noise, (m.shape[0], N))
+    return jnp.asarray(out, jnp.float32)[None]
+
+
+def _cfg(mics):
+    return PipelineConfig(
+        phat=True, window_enabled=False, band_hz=(700.0, 9500.0),
+        max_shift_samples=geometry.max_lag_for_array(
+            mics, PipelineConfig()))
+
+
+def test_resample_matrix_scales_a_tone():
+    """y @ R_s^T reproduces direct evaluation of a band-limited tone at
+    the scaled positions (frame-center referenced)."""
+    a = 1.002
+    r = caf_ops.resample_matrices(N, [a])[0]
+    t = np.arange(N, dtype=np.float64)
+    f = 3000.0 / FS
+    y = np.sin(2 * np.pi * f * t)
+    got = y @ r.T.astype(np.float64)
+    t0 = (N - 1) / 2.0
+    want = np.sin(2 * np.pi * f * ((t - t0) * a + t0))
+    core = slice(64, N - 64)  # kernel support clipped at the edges
+    assert np.max(np.abs(got[core] - want[core])) < 1e-3
+
+
+def test_static_source_alpha_is_one():
+    """A static scene peaks at the alpha = 1 hypothesis with TDOAs matching
+    the geometry."""
+    mics = geometry.reference_array()
+    cfg = _cfg(mics)
+    pairs = geometry.mic_pairs(mics.shape[0])
+    src = np.array([0.5, 0.4])
+    frames = _moving_frames(mics, src, np.zeros(2), seed=1)
+    out = caf_ops.estimate_delay_doppler(
+        frames, jnp.asarray(window_ops.window_for(cfg)), pairs, cfg,
+        v_max=8.0, n_scales=9)
+    assert np.max(np.abs(np.asarray(out["pair_rel_speed"]))) < 0.5
+    m = np.asarray(mics, np.float64)
+    d = np.linalg.norm(src - m, axis=1)
+    want = (d[pairs[:, 1]] - d[pairs[:, 0]]) / C * FS
+    got = np.asarray(out["tdoa_samples"][0])
+    assert np.max(np.abs(got - want)) < 0.35, (got, want)
+
+
+def test_moving_source_velocity_recovered():
+    """Near-field moving source: per-pair Doppler -> LS velocity vector."""
+    mics = geometry.reference_array()
+    cfg = _cfg(mics)
+    pairs = geometry.mic_pairs(mics.shape[0])
+    src = np.array([0.45, 0.30])
+    v = np.array([4.0, -2.5])  # m/s
+    frames = _moving_frames(mics, src, v, seed=2)
+    out = caf_ops.estimate_delay_doppler(
+        frames, jnp.asarray(window_ops.window_for(cfg)), pairs, cfg,
+        v_max=8.0, n_scales=17)
+
+    # ground-truth pair relative speeds from the synthesis model
+    m = np.asarray(mics, np.float64)
+    d0 = np.linalg.norm(src - m, axis=1)
+    u = (src - m) / d0[:, None]
+    rdot = u @ v  # [M] = d|x-m|/dt
+    want_rel = rdot[pairs[:, 1]] - rdot[pairs[:, 0]]
+    got_rel = np.asarray(out["pair_rel_speed"][0])
+    assert np.max(np.abs(got_rel - want_rel)) < 1.0, (got_rel, want_rel)
+
+    vel = caf_ops.solve_velocity(
+        jnp.asarray(src, jnp.float32)[None],
+        out["pair_rel_speed"], jnp.asarray(mics), jnp.asarray(pairs))
+    assert np.linalg.norm(np.asarray(vel[0]) - v) < 1.5, np.asarray(vel)
+
+
+def test_caf_desmears_fast_mover_tdoa():
+    """At high pair relative speed the static GCC's peak smears and biases;
+    the CAF's best-scale TDOA stays tight."""
+    mics = geometry.reference_array()
+    cfg = _cfg(mics)
+    pairs = geometry.mic_pairs(mics.shape[0])
+    src = np.array([0.45, 0.30])
+    v = np.array([6.0, -4.0])
+    frames = _moving_frames(mics, src, v, noise=0.001, seed=3)
+    win = jnp.asarray(window_ops.window_for(cfg))
+    out = caf_ops.estimate_delay_doppler(
+        frames, win, pairs, cfg, v_max=8.0, n_scales=17)
+
+    # static-GCC TDOA = the alpha=1 slice of the same CAF (index S//2)
+    k = cfg.max_shift
+    from audio_triangulation_tpu.ops import xcorr
+    static = out["caf"][..., 17 // 2, :]
+    tdoa_static, _ = xcorr.subsample_peak(static, k)
+
+    # expected mid-frame TDOA (delays evaluated at the frame center)
+    m = np.asarray(mics, np.float64)
+    d0 = np.linalg.norm(src - m, axis=1)
+    u = (src - m) / d0[:, None]
+    rdot = u @ v
+    t_mid = (N - 1) / 2.0 / FS
+    d_mid = d0 + rdot * t_mid
+    want = (d_mid[pairs[:, 1]] - d_mid[pairs[:, 0]]) / C * FS
+    err_caf = np.abs(np.asarray(out["tdoa_samples"][0]) - want)
+    err_static = np.abs(np.asarray(tdoa_static[0]) - want)
+    assert err_caf.max() < 0.5, (err_caf, err_static)
+    # the moving peak must be materially stronger than the static slice
+    static_peak = jnp.max(static, axis=-1)
+    assert float(jnp.min(out["peak"][0] / static_peak[0])) > 1.02
