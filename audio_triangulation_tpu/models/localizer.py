@@ -308,6 +308,62 @@ class Localizer:
             self._multi_cache[key] = fn
         return fn
 
+    def localize_moving(self, frames: jnp.ndarray, *, v_max: float = 8.0,
+                        n_scales: int = 33) -> dict:
+        """Position + instantaneous VELOCITY for moving sources.
+
+        Runs the standard pipeline, then the delay-Doppler
+        cross-ambiguity (ops.caf) on the same frames: adds 'velocity'
+        ([..., 2] m/s for coplanar arrays — in-plane, matching the grid
+        model — or [..., 3] for non-coplanar), 'pair_rel_speed' /
+        'alpha' [..., P], and 'tdoa_doppler' [..., P] (the de-smeared
+        best-scale TDOAs).  One frame, no tracker; see ops.caf for
+        scale-grid sizing (default 33 ~ 0.5 m/s steps at v_max=8)."""
+        if not self.with_solver:
+            raise ValueError("localize_moving needs with_solver=True "
+                             "(the velocity model linearizes at the "
+                             "refined position)")
+        out = dict(self(frames))
+        fn = self._jitted_moving(float(v_max), int(n_scales))
+        out.update(fn(self.params, frames, out["xy"]))
+        return out
+
+    @functools.cached_property
+    def _moving_cache(self) -> dict:
+        return {}
+
+    def _jitted_moving(self, v_max, n_scales):
+        key = (v_max, n_scales)
+        fn = self._moving_cache.get(key)
+        if fn is None:
+            from ..ops import caf as caf_ops
+
+            pairs_np = np.asarray(self.params.pairs)
+            mics_np = np.asarray(self.params.mic_positions)
+            mic3 = np.zeros((mics_np.shape[0], 3), np.float32)
+            mic3[:, : mics_np.shape[1]] = mics_np
+            coplanar = bool(np.ptp(mic3[:, 2]) < 1e-6)
+            cfg, height = self.pipeline, self.grid.height_m
+
+            def tail(params, frames, xy):
+                dd = caf_ops.estimate_delay_doppler(
+                    frames, params.window, pairs_np, cfg,
+                    v_max=v_max, n_scales=n_scales)
+                pos3 = jnp.concatenate(
+                    [xy, jnp.full(xy.shape[:-1] + (1,), height, xy.dtype)],
+                    axis=-1)
+                vel = caf_ops.solve_velocity(
+                    pos3, dd["pair_rel_speed"], jnp.asarray(mic3),
+                    jnp.asarray(pairs_np), in_plane=coplanar)
+                return {"velocity": vel,
+                        "pair_rel_speed": dd["pair_rel_speed"],
+                        "alpha": dd["alpha"],
+                        "tdoa_doppler": dd["tdoa_samples"]}
+
+            fn = jax.jit(tail)
+            self._moving_cache[key] = fn
+        return fn
+
     def extract(self, frames: jnp.ndarray, xy: jnp.ndarray | None = None,
                 *, method: str = "das", **kwargs) -> jnp.ndarray:
         """Beamformed source-audio extraction at position(s) ``xy``

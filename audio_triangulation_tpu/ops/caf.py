@@ -209,6 +209,7 @@ def solve_velocity(
     pairs: jnp.ndarray,
     *,
     damping: float = 1e-6,
+    in_plane: bool = False,
 ) -> jnp.ndarray:
     """Source velocity from per-pair Doppler (batched linear LS).
 
@@ -220,7 +221,12 @@ def solve_velocity(
     any non-degenerate array with >= 3 mics around the source; for
     far-field sources all u_i coincide and the system collapses (the
     damping returns ~0 there, honestly: far-field Doppler carries only
-    the radial rate, which a TDOA array cannot localize anyway)."""
+    the radial rate, which a TDOA array cannot localize anyway).
+
+    ``in_plane=True`` solves only the first two velocity components
+    (returns [..., 2]) — the right model when the source position comes
+    from the planar-grid pipeline (z pinned at the grid height) and the
+    mic array is coplanar, where v_z is near-unobservable."""
     dt = position.dtype
     mics = mic_positions.astype(dt)
     diff = position[..., None, :] - mics  # [..., M, D]
@@ -228,9 +234,11 @@ def solve_velocity(
         jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-12)
     rows = (jnp.take(u, pairs[:, 1], axis=-2)
             - jnp.take(u, pairs[:, 0], axis=-2))  # [..., P, D]
+    if in_plane:
+        rows = rows[..., :2]
     ata = jnp.einsum("...pi,...pj->...ij", rows, rows, precision=_HI)
     atb = jnp.einsum("...pi,...p->...i", rows,
                      pair_rel_speed.astype(dt), precision=_HI)
-    d = position.shape[-1]
+    d = rows.shape[-1]
     return jnp.linalg.solve(
         ata + damping * jnp.eye(d, dtype=dt), atb[..., None])[..., 0]

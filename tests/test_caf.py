@@ -159,3 +159,32 @@ def test_caf_desmears_fast_mover_tdoa():
     # the moving peak must be materially stronger than the static slice
     static_peak = jnp.max(static, axis=-1)
     assert float(jnp.min(out["peak"][0] / static_peak[0])) > 1.02
+
+
+def test_localizer_localize_moving_e2e():
+    """Localizer.localize_moving: standard position + CAF velocity in one
+    call (coplanar array -> in-plane [., 2] velocity)."""
+    from audio_triangulation_tpu.models.localizer import Localizer
+
+    # a wider aperture than the 0.15 m reference triangle: with the source
+    # 1.2 m above a planar array, each u_i tilts ~65 deg out of plane and
+    # the in-plane Doppler rows shrink ~2.5x (classic DOP); 6 mics at
+    # 0.35 m keep the velocity solve well-conditioned
+    mics = geometry.circular_array(6, 0.35)
+    cfg = _cfg(mics)
+    src = np.array([0.45, 0.30])
+    v = np.array([3.0, -2.0])
+    # the planar pipeline's scene model: source at grid height
+    from audio_triangulation_tpu.core.config import GridConfig
+    h = GridConfig().height_m
+    src3 = np.array([src[0], src[1], h])
+    m3 = np.zeros((mics.shape[0], 3))
+    m3[:, :2] = np.asarray(mics)
+    frames = _moving_frames(m3, src3, np.array([v[0], v[1], 0.0]), seed=5)
+
+    loc = Localizer.create(mics, cfg)
+    out = loc.localize_moving(frames, v_max=8.0, n_scales=33)
+    assert np.linalg.norm(np.asarray(out["xy"][0]) - src) < 0.06
+    vel = np.asarray(out["velocity"][0])
+    assert vel.shape == (2,)
+    assert np.linalg.norm(vel - v) < 1.2, vel
