@@ -46,6 +46,10 @@ class TrackerConfig:
     gate_maha2: float = 9.21
     # initial velocity std [m/s] for a freshly spawned track
     init_vel_std: float = 1.0
+    # velocity-measurement noise std [m/s] on each component, used when a
+    # step provides ``z_vel`` (e.g. Localizer.localize_moving's
+    # delay-Doppler velocity); per-measurement ``v_cov`` overrides it
+    velocity_noise: float = 0.5
     # hits to confirm a track
     confirm_hits: int = 2
     # drop a track not updated for this long [s]
@@ -218,15 +222,16 @@ def _predict_all(state: TrackState, t, cfg: TrackerConfig, r=None):
     return active, dropped, xp, pp, s, sinv, det
 
 
-def _spawn_cov(cfg: TrackerConfig, r=None) -> jnp.ndarray:
+def _spawn_cov(cfg: TrackerConfig, r=None, rv=None) -> jnp.ndarray:
     dim = cfg.dim
     if r is None:
         r = cfg.measurement_noise ** 2 * jnp.eye(dim, dtype=jnp.float32)
-    v2 = jnp.asarray(cfg.init_vel_std ** 2, jnp.float32)
+    if rv is None:
+        rv = cfg.init_vel_std ** 2 * jnp.eye(dim, dtype=jnp.float32)
     z = jnp.zeros((dim, dim), jnp.float32)
     return jnp.concatenate([
         jnp.concatenate([r.astype(jnp.float32), z], axis=1),
-        jnp.concatenate([z, v2 * jnp.eye(dim, dtype=jnp.float32)], axis=1),
+        jnp.concatenate([z, rv.astype(jnp.float32)], axis=1),
     ], axis=0)
 
 
@@ -243,6 +248,8 @@ def step(
     valid: jnp.ndarray,    # scalar bool: is this a real measurement?
     cfg: TrackerConfig,
     z_cov: jnp.ndarray | None = None,  # [2, 2] per-measurement noise
+    z_vel: jnp.ndarray | None = None,  # [dim] measured velocity (m/s)
+    v_cov: jnp.ndarray | None = None,  # [dim, dim] velocity-meas. noise
 ) -> tuple[TrackState, dict]:
     """One event-driven tracker update (pure; jit/vmap-able).
 
@@ -251,6 +258,14 @@ def step(
     replacing the global isotropic cfg.measurement_noise: events with weak
     geometry then pull their track less and gate wider, exactly as their
     actual uncertainty dictates.
+
+    ``z_vel`` (optional) is a direct VELOCITY measurement (e.g.
+    ``Localizer.localize_moving``'s delay-Doppler velocity), applied as a
+    sequential Kalman update (H = velocity selector) after the position
+    update — exact for block-diagonal measurement noise.  A spawned track
+    initializes its velocity from ``z_vel`` instead of zero, so confirmed
+    tracks carry a usable velocity from the FIRST event rather than after
+    two.  ``v_cov`` overrides cfg.velocity_noise for this measurement.
 
     Returns (new_state, outputs) with outputs:
     - 'track_xy' [K, 2] predicted-at-t positions
@@ -308,6 +323,24 @@ def step(
         ky[:, :, None] * ky[:, None, :])
     p_new = pp - b[:, None, None] * ksk + spread
 
+    rv = None
+    if z_vel is not None:
+        # sequential velocity-measurement update on the position-updated
+        # state (exact for block-diagonal R); same association weights b
+        zv = z_vel.astype(jnp.float32)
+        rv = (cfg.velocity_noise ** 2 * jnp.eye(dim, dtype=jnp.float32)
+              if v_cov is None else v_cov.astype(jnp.float32))
+        sv = p_new[:, dim:, dim:] + rv
+        svinv, _ = _inv_det(sv)
+        kv = jnp.einsum("kij,kjl->kil", p_new[:, :, dim:], svinv)
+        iv = zv[None, :] - x_new[:, dim:]
+        kyv = jnp.einsum("kij,kj->ki", kv, iv)
+        x_new = x_new + b[:, None] * kyv
+        kskv = jnp.einsum("kij,kjl->kil", kv, p_new[:, dim:, :])
+        spreadv = (b * (1.0 - b))[:, None, None] * (
+            kyv[:, :, None] * kyv[:, None, :])
+        p_new = p_new - b[:, None, None] * kskv + spreadv
+
     hits = state.hits + slot_sel.astype(jnp.int32)
     last_t = jnp.where(slot_sel, t, state.last_t)
 
@@ -317,8 +350,10 @@ def step(
     have_free = jnp.any(free)
     do_spawn = spawn & have_free
     sm = (jnp.arange(k) == spawn_slot) & do_spawn
-    x0 = jnp.concatenate([z, jnp.zeros((dim,), jnp.float32)])
-    p0 = _spawn_cov(cfg, r)
+    x0 = jnp.concatenate(
+        [z, z_vel.astype(jnp.float32) if z_vel is not None
+         else jnp.zeros((dim,), jnp.float32)])
+    p0 = _spawn_cov(cfg, r, rv)
     x_new = jnp.where(sm[:, None], x0[None, :], x_new)
     p_new = jnp.where(sm[:, None, None], p0[None], p_new)
     active = active | sm
@@ -574,9 +609,30 @@ class Tracker:
                 state, zs, t, valids, self.cfg, z_covs=z_covs),
             donate_argnums=(0,))
 
-    def step(self, state, z, t, valid=True, z_cov=None):
+    @functools.cached_property
+    def _step_any(self):
+        # one jitted entry with optional (None = absent, an empty pytree)
+        # z_cov / z_vel / v_cov; jit caches one trace per presence pattern
+        return jax.jit(
+            lambda state, z, t, valid, z_cov, z_vel, v_cov: step(
+                state, z, t, valid, self.cfg, z_cov=z_cov, z_vel=z_vel,
+                v_cov=v_cov),
+            donate_argnums=(0,))
+
+    def step(self, state, z, t, valid=True, z_cov=None, z_vel=None,
+             v_cov=None):
         """``z_cov`` [2, 2] (e.g. the localizer's per-event ``xy_cov``)
-        replaces cfg.measurement_noise for this measurement."""
+        replaces cfg.measurement_noise for this measurement; ``z_vel``
+        [dim] (e.g. ``localize_moving``'s delay-Doppler velocity) adds a
+        sequential velocity-measurement update, with ``v_cov`` [dim, dim]
+        overriding cfg.velocity_noise."""
+        if z_vel is not None or v_cov is not None:
+            return self._step_any(
+                state, jnp.asarray(z, jnp.float32),
+                jnp.asarray(t, jnp.float32), jnp.asarray(valid, bool),
+                None if z_cov is None else jnp.asarray(z_cov, jnp.float32),
+                None if z_vel is None else jnp.asarray(z_vel, jnp.float32),
+                None if v_cov is None else jnp.asarray(v_cov, jnp.float32))
         if z_cov is not None:
             return self._step_cov(state, jnp.asarray(z, jnp.float32),
                                   jnp.asarray(t, jnp.float32),

@@ -188,3 +188,41 @@ def test_localizer_localize_moving_e2e():
     vel = np.asarray(out["velocity"][0])
     assert vel.shape == (2,)
     assert np.linalg.norm(vel - v) < 1.2, vel
+
+
+def test_moving_chain_localize_track_with_velocity():
+    """Full moving-source chain: frames -> localize_moving -> tracker with
+    the delay-Doppler velocity as a measurement (z_vel).  The track carries
+    a usable velocity from the FIRST event (spawn copies z_vel)."""
+    from audio_triangulation_tpu.models.localizer import Localizer
+    from audio_triangulation_tpu.models.tracking import (
+        Tracker, TrackerConfig)
+    from audio_triangulation_tpu.core.config import GridConfig
+
+    mics = geometry.circular_array(6, 0.35)
+    cfg = _cfg(mics)
+    h = GridConfig().height_m
+    v = np.array([2.5, -1.5])
+    x0 = np.array([0.3, 0.2])
+    loc = Localizer.create(mics, cfg)
+    tr = Tracker(TrackerConfig(velocity_noise=0.6))
+    st = tr.init()
+    m3 = np.zeros((6, 3))
+    m3[:, :2] = np.asarray(mics)
+
+    out = k = None
+    for i, t in enumerate((0.0, 0.4)):
+        pos = x0 + v * t
+        frames = _moving_frames(
+            m3, np.array([pos[0], pos[1], h]),
+            np.array([v[0], v[1], 0.0]), seed=10 + i)
+        est = loc.localize_moving(frames, v_max=8.0, n_scales=33)
+        st, out = tr.step(st, np.asarray(est["xy"][0]), t, True,
+                          z_cov=np.asarray(est["xy_cov"][0]),
+                          z_vel=np.asarray(est["velocity"][0]))
+        if i == 0:
+            k = int(np.argmax(np.asarray(out["track_active"])))
+            first_v = np.asarray(out["track_vel"])[k]
+            assert np.linalg.norm(first_v - v) < 1.2, first_v
+    assert bool(np.asarray(out["track_confirmed"])[k])
+    assert np.linalg.norm(np.asarray(out["track_vel"])[k] - v) < 0.8

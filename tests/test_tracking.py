@@ -580,3 +580,52 @@ def test_volume_localizer_feeds_3d_tracker():
     conf = np.asarray(out["track_confirmed"])
     act = np.asarray(out["track_active"])
     assert act.sum() >= 2 and conf.sum() == 1, (act, conf)
+
+
+def test_velocity_measurement_spawn_and_update():
+    """z_vel (e.g. localize_moving's delay-Doppler velocity): a spawned
+    track carries the measured velocity from the FIRST event, and the
+    sequential velocity update keeps the estimate tight between events."""
+    tr = Tracker(TrackerConfig(confirm_hits=2, velocity_noise=0.4))
+    state = tr.init()
+    v = np.array([2.0, -1.5], np.float32)
+    x0 = np.array([0.3, 0.2], np.float32)
+
+    state, out = tr.step(state, x0, 0.0, True, z_vel=v)
+    # a spawn is not an "assignment"; read the newly active slot
+    k = int(np.argmax(np.asarray(out["track_active"])))
+    assert bool(np.asarray(out["track_active"])[k])
+    got_v = np.asarray(out["track_vel"])[k]
+    assert np.linalg.norm(got_v - v) < 1e-5, got_v  # spawn copies z_vel
+
+    # second event: position consistent with v; velocity stays tight
+    state, out = tr.step(state, x0 + 0.5 * v, 0.5, True,
+                         z_vel=v + np.array([0.3, -0.2], np.float32))
+    k = int(out["assigned"])
+    assert bool(np.asarray(out["track_confirmed"])[k])
+    got_v = np.asarray(out["track_vel"])[k]
+    assert np.linalg.norm(got_v - v) < 0.35, got_v
+
+
+def test_velocity_measurement_beats_position_only():
+    """After two events, a tracker fed velocity measurements has a lower
+    velocity error than position-only (which needs several events for the
+    CV filter to infer velocity through the position sequence)."""
+    v = np.array([3.0, -2.0], np.float32)
+    x0 = np.array([0.0, 0.0], np.float32)
+    rng = np.random.default_rng(9)
+
+    def run(with_vel):
+        tr = Tracker(TrackerConfig(velocity_noise=0.5))
+        st = tr.init()
+        out = None
+        for i in range(2):
+            t = 0.4 * i
+            z = x0 + v * t + rng.normal(0, 0.01, 2).astype(np.float32)
+            zv = (v + rng.normal(0, 0.3, 2).astype(np.float32)
+                  if with_vel else None)
+            st, out = tr.step(st, z, t, True, z_vel=zv)
+        k = int(out["assigned"])
+        return np.linalg.norm(np.asarray(out["track_vel"])[k] - v)
+
+    assert run(True) < run(False)
