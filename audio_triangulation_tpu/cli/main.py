@@ -69,7 +69,8 @@ def _mic_array(args):
     if args.array == "square":
         return geometry.square_array(0.3)
     if args.array == "circular":
-        return geometry.circular_array(args.mics, 0.15)
+        return geometry.circular_array(args.mics,
+                                       getattr(args, "radius", 0.15))
     if args.array == "grid":
         side = int(np.sqrt(args.mics))
         return geometry.grid_array(side, side, 0.05)
@@ -281,10 +282,11 @@ def _make_tracker(enabled: bool, dim: int = 2):
     def _fmt(v):
         return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
 
-    def update(z, cov, t):
+    def update(z, cov, t, vel=None):
         holder["state"], out = trk.step(
             holder["state"], np.asarray(z, np.float32), float(t), True,
-            z_cov=None if cov is None else np.asarray(cov, np.float32))
+            z_cov=None if cov is None else np.asarray(cov, np.float32),
+            z_vel=None if vel is None else np.asarray(vel, np.float32))
         k = int(out["assigned"])
         n_active = int(np.asarray(out["track_active"]).sum())
         spawned = n_active > holder["n_active"]
@@ -391,6 +393,7 @@ def cmd_stream(args):
 
     mics = _mic_array(args)
     solve_xyz = bool(getattr(args, "solve_xyz", False))
+    solve_velocity = bool(getattr(args, "velocity", False))
     if solve_xyz and np.ptp(mics[:, 2]) < 1e-6:
         raise SystemExit(
             "--solve-xyz needs a non-coplanar array (planar arrays cannot "
@@ -404,6 +407,12 @@ def cmd_stream(args):
         plane = source[:2]
         event_frames = synth.synth_scene(
             source, mics, noise_rms=args.noise, seed=args.seed)
+    elif solve_velocity:
+        # moving-source demo: each event burst is synthesized at the
+        # moved position WITH per-mic Doppler time-scaling (utils.synth.
+        # synth_moving_scene); the CAF in the loop measures it back
+        plane = np.array([args.x, args.y])
+        event_frames = None  # built per event below
     else:
         plane, event_frames = _build_scene(args, mics)
 
@@ -412,16 +421,31 @@ def cmd_stream(args):
     streams = rng.integers(127, 130, size=(mics.shape[0], t_len)).astype(
         np.float64)
     n_events = max(1, t_len // 12000)
+    vel_true = None
     for e in range(n_events):
         at = 3000 + e * 12000
-        streams[:, at: at + 1024] += 110.0 * event_frames[0]
+        if solve_velocity:
+            from ..utils import synth
+
+            from ..core.config import GridConfig
+
+            vel_true = np.array([args.vx, args.vy])
+            h = GridConfig().height_m
+            pos = plane + vel_true * (at / 50_000.0)
+            fr = synth.synth_moving_scene(
+                np.array([pos[0], pos[1], h]),
+                np.array([vel_true[0], vel_true[1], 0.0]),
+                mics, noise_rms=args.noise, seed=args.seed + e)[0]
+        else:
+            fr = event_frames[0]
+        streams[:, at: at + 1024] += 110.0 * fr
     streams = np.clip(np.round(streams), 0, 255).astype(np.int16)
 
     rt = native_rt.create_ingest_runtime(mics.shape[0])
     kind = type(rt).__name__
-    if solve_xyz:
-        # free-3-D range rides wavefront curvature, so sub-sample TDOA
-        # accuracy matters: band-limited PHAT, window off (the DPSS taper
+    if solve_xyz or solve_velocity:
+        # free-3-D range (and Doppler scale discrimination) ride sub-sample
+        # TDOA accuracy: band-limited PHAT, window off (the DPSS taper
         # amplitude-modulates large inter-mic delays, biasing peaks ~1
         # sample), lag range from the actual array
         from ..core import geometry
@@ -429,7 +453,9 @@ def cmd_stream(args):
         pcfg = PipelineConfig(
             trigger_mode=args.trigger_mode,
             trigger_ratio=args.trigger_ratio,
-            phat=True, band_hz=(700.0, 7000.0), window_enabled=False,
+            phat=True,
+            band_hz=(700.0, 9500.0) if solve_velocity else (700.0, 7000.0),
+            window_enabled=False,
             max_shift_samples=geometry.max_lag_for_array(
                 mics, PipelineConfig()))
     else:
@@ -437,7 +463,8 @@ def cmd_stream(args):
                               trigger_ratio=args.trigger_ratio)
     sl = StreamingLocalizer.create(
         mics, pcfg,
-        stream=StreamConfig(chunk_size=args.chunk, solve_xyz=solve_xyz))
+        stream=StreamConfig(chunk_size=args.chunk, solve_xyz=solve_xyz,
+                            solve_velocity=solve_velocity))
     state = sl.init_state()
     if args.checkpoint:
         import os
@@ -542,10 +569,15 @@ def cmd_stream(args):
             # else the SRP grid peak
             xy = np.asarray(out.get("xy", out["xy_grid"]))
             xyz = np.asarray(out["xyz"]) if "xyz" in out else None
+            vel = (np.asarray(out["velocity"])
+                   if "velocity" in out else None)
             if live is None:
                 extra = ("" if xyz is None else
                          f" xyz=({xyz[0]:+.3f}, {xyz[1]:+.3f}, "
                          f"{xyz[2]:+.3f}) m")
+                if vel is not None:
+                    extra += (" v=(" + ", ".join(
+                        f"{c:+.2f}" for c in vel) + ") m/s")
                 print(f"event @ sample {int(out['trigger_abs'])}: "
                       f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m{extra} "
                       f"shifts={np.asarray(out['best_shift'])}")
@@ -555,7 +587,8 @@ def cmd_stream(args):
                 cov = (np.asarray(out["xy_cov"])
                        if "xy_cov" in out and xyz is None else None)
                 line = track(xy if xyz is None else xyz, cov,
-                             int(out["trigger_abs"]) / 50_000.0)
+                             int(out["trigger_abs"]) / 50_000.0,
+                             vel=vel if xyz is None else None)
                 if live is None:
                     print("  " + line)
             if extractor is not None:
@@ -782,6 +815,9 @@ def main(argv=None):
                        choices=["reference", "square", "circular", "grid",
                                 "tetra"])
         p.add_argument("--mics", type=int, default=8)
+        p.add_argument("--radius", type=float, default=0.15,
+                       help="circular-array radius (m); wider apertures "
+                            "condition the --velocity Doppler solve")
         p.add_argument("--x", type=float, default=0.8)
         p.add_argument("--y", type=float, default=0.5)
         p.add_argument("--height", type=float, default=1.2)
@@ -857,6 +893,17 @@ def main(argv=None):
                         "event's xy_cov as measurement noise); prints "
                         "track id/position/velocity per event; with "
                         "--solve-xyz the tracker runs in 3-D")
+    p.add_argument("--velocity", action="store_true",
+                   help="per-event instantaneous velocity via the "
+                        "delay-Doppler cross-ambiguity (ops.caf) on the "
+                        "captured frame; the demo scene then MOVES the "
+                        "source at (--vx, --vy) with per-mic Doppler "
+                        "time-scaling, and --track fuses the measured "
+                        "velocity (z_vel)")
+    p.add_argument("--vx", type=float, default=2.0,
+                   help="demo source x-velocity for --velocity (m/s)")
+    p.add_argument("--vy", type=float, default=-1.0,
+                   help="demo source y-velocity for --velocity (m/s)")
     p.add_argument("--solve-xyz", action="store_true",
                    help="also solve each event's free 3-D position from "
                         "the smoothed TDOAs (multi-start GN over "

@@ -412,6 +412,14 @@ class StreamConfig:
     # (geometry.tetrahedral_array); pair with a dim=3 tracker.
     solve_xyz: bool = False
     xyz_z_inits: tuple = (0.4, 1.2, 2.0)
+    # per-event instantaneous velocity via the delay-Doppler CAF on the
+    # captured frame (ops.caf; with_solver path): adds 'velocity' (in-plane
+    # [2] for planar arrays, [3] for non-coplanar) and 'pair_rel_speed'
+    # outputs sized for Tracker.step(z_vel=...).  Opt-in: costs
+    # ~velocity_n_scales x one frame's GCC every step.
+    solve_velocity: bool = False
+    velocity_v_max: float = 8.0
+    velocity_n_scales: int = 33
 
 
 @dataclasses.dataclass(frozen=True)

@@ -324,8 +324,8 @@ class Localizer:
                              "(the velocity model linearizes at the "
                              "refined position)")
         out = dict(self(frames))
-        fn = self._jitted_moving(float(v_max), int(n_scales))
-        out.update(fn(self.params, frames, out["xy"]))
+        fn, resample = self._jitted_moving(float(v_max), int(n_scales))
+        out.update(fn(self.params, frames, out["xy"], resample))
         return out
 
     @functools.cached_property
@@ -344,11 +344,16 @@ class Localizer:
             mic3[:, : mics_np.shape[1]] = mics_np
             coplanar = bool(np.ptp(mic3[:, 2]) < 1e-6)
             cfg, height = self.pipeline, self.grid.height_m
+            # resample matrices ride as a jit ARGUMENT (138 MB at 33
+            # scales; a closure constant would oversize the compile
+            # payload — the PERFORMANCE.md jit-closure footgun)
+            resample = caf_ops.precompute_resample(
+                cfg.frame_size, v_max, n_scales, cfg.speed_of_sound_mps)
 
-            def tail(params, frames, xy):
+            def tail(params, frames, xy, resample):
                 dd = caf_ops.estimate_delay_doppler(
                     frames, params.window, pairs_np, cfg,
-                    v_max=v_max, n_scales=n_scales)
+                    v_max=v_max, n_scales=n_scales, resample=resample)
                 pos3 = jnp.concatenate(
                     [xy, jnp.full(xy.shape[:-1] + (1,), height, xy.dtype)],
                     axis=-1)
@@ -360,7 +365,7 @@ class Localizer:
                         "alpha": dd["alpha"],
                         "tdoa_doppler": dd["tdoa_samples"]}
 
-            fn = jax.jit(tail)
+            fn = (jax.jit(tail), resample)
             self._moving_cache[key] = fn
         return fn
 

@@ -105,7 +105,20 @@ class StreamingLocalizer:
         )
 
     def __call__(self, state: StreamState, chunk: jnp.ndarray):
-        return self._jitted(state, chunk)
+        return self._jitted(state, chunk, caf_resample=self._caf_resample)
+
+    @functools.cached_property
+    def _caf_resample(self):
+        # solve_velocity's resampling matrices, passed as a jit ARGUMENT
+        # (138 MB at 33 scales: as a closure constant they oversize the
+        # compile payload — the PERFORMANCE.md jit-closure footgun)
+        if not self.stream.solve_velocity:
+            return None
+        from ..ops import caf as caf_ops
+
+        return caf_ops.precompute_resample(
+            self.pipeline.frame_size, self.stream.velocity_v_max,
+            self.stream.velocity_n_scales, self.pipeline.speed_of_sound_mps)
 
     @functools.cached_property
     def _jitted(self):
@@ -125,6 +138,9 @@ class StreamingLocalizer:
                 multi_assoc_window=self.stream.multi_assoc_window_samples,
                 solve_xyz=self.stream.solve_xyz,
                 xyz_z_inits=self.stream.xyz_z_inits,
+                solve_velocity=self.stream.solve_velocity,
+                velocity_v_max=self.stream.velocity_v_max,
+                velocity_n_scales=self.stream.velocity_n_scales,
             ),
             donate_argnums=(0,),
         )
@@ -162,10 +178,12 @@ class StreamingLocalizer:
             # under an enclosing jit the sub-dispatches would inline into
             # one monolithic program (no pipelining, plus pad/slice/concat
             # overhead) — use the plain vmapped program there
-            return self._jitted_batch(states, chunks)
+            return self._jitted_batch(states, chunks,
+                                      caf_resample=self._caf_resample)
         k = -(-s // cs)
         parts = self._split_batch(k * cs, cs)(states, chunks)
-        res = [self._jitted_batch(st, ch) for st, ch in parts]
+        res = [self._jitted_batch(st, ch, caf_resample=self._caf_resample)
+               for st, ch in parts]
         st, out = self._concat_batch(s)(
             [r[0] for r in res], [r[1] for r in res])
         return st, out
@@ -221,24 +239,33 @@ class StreamingLocalizer:
 
     @functools.cached_property
     def _jitted_batch(self):
-        vstep = jax.vmap(
-            functools.partial(
-                stream_step,
-                params=self.params,
-                cfg=self.pipeline,
-                grid_cfg=self.grid,
-                solver_cfg=self.solver,
-                srp_form=self.srp_form,
-                max_events=self.stream.max_events_per_chunk,
-                refractory=self.stream.refractory_samples,
-                with_solver=self.with_solver,
-                n_sources=self.stream.n_sources,
-                multi_min_separation_m=self.stream.multi_min_separation_m,
-                multi_assoc_window=self.stream.multi_assoc_window_samples,
-                solve_xyz=self.stream.solve_xyz,
-                xyz_z_inits=self.stream.xyz_z_inits,
-            )
+        one = functools.partial(
+            stream_step,
+            params=self.params,
+            cfg=self.pipeline,
+            grid_cfg=self.grid,
+            solver_cfg=self.solver,
+            srp_form=self.srp_form,
+            max_events=self.stream.max_events_per_chunk,
+            refractory=self.stream.refractory_samples,
+            with_solver=self.with_solver,
+            n_sources=self.stream.n_sources,
+            multi_min_separation_m=self.stream.multi_min_separation_m,
+            multi_assoc_window=self.stream.multi_assoc_window_samples,
+            solve_xyz=self.stream.solve_xyz,
+            xyz_z_inits=self.stream.xyz_z_inits,
+            solve_velocity=self.stream.solve_velocity,
+            velocity_v_max=self.stream.velocity_v_max,
+            velocity_n_scales=self.stream.velocity_n_scales,
         )
+
+        def vstep(states, chunks, caf_resample=None):
+            # resample matrices shared (unbatched) across streams; closed
+            # over INSIDE the jit so they stay a traced argument
+            return jax.vmap(
+                lambda s, c: one(s, c, caf_resample=caf_resample)
+            )(states, chunks)
+
         return jax.jit(vstep, donate_argnums=(0,))
 
     def run(self, streams: np.ndarray):
@@ -329,6 +356,10 @@ def stream_step(
     multi_assoc_window: float = 3.0,
     solve_xyz: bool = False,
     xyz_z_inits: tuple = (0.4, 1.2, 2.0),
+    solve_velocity: bool = False,
+    velocity_v_max: float = 8.0,
+    velocity_n_scales: int = 33,
+    caf_resample: jnp.ndarray | None = None,
 ):
     """One streaming step: returns (new_state, outputs dict).
 
@@ -449,6 +480,38 @@ def stream_step(
                 init_xy=xy, z_inits=xyz_z_inits)
             out["xyz"] = xyz[0]
             out["xyz_rms_m"] = xyz_rms[0]
+        if solve_velocity:
+            # instantaneous per-event velocity: delay-Doppler CAF on the
+            # PRIMARY captured frame (computed every step like the rest
+            # of the burst path, meaningful iff 'event'); opt-in — costs
+            # ~velocity_n_scales x one frame's GCC per step
+            from ..core import geometry
+            from ..ops import caf as caf_ops
+
+            m = int(params.mic_positions.shape[0])
+            # canonical pair order (== params.pairs, needed statically)
+            pairs_np = geometry.mic_pairs(m)
+            dd = caf_ops.estimate_delay_doppler(
+                frames[:1], params.window, pairs_np, cfg,
+                v_max=velocity_v_max, n_scales=velocity_n_scales,
+                resample=caf_resample)
+            mdim = int(params.mic_positions.shape[1])
+            if solve_xyz:
+                pos = xyz  # [1, 3]
+            else:
+                pos = jnp.concatenate(
+                    [xy, jnp.full((1, 1), grid_cfg.height_m, xy.dtype)],
+                    axis=-1)
+            mic3 = (params.mic_positions if mdim == 3 else
+                    jnp.concatenate(
+                        [params.mic_positions,
+                         jnp.zeros((m, 3 - mdim),
+                                   params.mic_positions.dtype)], axis=-1))
+            vel = caf_ops.solve_velocity(
+                pos, dd["pair_rel_speed"], mic3, params.pairs,
+                in_plane=(mdim < 3))
+            out["velocity"] = vel[0]
+            out["pair_rel_speed"] = dd["pair_rel_speed"][0]
 
     if n_sources > 1:
         # simultaneous-source resolution per event slot, from the RAW

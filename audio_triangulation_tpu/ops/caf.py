@@ -77,12 +77,27 @@ def speed_grid(v_max: float = 8.0, n: int = 9,
     return np.linspace(-v_max, v_max, n)
 
 
+def precompute_resample(n: int, v_max: float, n_scales: int,
+                        speed_of_sound: float) -> "jnp.ndarray":
+    """Device-resident resampling matrices for the standard scale set.
+
+    Pass the result as ``resample=`` to the estimators when they run
+    inside an enclosing jit: at n_scales=33 and N=1024 the matrices are
+    138 MB — as a traced ARGUMENT they live in HBM, but captured in a
+    closure they embed as an HLO constant (oversize-program failures on
+    remote compile; see docs/PERFORMANCE.md on the jit-closure footgun)."""
+    speeds = speed_grid(v_max, n_scales, speed_of_sound)
+    return jnp.asarray(resample_matrices(
+        n, tuple(1.0 + speeds / speed_of_sound)))
+
+
 def caf_correlograms(
     frames: jnp.ndarray,
     window: jnp.ndarray,
     pairs: np.ndarray,
     cfg: PipelineConfig,
     scales: np.ndarray,
+    resample: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Raw frames [..., M, N] -> CAF correlograms [..., P, S, L].
 
@@ -96,7 +111,10 @@ def caf_correlograms(
 
     m, n = frames.shape[-2:]
     x = localizer_mod.condition_frames(frames, window, cfg)
-    r = jnp.asarray(resample_matrices(n, scales))  # [S, N, N]
+    # [S, N, N]; prefer a passed-in (traced) array under an enclosing jit
+    # — see precompute_resample
+    r = (jnp.asarray(resample_matrices(n, scales))
+         if resample is None else resample)
     # scaled channels: xs[s, ..., m, t] = sum_u R[s, t, u] x[..., m, u]
     xs = jnp.einsum("stu,...mu->s...mt", r, x, precision=_HI)
 
@@ -172,6 +190,7 @@ def estimate_delay_doppler(
     *,
     v_max: float = 8.0,
     n_scales: int = 9,
+    resample: jnp.ndarray | None = None,
 ) -> dict:
     """frames [..., M, N] -> joint TDOA + Doppler per pair.
 
@@ -191,7 +210,8 @@ def estimate_delay_doppler(
     ill-determined by construction, not by this estimator."""
     speeds = speed_grid(v_max, n_scales, cfg.speed_of_sound_mps)
     scales = 1.0 + speeds / cfg.speed_of_sound_mps
-    caf = caf_correlograms(frames, window, pairs, cfg, scales)
+    caf = caf_correlograms(frames, window, pairs, cfg, scales,
+                           resample=resample)
     tdoa, alpha, peak = delay_doppler_peak(caf, cfg.max_shift, scales)
     return {
         "tdoa_samples": tdoa,

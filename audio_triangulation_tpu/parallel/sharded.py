@@ -143,6 +143,9 @@ def make_sharded_stream_step(sl, mesh):
             multi_assoc_window=sl.stream.multi_assoc_window_samples,
             solve_xyz=sl.stream.solve_xyz,
             xyz_z_inits=sl.stream.xyz_z_inits,
+            solve_velocity=sl.stream.solve_velocity,
+            velocity_v_max=sl.stream.velocity_v_max,
+            velocity_n_scales=sl.stream.velocity_n_scales,
         )
     )
     # the single spec is a pytree prefix: every state leaf / the chunk array

@@ -184,3 +184,76 @@ def embed_burst_in_stream(
         else np.zeros((b, m, total_len))
     out[..., burst_at: burst_at + n] += frames
     return out
+
+
+def multisine_burst_fn(f0: float = 800.0, f1: float = 9000.0,
+                       duration_s: float = 0.018, n_tones: int = 120,
+                       seed: int = 1234):
+    """s(t) evaluable at ARBITRARY times: a Hann-enveloped random
+    multi-sine — the Doppler-SENSITIVE (thumbtack-ambiguity) waveform for
+    delay-Doppler work.  (A linear chirp is Doppler-TOLERANT: its ambiguity
+    function is a delay-Doppler ridge, so it cannot exercise ops.caf.)"""
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(f0, f1, n_tones)
+    phases = rng.uniform(0.0, 2 * np.pi, n_tones)
+    amps = rng.uniform(0.5, 1.0, n_tones) / np.sqrt(n_tones)
+
+    def s(t):
+        t = np.asarray(t, np.float64)
+        tt = np.clip(t, 0.0, duration_s)
+        env = np.where((t >= 0) & (t <= duration_s),
+                       0.5 - 0.5 * np.cos(2 * np.pi * tt / duration_s), 0.0)
+        sig = np.sum(amps[:, None]
+                     * np.sin(2 * np.pi * freqs[:, None] * tt[None]
+                              + phases[:, None]), axis=0)
+        return env * sig
+
+    return s
+
+
+def synth_moving_scene(
+    source_xyz: np.ndarray,
+    velocity_xyz: np.ndarray,
+    mic_positions: np.ndarray,
+    *,
+    n: int = 1024,
+    fs: float = 50_000.0,
+    speed_of_sound: float = 343.0,
+    signal_fn=None,
+    amplitude: float = 0.8,
+    noise_rms: float = 0.0,
+    seed: int = 0,
+    t_offset: float = 0.0008,
+) -> np.ndarray:
+    """[1, M, N] frames of a MOVING source: each mic receives
+    r_i(t) = s(t - d_i(t)/c) with d_i(t) = d_i0 + rdot_i t (linearized),
+    i.e. the physically exact per-mic delay AND Doppler time-scale
+    (1 - rdot_i/c).  ``signal_fn`` defaults to :func:`multisine_burst_fn`;
+    delays are referenced to the array center like :func:`synth_scene`."""
+    src = np.asarray(source_xyz, np.float64).reshape(-1)
+    vel = np.asarray(velocity_xyz, np.float64).reshape(-1)
+    src3 = np.zeros(3)
+    src3[: src.shape[0]] = src
+    vel3 = np.zeros(3)
+    vel3[: vel.shape[0]] = vel
+    mics = np.asarray(mic_positions, np.float64)
+    mic3 = np.zeros((mics.shape[0], 3))
+    mic3[:, : mics.shape[1]] = mics
+    if signal_fn is None:
+        signal_fn = multisine_burst_fn()
+    rng = np.random.default_rng(seed)
+
+    t = np.arange(n) / fs
+    d_ref = np.linalg.norm(src3)
+    rows = []
+    for mi in mic3:
+        d0 = np.linalg.norm(src3 - mi)
+        u = (src3 - mi) / max(d0, 1e-12)
+        rdot = float(u @ vel3)  # d|x - m_i|/dt at t = 0
+        rows.append(signal_fn(
+            t * (1.0 - rdot / speed_of_sound)
+            - (d0 - d_ref) / speed_of_sound + t_offset))
+    out = amplitude * np.stack(rows)
+    if noise_rms > 0:
+        out = out + rng.normal(0.0, noise_rms, out.shape)
+    return out[None]

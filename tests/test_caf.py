@@ -6,6 +6,7 @@ New capability beyond the reference's static correlator
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from audio_triangulation_tpu import PipelineConfig
 from audio_triangulation_tpu.core import geometry
@@ -226,3 +227,41 @@ def test_moving_chain_localize_track_with_velocity():
             assert np.linalg.norm(first_v - v) < 1.2, first_v
     assert bool(np.asarray(out["track_confirmed"])[k])
     assert np.linalg.norm(np.asarray(out["track_vel"])[k] - v) < 0.8
+
+
+@pytest.mark.slow
+def test_streaming_solve_velocity():
+    """StreamConfig.solve_velocity: the live path emits a per-event
+    instantaneous velocity (delay-Doppler CAF on the captured frame),
+    sized for Tracker.step(z_vel=...)."""
+    from audio_triangulation_tpu.core.config import GridConfig, StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+    from audio_triangulation_tpu.utils import synth
+
+    mics = geometry.circular_array(6, 0.35)
+    cfg = _cfg(mics)
+    h = GridConfig().height_m
+    src = np.array([0.45, 0.30, h])
+    v = np.array([2.5, -1.5, 0.0])
+
+    rng = np.random.default_rng(21)
+    streams = rng.integers(127, 130, size=(6, 20_000)).astype(np.float64)
+    for at in (6_000, 15_000):
+        fr = synth.synth_moving_scene(src, v, mics, seed=int(at))[0]
+        streams[:, at: at + 1024] += 110.0 * fr
+    streams = np.clip(np.round(streams), 0, 255)
+
+    sl = StreamingLocalizer.create(
+        mics, cfg,
+        stream=StreamConfig(chunk_size=512, solve_velocity=True,
+                            velocity_n_scales=33),
+        with_solver=True)
+    state = sl.init_state()
+    got = None
+    for i in range(0, 20_000 - 20_000 % 512, 512):
+        state, out = sl(state, jnp.asarray(streams[:, i: i + 512]))
+        if bool(out["event"]):
+            got = np.asarray(out["velocity"])
+    assert got is not None, "no events detected"
+    assert got.shape == (2,)
+    assert np.linalg.norm(got - v[:2]) < 1.2, (got, v)
