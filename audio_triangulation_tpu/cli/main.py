@@ -455,6 +455,9 @@ def cmd_stream(args):
             trigger_ratio=args.trigger_ratio,
             phat=True,
             band_hz=(700.0, 9500.0) if solve_velocity else (700.0, 7000.0),
+            # band_crop also selects the CAF's spectral resample fold
+            # (scaled spectra as one matmul — smaller program, less HBM)
+            band_crop=solve_velocity,
             window_enabled=False,
             max_shift_samples=geometry.max_lag_for_array(
                 mics, PipelineConfig()))

@@ -348,7 +348,8 @@ class Localizer:
             # scales; a closure constant would oversize the compile
             # payload — the PERFORMANCE.md jit-closure footgun)
             resample = caf_ops.precompute_resample(
-                cfg.frame_size, v_max, n_scales, cfg.speed_of_sound_mps)
+                cfg.frame_size, v_max, n_scales, cfg.speed_of_sound_mps,
+                cfg=cfg)
 
             def tail(params, frames, xy, resample):
                 dd = caf_ops.estimate_delay_doppler(

@@ -118,7 +118,8 @@ class StreamingLocalizer:
 
         return caf_ops.precompute_resample(
             self.pipeline.frame_size, self.stream.velocity_v_max,
-            self.stream.velocity_n_scales, self.pipeline.speed_of_sound_mps)
+            self.stream.velocity_n_scales, self.pipeline.speed_of_sound_mps,
+            cfg=self.pipeline)
 
     @functools.cached_property
     def _jitted(self):

@@ -78,17 +78,34 @@ def speed_grid(v_max: float = 8.0, n: int = 9,
 
 
 def precompute_resample(n: int, v_max: float, n_scales: int,
-                        speed_of_sound: float) -> "jnp.ndarray":
-    """Device-resident resampling matrices for the standard scale set.
+                        speed_of_sound: float, cfg=None):
+    """Device-resident resampling operator for the standard scale set.
 
     Pass the result as ``resample=`` to the estimators when they run
-    inside an enclosing jit: at n_scales=33 and N=1024 the matrices are
-    138 MB — as a traced ARGUMENT they live in HBM, but captured in a
-    closure they embed as an HLO constant (oversize-program failures on
-    remote compile; see docs/PERFORMANCE.md on the jit-closure footgun)."""
+    inside an enclosing jit: at n_scales=33 and N=1024 the time-domain
+    matrices are 138 MB — as a traced ARGUMENT they live in HBM, but
+    captured in a closure they embed as an HLO constant (oversize-program
+    failures on remote compile; see docs/PERFORMANCE.md on the
+    jit-closure footgun).
+
+    With a band-cropping ``cfg`` this returns the SPECTRAL fold instead —
+    (cos_rs, msin_rs) [S, N, Fb], the resampling matrices pre-multiplied
+    into the band DFT: the scaled spectra become ONE matmul per frame
+    (S*N*Fb MACs vs S*N^2 + S*N*Fb, ~3.8x less at Fb ~ 180, and ~3x less
+    HBM), numerically identical up to f32 summation order."""
     speeds = speed_grid(v_max, n_scales, speed_of_sound)
-    return jnp.asarray(resample_matrices(
-        n, tuple(1.0 + speeds / speed_of_sound)))
+    scales = tuple(1.0 + speeds / speed_of_sound)
+    crop = None if cfg is None else mxu_fft.crop_bins(cfg)
+    r = resample_matrices(n, scales)
+    if crop is None:
+        return jnp.asarray(r)
+    cos, msin = mxu_fft.dft_matrices_band(n, cfg.fft_length, *crop)
+    # cos_rs[s, u, f] = sum_t R[s, t, u] cos[t, f]  (BLAS per scale)
+    cos_rs = np.einsum("stu,tf->suf", r.astype(np.float32),
+                       cos.astype(np.float32), optimize=True)
+    msin_rs = np.einsum("stu,tf->suf", r.astype(np.float32),
+                        msin.astype(np.float32), optimize=True)
+    return (jnp.asarray(cos_rs), jnp.asarray(msin_rs))
 
 
 def caf_correlograms(
@@ -106,33 +123,52 @@ def caf_correlograms(
     i-channel through the standard conditioned matmul-DFT GCC path (PHAT /
     band weighting per ``cfg``).  The i/j mix rides the existing machinery:
     original and scaled spectra are concatenated on the mic axis and the
-    pair list is offset into the scaled half."""
+    pair list is offset into the scaled half.
+
+    ``resample`` accepts either the [S, N, N] time-domain matrices or the
+    spectral fold (cos_rs, msin_rs) from :func:`precompute_resample` with
+    a band-cropping cfg — the latter computes the scaled spectra directly
+    (one matmul, no intermediate resampled frames)."""
     from ..models import localizer as localizer_mod
 
     m, n = frames.shape[-2:]
     x = localizer_mod.condition_frames(frames, window, cfg)
-    # [S, N, N]; prefer a passed-in (traced) array under an enclosing jit
-    # — see precompute_resample
-    r = (jnp.asarray(resample_matrices(n, scales))
-         if resample is None else resample)
-    # scaled channels: xs[s, ..., m, t] = sum_u R[s, t, u] x[..., m, u]
-    xs = jnp.einsum("stu,...mu->s...mt", r, x, precision=_HI)
-
     prec = mxu_fft.dft_prec(cfg)
     crop = mxu_fft.crop_bins(cfg)
+    spectral = isinstance(resample, tuple)
+    if spectral and crop is None:
+        raise ValueError("spectral resample operator requires a "
+                         "band-cropping cfg (band_hz + band_crop)")
+
     if crop is not None:
         re0, im0 = mxu_fft.forward_spectra_band(
             x, cfg.fft_length, *crop, cfg.matmul_dtype, prec)
-        res, ims = mxu_fft.forward_spectra_band(
-            xs, cfg.fft_length, *crop, cfg.matmul_dtype, prec)
         syn_c, syn_s = mxu_fft.lag_synthesis_matrices_band(
             cfg.fft_length, cfg.max_shift, *crop, cfg.matmul_dtype)
     else:
         re0, im0 = mxu_fft.forward_spectra(
             x, cfg.fft_length, cfg.matmul_dtype, prec)
-        res, ims = mxu_fft.forward_spectra(
-            xs, cfg.fft_length, cfg.matmul_dtype, prec)
         syn_c, syn_s = mxu_fft.masked_synthesis(cfg, cfg.matmul_dtype)
+
+    if spectral:
+        cos_rs, msin_rs = resample
+        res = jnp.einsum("suf,...mu->s...mf", cos_rs, x, precision=prec,
+                         preferred_element_type=jnp.float32)
+        ims = jnp.einsum("suf,...mu->s...mf", msin_rs, x, precision=prec,
+                         preferred_element_type=jnp.float32)
+    else:
+        # [S, N, N]; prefer a passed-in (traced) array under an enclosing
+        # jit — see precompute_resample
+        r = (jnp.asarray(resample_matrices(n, scales))
+             if resample is None else resample)
+        # scaled channels: xs[s,...,m,t] = sum_u R[s,t,u] x[...,m,u]
+        xs = jnp.einsum("stu,...mu->s...mt", r, x, precision=_HI)
+        if crop is not None:
+            res, ims = mxu_fft.forward_spectra_band(
+                xs, cfg.fft_length, *crop, cfg.matmul_dtype, prec)
+        else:
+            res, ims = mxu_fft.forward_spectra(
+                xs, cfg.fft_length, cfg.matmul_dtype, prec)
     s_n = len(scales)
     re_cat = jnp.concatenate(
         [jnp.broadcast_to(re0, (s_n, *re0.shape)), res], axis=-2)

@@ -265,3 +265,28 @@ def test_streaming_solve_velocity():
     assert got is not None, "no events detected"
     assert got.shape == (2,)
     assert np.linalg.norm(got - v[:2]) < 1.2, (got, v)
+
+
+def test_spectral_resample_fold_matches_time_domain():
+    """precompute_resample(cfg=band-cropping) folds the resampling into
+    the band DFT; the CAF must match the time-domain path bit-closely."""
+    import dataclasses
+
+    mics = geometry.reference_array()
+    cfg = dataclasses.replace(_cfg(mics), band_crop=True)
+    pairs = geometry.mic_pairs(3)
+    frames = _moving_frames(mics, np.array([0.45, 0.30]),
+                            np.array([3.0, -2.0]), seed=6)
+    win = jnp.asarray(window_ops.window_for(cfg))
+    op = caf_ops.precompute_resample(1024, 8.0, 9, 343.0, cfg=cfg)
+    assert isinstance(op, tuple)
+    a = caf_ops.estimate_delay_doppler(frames, win, pairs, cfg,
+                                       v_max=8.0, n_scales=9, resample=op)
+    b = caf_ops.estimate_delay_doppler(frames, win, pairs, cfg,
+                                       v_max=8.0, n_scales=9)
+    scale = float(jnp.max(jnp.abs(b["caf"])))
+    assert float(jnp.max(jnp.abs(a["caf"] - b["caf"]))) < 2e-3 * scale
+    np.testing.assert_allclose(np.asarray(a["tdoa_samples"]),
+                               np.asarray(b["tdoa_samples"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(a["alpha"]),
+                               np.asarray(b["alpha"]), atol=1e-4)
