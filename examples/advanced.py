@@ -132,3 +132,39 @@ fr = synth.synth_scene(src_f, np.concatenate([arr_a, arr_b]), noise_rms=0.01,
 out_f = fus(jnp.asarray(fr.reshape(1, 2, 4, -1), jnp.float32))
 print(f"fusion: true [0.3 1.5] -> {np.round(np.asarray(out_f['xy'])[0], 3)} "
       f"(rms {float(out_f['rms_m'][0]) * 100:.1f} cm)")
+
+# --- moving source: instantaneous velocity (delay-Doppler CAF) -----------
+mics6 = geometry.circular_array(6, 0.35)
+cfg_m = PipelineConfig(
+    phat=True, window_enabled=False, band_hz=(700.0, 9500.0),
+    band_crop=True,
+    max_shift_samples=geometry.max_lag_for_array(mics6, PipelineConfig()))
+loc_m = Localizer.create(mics6, cfg_m)
+v_true = np.array([2.5, -1.5])
+fr = synth.synth_moving_scene(
+    np.array([0.3, 0.2, 1.2]), np.array([v_true[0], v_true[1], 0.0]),
+    mics6, noise_rms=0.005, seed=3)
+out = loc_m.localize_moving(jnp.asarray(fr, jnp.float32), n_scales=17)
+print(f"moving source: true v {v_true} -> "
+      f"est {np.round(np.asarray(out['velocity'][0]), 2)} m/s "
+      f"(one frame, no tracker)")
+
+# --- spherical DoA: azimuth AND elevation (tetra array) ------------------
+from audio_triangulation_tpu.models.doa import Doa3dEstimator
+
+tet = geometry.tetrahedral_array(0.3)
+cfg_t = PipelineConfig(
+    phat=True, window_enabled=False,
+    max_shift_samples=geometry.max_lag_for_array(tet, PipelineConfig()))
+est3 = Doa3dEstimator.create(tet, cfg_t, n_dirs=1024)
+az_t, el_t = 310.0, 40.0
+u = np.array([np.cos(np.deg2rad(el_t)) * np.cos(np.deg2rad(az_t)),
+              np.cos(np.deg2rad(el_t)) * np.sin(np.deg2rad(az_t)),
+              np.sin(np.deg2rad(el_t))])
+tau = -(np.asarray(tet, np.float64) @ u) / 343.0 * 50_000.0
+sig = synth.chirp_burst(1024, 50_000.0)
+fr = synth.fractional_delay(np.broadcast_to(sig, (4, 1024)), tau)[None]
+out = est3(jnp.asarray(fr, jnp.float32))
+print(f"spherical DoA: true az/el {az_t:.0f}/{el_t:.0f} -> "
+      f"est {float(out['azimuth_deg'][0]):.1f}/"
+      f"{float(out['elevation_deg'][0]):.1f} deg")
