@@ -460,6 +460,15 @@ class Doa3dEstimator:
         m = np.asarray(mic_positions, np.float32)
         m3 = np.zeros((m.shape[0], 3), np.float32)
         m3[:, : m.shape[1]] = m
+        if pipeline.max_shift_samples is None:
+            # the lag window must cover the array aperture (same auto-widen
+            # as VolumeLocalizer.create): the reference's fixed +-46
+            # (constants.h:12) assumes its 0.2 m triangle — a default-config
+            # tetrahedral array at 0.3 m needs +-45..+-74 depending on the
+            # pair, and clipped LUT lags silently wreck the bearing estimate
+            pipeline = dataclasses.replace(
+                pipeline,
+                max_shift_samples=geometry.max_lag_for_array(m3, pipeline))
         if hemisphere is None:
             hemisphere = bool(np.ptp(m3[:, 2]) < 1e-6)
         dirs = sphere_directions(n_dirs, hemisphere=hemisphere)

@@ -346,8 +346,12 @@ def cross_array_tdoas(
         # and the taper's asymmetric attenuation biases the peak by
         # ~0.3 samples (measured) — the window's purposes (reference
         # parity, spectral control at short lags) don't apply to
-        # long-baseline pairs
-        window_enabled=False)
+        # long-baseline pairs.  The transform length must also grow with
+        # the cross-array lag window: an inherited pinned fft_size or
+        # 'circular' pad mode would alias lag +s with -(N-s) at the
+        # hundreds-of-samples delays cross pairs see, silently biasing
+        # tdoa_cross — force linear padding sized from sync_max_shift.
+        window_enabled=False, fft_size=None, fft_pad_mode="linear")
     cond = localizer_mod.condition_frames(flat, params.window, cfg_sync)
     corr = xcorr.xcorr_fft(cond, params.cross_pairs, cfg_sync)
     tdoa, _ = xcorr.subsample_peak(corr, sync_max_shift)

@@ -508,9 +508,19 @@ def stream_step(
                         [params.mic_positions,
                          jnp.zeros((m, 3 - mdim),
                                    params.mic_positions.dtype)], axis=-1))
+            # in-plane iff the array is actually coplanar (same test as
+            # Localizer.localize_moving): a planar array supplied as [M, 3]
+            # with constant z must NOT run the rank-deficient 3-D LS.
+            # params is always partial-bound (concrete) at trace time; if a
+            # caller ever traces it, fall back to the column-count proxy.
+            if isinstance(params.mic_positions, jax.core.Tracer):
+                coplanar = mdim < 3
+            else:
+                coplanar = mdim < 3 or bool(
+                    np.ptp(np.asarray(params.mic_positions)[:, 2]) < 1e-6)
             vel = caf_ops.solve_velocity(
                 pos, dd["pair_rel_speed"], mic3, params.pairs,
-                in_plane=(mdim < 3))
+                in_plane=coplanar)
             out["velocity"] = vel[0]
             out["pair_rel_speed"] = dd["pair_rel_speed"][0]
 

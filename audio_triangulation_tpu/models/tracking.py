@@ -626,7 +626,12 @@ class Tracker:
         [dim] (e.g. ``localize_moving``'s delay-Doppler velocity) adds a
         sequential velocity-measurement update, with ``v_cov`` [dim, dim]
         overriding cfg.velocity_noise."""
-        if z_vel is not None or v_cov is not None:
+        if v_cov is not None and z_vel is None:
+            # v_cov only qualifies a velocity MEASUREMENT; without z_vel it
+            # would be silently ignored (no velocity update happens)
+            raise ValueError("v_cov requires z_vel (it is the noise of the "
+                             "velocity measurement, not a standalone input)")
+        if z_vel is not None:
             return self._step_any(
                 state, jnp.asarray(z, jnp.float32),
                 jnp.asarray(t, jnp.float32), jnp.asarray(valid, bool),

@@ -69,11 +69,11 @@ def resample_matrices(n: int, scales, half_width: int = 16) -> np.ndarray:
         n, tuple(float(a) for a in scales), half_width)
 
 
-def speed_grid(v_max: float = 8.0, n: int = 9,
-               speed_of_sound: float = 343.0) -> np.ndarray:
-    """Symmetric pair relative-speed hypotheses [S] (m/s) -> use
-    ``1 + grid / c`` as the CAF scale set.  n should be odd so alpha=1
-    (the static case) is always a hypothesis."""
+def speed_grid(v_max: float = 8.0, n: int = 9) -> np.ndarray:
+    """Symmetric pair relative-speed hypotheses [S] (m/s); the caller maps
+    speeds to CAF scales as ``1 + grid / c`` (that is where the speed of
+    sound enters — the grid itself is c-independent).  n should be odd so
+    alpha=1 (the static case) is always a hypothesis."""
     return np.linspace(-v_max, v_max, n)
 
 
@@ -93,7 +93,7 @@ def precompute_resample(n: int, v_max: float, n_scales: int,
     into the band DFT: the scaled spectra become ONE matmul per frame
     (S*N*Fb MACs vs S*N^2 + S*N*Fb, ~3.8x less at Fb ~ 180, and ~3x less
     HBM), numerically identical up to f32 summation order."""
-    speeds = speed_grid(v_max, n_scales, speed_of_sound)
+    speeds = speed_grid(v_max, n_scales)
     scales = tuple(1.0 + speeds / speed_of_sound)
     crop = None if cfg is None else mxu_fft.crop_bins(cfg)
     r = resample_matrices(n, scales)
@@ -244,7 +244,7 @@ def estimate_delay_doppler(
     33 scales -> 0.12 m/s on the same scene).  Doppler-tolerant waveforms
     (linear chirps) put a delay-Doppler RIDGE in the CAF; their alpha is
     ill-determined by construction, not by this estimator."""
-    speeds = speed_grid(v_max, n_scales, cfg.speed_of_sound_mps)
+    speeds = speed_grid(v_max, n_scales)
     scales = 1.0 + speeds / cfg.speed_of_sound_mps
     caf = caf_correlograms(frames, window, pairs, cfg, scales,
                            resample=resample)

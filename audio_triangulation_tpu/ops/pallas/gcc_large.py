@@ -42,7 +42,7 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
             re_ref, im_ref, sync_ref, syns_ref, out_ref, aux_ref,
             rr_ref, jj_ref, *, tile_b, chunk, mm_dtype, num_lags=0,
-            taper_denom=0.0):
+            taper_denom=0.0, taper_enabled=True):
     # PHAT happens per mic in the wrapper (whiten_reim), ONCE per spectrum
     # instead of once per pair: 2016-pair arrays would otherwise rsqrt 31x
     # the data volume inside this loop.
@@ -102,8 +102,11 @@ def _kernel(ei_ref, ej_ref,  # [1, chunk, M] one-hot selection, VMEM
     delta = jnp.clip(delta, -0.5, 0.5)
     shift = (idx - k).astype(jnp.float32)
     tdoa = shift + delta
-    d = (lane - idx).astype(jnp.float32)
-    tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
+    if taper_enabled:  # cfg.taper_enabled, matching the external path
+        d = (lane - idx).astype(jnp.float32)
+        tapered = corr * jnp.exp(-(d * d) / jnp.float32(taper_denom))
+    else:
+        tapered = corr
     outside = (jnp.abs(lane - idx) > 3) & valid
     side = jnp.max(jnp.where(outside, corr, neg), axis=-1, keepdims=True)
     psr = jnp.abs(v0) / jnp.maximum(jnp.abs(side), 1e-20)
@@ -172,7 +175,8 @@ def _call(re, im, sel_i, sel_j, cfg: PipelineConfig, tile_b, chunk,
     )
     kernel = functools.partial(
         _kernel, tile_b=tile_b, chunk=chunk, mm_dtype=mm,
-        num_lags=2 * k + 1, taper_denom=cfg.taper_denom)
+        num_lags=2 * k + 1, taper_denom=cfg.taper_denom,
+        taper_enabled=cfg.taper_enabled)
     if not with_peaks:
         def kernel(ei, ej, re_, im_, sc, ss, out, rr, jj,  # noqa: F811
                    _k=kernel):

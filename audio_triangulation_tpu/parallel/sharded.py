@@ -127,30 +127,48 @@ def make_sharded_stream_step(sl, mesh):
     spec = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS))
 
-    step = jax.vmap(
-        functools.partial(
-            streaming_mod.stream_step,
-            params=sl.params,
-            cfg=sl.pipeline,
-            grid_cfg=sl.grid,
-            solver_cfg=sl.solver,
-            srp_form=sl.srp_form,
-            max_events=sl.stream.max_events_per_chunk,
-            refractory=sl.stream.refractory_samples,
-            with_solver=sl.with_solver,
-            n_sources=sl.stream.n_sources,
-            multi_min_separation_m=sl.stream.multi_min_separation_m,
-            multi_assoc_window=sl.stream.multi_assoc_window_samples,
-            solve_xyz=sl.stream.solve_xyz,
-            xyz_z_inits=sl.stream.xyz_z_inits,
-            solve_velocity=sl.stream.solve_velocity,
-            velocity_v_max=sl.stream.velocity_v_max,
-            velocity_n_scales=sl.stream.velocity_n_scales,
-        )
+    one = functools.partial(
+        streaming_mod.stream_step,
+        params=sl.params,
+        cfg=sl.pipeline,
+        grid_cfg=sl.grid,
+        solver_cfg=sl.solver,
+        srp_form=sl.srp_form,
+        max_events=sl.stream.max_events_per_chunk,
+        refractory=sl.stream.refractory_samples,
+        with_solver=sl.with_solver,
+        n_sources=sl.stream.n_sources,
+        multi_min_separation_m=sl.stream.multi_min_separation_m,
+        multi_assoc_window=sl.stream.multi_assoc_window_samples,
+        solve_xyz=sl.stream.solve_xyz,
+        xyz_z_inits=sl.stream.xyz_z_inits,
+        solve_velocity=sl.stream.solve_velocity,
+        velocity_v_max=sl.stream.velocity_v_max,
+        velocity_n_scales=sl.stream.velocity_n_scales,
     )
+
+    def vstep(states, chunks, caf_resample=None):
+        # resample matrices shared (unbatched) across streams; closed over
+        # INSIDE the jit so they remain a traced argument
+        return jax.vmap(
+            lambda s, c: one(s, c, caf_resample=caf_resample)
+        )(states, chunks)
+
+    # solve_velocity's resampling matrices ride as a REPLICATED jit argument
+    # (the StreamingLocalizer already computes them; as a closure constant
+    # they would bake ~138 MB of HLO into the sharded program — the
+    # PERFORMANCE.md jit-closure footgun, worst on the multi-chip path)
+    caf_resample = sl._caf_resample
+    if caf_resample is not None:
+        caf_resample = jax.device_put(caf_resample, mesh_lib.replicated(mesh))
+
     # the single spec is a pytree prefix: every state leaf / the chunk array
     # shards its leading (stream) axis, trailing dims replicated
-    fn = jax.jit(step, in_shardings=(spec, spec), donate_argnums=(0,))
+    jitted = jax.jit(vstep, in_shardings=(spec, spec, None),
+                     donate_argnums=(0,))
+
+    def fn(states, chunks):
+        return jitted(states, chunks, caf_resample)
 
     def init_states(n_streams: int):
         data_n = mesh.shape[mesh_lib.DATA_AXIS]

@@ -71,6 +71,7 @@ _SLOW = {
     "test_sharded_streaming.py": {
         "test_sharded_stream_step_matches_vmapped",
         "test_sharded_stream_events_localized",
+        "test_sharded_stream_step_solve_velocity_threads_resample",
     },
     "test_srp_freq.py": {
         "test_mvdr_sharper_than_srp",

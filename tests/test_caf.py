@@ -290,3 +290,41 @@ def test_spectral_resample_fold_matches_time_domain():
                                np.asarray(b["tdoa_samples"]), atol=0.02)
     np.testing.assert_allclose(np.asarray(a["alpha"]),
                                np.asarray(b["alpha"]), atol=1e-4)
+
+
+def test_streaming_velocity_planar_mics_given_as_3d():
+    """Regression: a PLANAR array supplied as [M, 3] (constant z) must take
+    the in-plane velocity path — the 3-D LS is rank-deficient there and
+    used to return a [3] velocity with a junk v_z, breaking the
+    StreamConfig contract ('in-plane [2] for planar arrays')."""
+    from audio_triangulation_tpu.core.config import GridConfig, StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+    from audio_triangulation_tpu.utils import synth
+
+    mics2 = geometry.circular_array(6, 0.35)
+    mics3 = np.concatenate(
+        [np.asarray(mics2), np.full((6, 1), 1.0, np.float32)], axis=1)
+    cfg = _cfg(mics3)
+    h = GridConfig().height_m
+    src = np.array([0.45, 0.30, h])
+    v = np.array([2.5, -1.5, 0.0])
+
+    rng = np.random.default_rng(7)
+    streams = rng.integers(127, 130, size=(6, 6_144)).astype(np.float64)
+    fr = synth.synth_moving_scene(src + [0, 0, 1.0], v, mics3, seed=4)[0]
+    streams[:, 2_500: 2_500 + 1024] += 110.0 * fr
+    streams = np.clip(np.round(streams), 0, 255)
+
+    sl = StreamingLocalizer.create(
+        mics3, cfg,
+        stream=StreamConfig(chunk_size=512, solve_velocity=True,
+                            velocity_n_scales=9),
+        with_solver=True)
+    state = sl.init_state()
+    got = None
+    for i in range(0, 6_144, 512):
+        state, out = sl(state, jnp.asarray(streams[:, i: i + 512]))
+        if bool(out["event"]):
+            got = np.asarray(out["velocity"])
+    assert got is not None, "no events detected"
+    assert got.shape == (2,), got

@@ -91,6 +91,27 @@ def test_doa3d_tetra_recovers_az_el():
         assert float(u_grid @ _bearing(az, el)) > 0.99
 
 
+def test_doa3d_default_config_auto_widens_lag_window():
+    """Regression: ``Doa3dEstimator.create`` with the DEFAULT pipeline must
+    widen max_shift to the array aperture like VolumeLocalizer.create does.
+    The reference's fixed +-46 (constants.h:12) clips the tetrahedral
+    array's +-73-sample pair TDOAs, which used to saturate the LUT and
+    return ~179 deg azimuth for a 310-deg source with no warning."""
+    mics = geometry.tetrahedral_array(0.3)
+    est = Doa3dEstimator.create(mics)  # default PipelineConfig(phat=True)
+    need = geometry.max_lag_for_array(
+        np.pad(mics, [(0, 0), (0, 3 - mics.shape[1])]), PipelineConfig())
+    assert est.pipeline.max_shift >= need
+    out = est(_farfield_frames(mics, 310.0, 40.0, seed=3))
+    az_err = abs((float(out["azimuth_deg"][0]) - 310.0 + 180.0) % 360.0
+                 - 180.0)
+    assert az_err < 4.0
+    assert abs(float(out["elevation_deg"][0]) - 40.0) < 4.0
+    # an explicit max_shift_samples is respected, not overridden
+    est2 = Doa3dEstimator.create(mics, PipelineConfig(max_shift_samples=50))
+    assert est2.pipeline.max_shift == 50
+
+
 def test_doa3d_coplanar_hemisphere():
     """A planar array auto-selects the upper hemisphere: azimuth stays
     LS-sharp, elevation is grid-coarse but unambiguous (>= 0)."""

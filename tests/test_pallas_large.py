@@ -66,6 +66,23 @@ def test_large_kernel_in_kernel_peaks_match_external(rng):
     np.testing.assert_allclose(tapered, ref_tapered, rtol=1e-5, atol=1e-7)
 
 
+def test_large_kernel_peaks_honors_taper_disabled(rng):
+    """Regression: taper_enabled=False must flow into the in-kernel peaks
+    path — the written correlogram is the RAW one, matching the external
+    path's semantics for the flag (reference correlations.c:26-33 is the
+    tapered default; the flag turns it off everywhere)."""
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True,
+                         max_shift_samples=30, taper_enabled=False)
+    m = 8
+    frames = jnp.asarray(rng.normal(size=(2, m, 512)).astype(np.float32))
+    pairs = geometry.mic_pairs(m)
+    raw = np.asarray(gcc_large.xcorr_large(
+        frames, pairs, cfg, tile_b=2, chunk=32, interpret=True))
+    out, *_ = gcc_large.xcorr_large_peaks(
+        frames, pairs, cfg, tile_b=2, chunk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), raw, rtol=1e-6, atol=1e-7)
+
+
 def test_large_kernel_bf16_matmul_close(rng):
     """matmul_dtype='bfloat16' (for chips where bf16 outrates f32) stays
     within bf16 tolerance of the f32 kernel and preserves the peak lag."""

@@ -109,3 +109,33 @@ def test_init_states_divisibility_check():
     _, init_states = sharded.make_sharded_stream_step(sl, mesh)
     with pytest.raises(ValueError):
         init_states(12)  # not divisible by 8
+
+
+def test_sharded_stream_step_solve_velocity_threads_resample():
+    """Regression: make_sharded_stream_step with solve_velocity must pass
+    the CAF resampling matrices as a traced jit ARGUMENT (replicated over
+    the mesh), not rebuild them at trace time inside the jit — a closure
+    constant bakes ~138 MB of HLO into the sharded program at production
+    scale (the PERFORMANCE.md jit-closure footgun).  Functional check:
+    the sharded step runs and emits a velocity per stream."""
+    from audio_triangulation_tpu import PipelineConfig
+
+    cfg = PipelineConfig(
+        phat=True, window_enabled=False, band_hz=(700.0, 9500.0))
+    sl = StreamingLocalizer.create(
+        MICS, cfg,
+        stream=StreamConfig(chunk_size=CHUNK, solve_velocity=True,
+                            velocity_n_scales=5))
+    assert sl._caf_resample is not None
+    mesh = mesh_lib.make_mesh()
+    fn, init_states = sharded.make_sharded_stream_step(sl, mesh)
+
+    n = 8
+    streams, _ = _streams(n, seed=3)
+    st = init_states(n)
+    out = None
+    for i in range(0, 4096, CHUNK):
+        st, out = fn(st, jnp.asarray(streams[:, :, i: i + CHUNK]))
+    assert out is not None
+    assert np.asarray(out["velocity"]).shape == (n, 2)
+    assert np.isfinite(np.asarray(out["velocity"])).all()

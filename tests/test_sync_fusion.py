@@ -202,3 +202,36 @@ def test_localize_sync_with_drift_end_to_end():
     out0 = fus.localize_sync(frames)
     err0 = np.linalg.norm(np.asarray(out0["xy_sync"]) - src, axis=-1)
     assert err.mean() < err0.mean(), (err, err0)
+
+
+def test_cross_array_tdoas_with_pinned_transform_cfg():
+    """Regression: cross-array correlograms must grow their OWN transform
+    length.  An inherited ``fft_pad_mode='circular'`` (the production/bench
+    pad mode, fft_length == frame_size) or a pinned ``fft_size`` would
+    alias the hundreds-of-samples cross-array delays (lag +s wraps to
+    -(N-s)) and silently bias tdoa_cross; cross_array_tdoas now forces
+    linear padding sized from sync_max_shift."""
+    from audio_triangulation_tpu.models import fusion as fusion_mod
+
+    src = np.array([[0.8, 0.9], [-0.6, 1.6]])
+    frames = _world_scene(src, seed=11)
+    pairs = geometry.mic_pairs(12)
+    exact = _exact_tdoas(src, pairs)  # seconds, incl. clock offsets
+
+    for cfg in (PipelineConfig(phat=True, band_hz=(700.0, 7000.0),
+                               fft_pad_mode="circular"),
+                PipelineConfig(phat=True, band_hz=(700.0, 7000.0),
+                               fft_size=1024)):
+        fus = ArrayFusionLocalizer.create(ARRAYS, cfg)
+        got = np.asarray(fusion_mod.cross_array_tdoas(
+            fus.params, frames, cfg, fus.sync_max_shift)) / FS
+        cross = np.asarray(fus.params.cross_pairs)
+        # match rows of `exact` to the cross-pair list
+        lut = {(int(i), int(j)): k for k, (i, j) in enumerate(pairs)}
+        want = np.stack([[exact[e, lut[(int(i), int(j))]]
+                          for i, j in cross] for e in range(len(src))])
+        # several cross baselines exceed 4 m -> |tdoa| > 580 samples;
+        # they must come back unaliased to a fraction of a sample
+        assert np.abs(want).max() * FS > 300
+        err = np.abs(got - want) * FS
+        assert err.max() < 0.6, err.max()

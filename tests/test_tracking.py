@@ -629,3 +629,14 @@ def test_velocity_measurement_beats_position_only():
         return np.linalg.norm(np.asarray(out["track_vel"])[k] - v)
 
     assert run(True) < run(False)
+
+
+def test_v_cov_without_z_vel_raises():
+    """Regression: v_cov qualifies a velocity MEASUREMENT — without z_vel
+    it used to dispatch to the retrace path and be silently ignored (no
+    velocity fusion at all).  Now it is a loud error."""
+    tr = Tracker(TrackerConfig())
+    state = tr.init()
+    with pytest.raises(ValueError, match="z_vel"):
+        tr.step(state, np.zeros(2, np.float32), 0.0, True,
+                v_cov=0.1 * np.eye(2, dtype=np.float32))
