@@ -6,7 +6,8 @@ from .streaming import (  # noqa: F401
     StreamingLocalizer, StreamState, TwoRateStreamingLocalizer)
 from .doa import DoaEstimator  # noqa: F401
 from .calibration import CalibBatch, CalibParams, Calibrator  # noqa: F401
-from .tracking import Tracker, TrackerConfig, TrackState  # noqa: F401
+from .tracking import (Tracker, TrackerConfig, TrackState,  # noqa: F401
+                       rts_smooth)
 from .neural import NeuralLocalizer  # noqa: F401
 from .extraction import StreamingExtractor, ExtractorState  # noqa: F401
 from .fusion import ArrayFusionLocalizer  # noqa: F401

@@ -559,6 +559,67 @@ def step_multi(
     return new_state, out
 
 
+# ----------------------------------------------------------------------
+# Offline trajectory smoothing (Rauch-Tung-Striebel)
+# ----------------------------------------------------------------------
+
+def rts_smooth(
+    x: jnp.ndarray,
+    p: jnp.ndarray,
+    t: jnp.ndarray,
+    cfg: TrackerConfig = TrackerConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RTS smoother over ONE track's recorded filter history.
+
+    New capability beyond the reference (which has no tracking at all;
+    its only temporal state is the correlogram EMA,
+    src/components/correlations.c:38-63): the online tracker bank is
+    causal, so early positions carry full filter uncertainty.  For
+    offline/forensic use — replaying a recorded session, calibrating
+    against a surveyed trajectory — the backward Rauch-Tung-Striebel
+    pass conditions every estimate on the WHOLE event sequence, with
+    the same constant-velocity transition and white-noise-acceleration
+    Q the forward filter used (``_predict``).
+
+    Inputs are the filtered posteriors of one track at its event times:
+    ``x`` [T, 2*dim], ``p`` [T, 2*dim, 2*dim], ``t`` [T] (strictly
+    increasing).  Record them after each ``Tracker.step`` from
+    ``state.x[k] / state.p[k]`` at the track's slot ``k`` (slots are
+    stable while a track lives; match by ``state.track_id``).
+
+    Returns smoothed (xs [T, 2*dim], ps [T, 2*dim, 2*dim]); the last
+    entry equals the filtered one (the smoother's anchor).  Gaps in
+    ``t`` are handled exactly like the filter handles them (Q grows
+    with dt).  Whole pass is one reverse ``lax.scan`` — jit/vmap-safe.
+    """
+    dim = x.shape[-1] // 2
+    q = cfg.process_noise
+    prec = jax.lax.Precision.HIGHEST  # tiny matrices; accuracy is free
+
+    def back(carry, inp):
+        xs_n, ps_n = carry
+        xk, pk, dt = inp
+        f = jnp.eye(2 * dim, dtype=xk.dtype)
+        f = f.at[jnp.arange(dim), dim + jnp.arange(dim)].set(dt)
+        xp, pp = _predict(xk, pk, dt, q, dim)
+        # C = P_k F' Pp^{-1}; all three symmetric/PSD so one solve does it
+        c = jnp.linalg.solve(
+            pp, jnp.matmul(f, pk, precision=prec)).T
+        xs_k = xk + jnp.matmul(c, xs_n - xp, precision=prec)
+        ps_k = pk + jnp.matmul(
+            jnp.matmul(c, ps_n - pp, precision=prec), c.T, precision=prec)
+        ps_k = 0.5 * (ps_k + ps_k.T)  # keep symmetric under f32 roundoff
+        return (xs_k, ps_k), (xs_k, ps_k)
+
+    dts = t[1:] - t[:-1]  # dt[k] advances k -> k+1
+    (_, _), (xs_rev, ps_rev) = jax.lax.scan(
+        back, (x[-1], p[-1]),
+        (x[:-1][::-1], p[:-1][::-1], dts[::-1]))
+    xs = jnp.concatenate([xs_rev[::-1], x[-1:]], axis=0)
+    ps = jnp.concatenate([ps_rev[::-1], p[-1:]], axis=0)
+    return xs, ps
+
+
 @dataclasses.dataclass(frozen=True)
 class Tracker:
     """Convenience wrapper: jitted single- and multi-stream stepping."""
@@ -659,6 +720,18 @@ class Tracker:
         return self._step_many(
             states, jnp.asarray(zs, jnp.float32),
             jnp.asarray(ts, jnp.float32), jnp.asarray(valids, bool))
+
+    @functools.cached_property
+    def _smooth(self):
+        return jax.jit(functools.partial(rts_smooth, cfg=self.cfg))
+
+    def smooth(self, x, p, t):
+        """Offline RTS smoothing of one track's recorded filter history
+        (see :func:`rts_smooth`): x [T, 2*dim], p [T, 2*dim, 2*dim],
+        t [T] -> smoothed (xs, ps)."""
+        return self._smooth(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(p, jnp.float32),
+                            jnp.asarray(t, jnp.float32))
 
     def step_multi(self, state, zs, t, valids=None, z_covs=None):
         """Joint JPDA update with N simultaneous measurements: zs [N, 2];

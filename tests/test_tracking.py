@@ -640,3 +640,74 @@ def test_v_cov_without_z_vel_raises():
     with pytest.raises(ValueError, match="z_vel"):
         tr.step(state, np.zeros(2, np.float32), 0.0, True,
                 v_cov=0.1 * np.eye(2, dtype=np.float32))
+
+
+def test_rts_smoother_beats_filter():
+    """Offline RTS smoothing over a recorded track history: conditioning
+    on the whole event sequence must cut both position and velocity error
+    vs the causal filter, the last point must equal the filtered anchor,
+    and the smoothed covariances must not exceed the filtered ones."""
+    rng = np.random.default_rng(11)
+    v = np.array([1.5, -1.0], np.float32)
+    x0 = np.array([-0.5, 0.4], np.float32)
+    noise = 0.05
+    tr = Tracker(TrackerConfig(measurement_noise=noise, process_noise=0.05))
+    state = tr.init()
+
+    ts, xs_f, ps_f, truth = [], [], [], []
+    for i in range(20):
+        t = 0.15 * i
+        pos = x0 + v * t
+        z = pos + rng.normal(0, noise, 2).astype(np.float32)
+        state, out = tr.step(state, z, t, True)
+        k = int(np.argmax(np.asarray(out["track_active"])))
+        ts.append(t)
+        xs_f.append(np.asarray(state.x[k]))
+        ps_f.append(np.asarray(state.p[k]))
+        truth.append(pos)
+    xs_f, ps_f, truth = map(np.stack, (xs_f, ps_f, truth))
+
+    xs_s, ps_s = tr.smooth(xs_f, ps_f, np.asarray(ts))
+    xs_s, ps_s = np.asarray(xs_s), np.asarray(ps_s)
+
+    np.testing.assert_allclose(xs_s[-1], xs_f[-1], atol=1e-6)
+    np.testing.assert_allclose(ps_s[-1], ps_f[-1], atol=1e-6)
+
+    err_f = np.linalg.norm(xs_f[:, :2] - truth, axis=-1)
+    err_s = np.linalg.norm(xs_s[:, :2] - truth, axis=-1)
+    assert err_s.mean() < 0.8 * err_f.mean(), (err_s.mean(), err_f.mean())
+    verr_f = np.linalg.norm(xs_f[2:, 2:] - v, axis=-1)
+    verr_s = np.linalg.norm(xs_s[2:, 2:] - v, axis=-1)
+    assert verr_s.mean() < verr_f.mean()
+    # uncertainty shrinks (or holds) everywhere: tr(Ps) <= tr(Pf) + eps
+    tr_f = np.trace(ps_f, axis1=-2, axis2=-1)
+    tr_s = np.trace(ps_s, axis1=-2, axis2=-1)
+    assert (tr_s <= tr_f + 1e-6).all()
+    # the early points gain the most (the filter is still converging there)
+    assert tr_s[0] < 0.7 * tr_f[0]
+
+
+def test_rts_smoother_dim3():
+    """The smoother is dimension-generic like the bank (dim=3 states)."""
+    rng = np.random.default_rng(12)
+    v = np.array([1.0, -0.8, 0.4], np.float32)
+    x0 = np.array([0.2, 0.1, 1.0], np.float32)
+    tr = Tracker(TrackerConfig(dim=3, gate_maha2=11.34,
+                               measurement_noise=0.05, process_noise=0.05))
+    state = tr.init()
+    ts, xs_f, ps_f, truth = [], [], [], []
+    for i in range(15):
+        t = 0.2 * i
+        pos = x0 + v * t
+        z = pos + rng.normal(0, 0.05, 3).astype(np.float32)
+        state, out = tr.step(state, z, t, True)
+        k = int(np.argmax(np.asarray(out["track_active"])))
+        ts.append(t)
+        xs_f.append(np.asarray(state.x[k]))
+        ps_f.append(np.asarray(state.p[k]))
+        truth.append(pos)
+    xs_f, ps_f, truth = map(np.stack, (xs_f, ps_f, truth))
+    xs_s, _ = map(np.asarray, tr.smooth(xs_f, ps_f, np.asarray(ts)))
+    err_f = np.linalg.norm(xs_f[:, :3] - truth, axis=-1)
+    err_s = np.linalg.norm(xs_s[:, :3] - truth, axis=-1)
+    assert err_s.mean() < 0.85 * err_f.mean(), (err_s.mean(), err_f.mean())
