@@ -562,9 +562,27 @@ def cmd_stream(args):
                 f"t={i / 50000.0:6.2f}s  events={int(state.event_count)}  "
                 f"xy=({xy[0]:+.2f}, {xy[1]:+.2f}) m\n{art}")
 
+    dereverber = None
+    if getattr(args, "dereverb", False):
+        import math
+
+        from ..ops.dereverb import StreamingDereverb
+
+        hop = min(math.gcd(1024, args.chunk), 256)
+        if hop < 8:
+            raise SystemExit(
+                f"--dereverb needs --chunk divisible by a WOLA hop "
+                f"(power of 2 >= 8); got --chunk {args.chunk}")
+        dereverber = StreamingDereverb(mics.shape[0], frame=1024, hop=hop)
+        dvb_state = dereverber.init_state()
+        print(f"dereverb: WPE frame=1024 hop={hop} "
+              f"(latency {dereverber.latency_samples} samples)")
     for i in range(0, t_len - t_len % args.chunk, args.chunk):
         chunk = streams[:, i: i + args.chunk]
         rt.push(chunk.T)
+        if dereverber is not None:
+            dvb_state, chunk = dereverber.step(
+                dvb_state, jnp.asarray(chunk, jnp.float32))
         state, out = sl(state, jnp.asarray(chunk, jnp.float32))
         meter.add(frames=args.chunk)
         if bool(out["event"]):
@@ -913,6 +931,12 @@ def main(argv=None):
                         "StreamConfig.xyz_z_inits; needs a non-coplanar "
                         "array, e.g. --array tetra); the demo scene then "
                         "places the source at (--x, --y, --height)")
+    p.add_argument("--dereverb", action="store_true",
+                   help="insert a streaming WPE dereverberation stage "
+                        "(ops.dereverb.StreamingDereverb) in front of the "
+                        "detector; chunks are dereverbed continuously "
+                        "(adaptive RLS per STFT bin), event timestamps "
+                        "shift by the WOLA latency (frame - hop samples)")
     p.add_argument("--live", action="store_true",
                    help="in-place ANSI heatmap (the live VGA analogue)")
     p.add_argument("--refresh-hz", type=float, default=None,
@@ -995,6 +1019,14 @@ def main(argv=None):
     p.add_argument("--diagnose", action="store_true",
                    help="print array health (TDOA cycle-consistency "
                         "per-mic scores + faulty-mic flags)")
+    p.add_argument("--dereverb", action="store_true",
+                   help="WPE multi-channel dereverberation of the whole "
+                        "file before detection (ops.dereverb; late "
+                        "reflections are subtracted per STFT bin, the "
+                        "direct path and early reflections survive — "
+                        "sharper GCC peaks in reverberant rooms)")
+    p.add_argument("--dereverb-taps", type=int, default=10,
+                   help="WPE prediction taps per channel (default 10)")
     p.add_argument("--extract", metavar="OUT_WAV",
                    help="also write a beamformed mono waveform of each "
                         "event at its localized position (files get a "
@@ -1097,6 +1129,15 @@ def cmd_localize_wav(args):
         raise SystemExit(
             f"wav has {samples.shape[0]} channels, array has "
             f"{mics.shape[0]} mics")
+    if getattr(args, "dereverb", False):
+        from ..ops import dereverb as dvb
+
+        # ~20 ms STFT frames at the file's rate, power-of-two
+        fr = 1 << max(8, int(round(np.log2(rate * 0.02))))
+        samples = np.asarray(dvb.wpe(
+            jnp.asarray(samples, jnp.float32), frame=fr, hop=fr // 4,
+            taps=args.dereverb_taps, delay=4, iters=3))
+        print(f"dereverberated: WPE frame={fr} taps={args.dereverb_taps}")
     cfg = PipelineConfig(sample_rate_hz=rate, phat=args.phat,
                          weighting=args.weighting,
                          band_hz=_parse_band(args.band),

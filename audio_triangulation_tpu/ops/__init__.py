@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     beamform,
     caf,
     conditioning,
+    dereverb,
     detector,
     framing,
     mxu_fft,
