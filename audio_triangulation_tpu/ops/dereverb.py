@@ -298,11 +298,26 @@ class StreamingDereverb:
             out_tail=jnp.zeros((self.n_mics, lat), jnp.float32),
         )
 
+    def init_states(self, n_streams: int) -> DereverbState:
+        """Stacked fresh states for ``step_many`` ([n_streams] leading)."""
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)).copy(),
+            self.init_state())
+
     def step(self, state: DereverbState, chunk: jnp.ndarray):
         """chunk [M, C] (C a multiple of hop) -> (state, y [M, C])."""
         if self._step is None:
             self._step = jax.jit(self._make_step())
         return self._step(state, chunk)
+
+    def step_many(self, states: DereverbState, chunks: jnp.ndarray):
+        """Vmapped step: states/chunks with a leading stream axis — the
+        multi-stream serving form (pairs with ``StreamingLocalizer.
+        step_many`` / ``make_sharded_stream_step``, where the stream axis
+        is sharded over the mesh's data axis)."""
+        if getattr(self, "_step_many", None) is None:
+            self._step_many = jax.jit(jax.vmap(self._make_step()))
+        return self._step_many(states, chunks)
 
     def _make_step(self):
         f, h = self.frame, self.hop

@@ -186,6 +186,24 @@ def test_wpe_rls_state_carries_across_blocks():
     assert float(jnp.abs(st2.g).max()) > 0.0
 
 
+def test_step_many_matches_per_stream_steps():
+    """The vmapped multi-stream step is exactly N independent streams."""
+    rng = np.random.default_rng(4)
+    m, n_streams, c = 2, 3, 512
+    sd = dereverb.StreamingDereverb(m, frame=512, hop=128, taps=4, delay=2)
+    chunks = jnp.asarray(
+        rng.normal(size=(n_streams, m, c)), jnp.float32)
+    states = sd.init_states(n_streams)
+    states, ys = sd.step_many(states, chunks)
+    for i in range(n_streams):
+        st = sd.init_state()
+        st, y = sd.step(st, chunks[i])
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(y),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(states.wpe.g[i]),
+                                   np.asarray(st.wpe.g), atol=1e-6)
+
+
 def test_rls_init_validates_delay():
     with pytest.raises(ValueError):
         dereverb.wpe_rls_init(9, 2, taps=4, delay=0)
