@@ -266,16 +266,19 @@ def _simulate_volume(args, mics):
         print(f"volume view -> {args.out}")
 
 
-def _make_tracker(enabled: bool, dim: int = 2):
+def _make_tracker(enabled: bool, dim: int = 2, imm: bool = False):
     """(tracker, state, update_fn) for the stream commands' --track flag;
     update_fn(z, cov, t) -> one-line track summary (or '').  dim=3 pairs
-    with --solve-xyz (measurements are xyz; 99% chi2 gate for 3 dof)."""
+    with --solve-xyz (measurements are xyz; 99% chi2 gate for 3 dof).
+    imm=True runs the two-mode IMM bank (cruise/maneuver process noise)
+    instead of a single CV filter."""
     if not enabled:
         return None
 
     from ..models.tracking import Tracker, TrackerConfig
 
     trk = Tracker(TrackerConfig(dim=dim,
+                                imm_q=(0.05, 8.0) if imm else None,
                                 gate_maha2=11.34 if dim == 3 else 9.21))
     holder = {"state": trk.init(), "n_active": 0}
 
@@ -283,6 +286,8 @@ def _make_tracker(enabled: bool, dim: int = 2):
         return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
 
     def update(z, cov, t, vel=None):
+        if imm:
+            vel = None  # velocity-measurement fusion is single-model only
         holder["state"], out = trk.step(
             holder["state"], np.asarray(z, np.float32), float(t), True,
             z_cov=None if cov is None else np.asarray(cov, np.float32),
@@ -306,8 +311,11 @@ def _make_tracker(enabled: bool, dim: int = 2):
         sig = ("" if cov is None else
                f" sigma="
                f"{np.sqrt(max(np.trace(np.asarray(cov)) / dim, 0)):.3f}m")
+        mode = ""
+        if "model_prob" in out:
+            mode = f" p(maneuver)={float(out['model_prob'][k, -1]):.2f}"
         return (f"track #{tid}{'*' if conf else ''}: "
-                f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}")
+                f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}{mode}")
 
     return update
 
@@ -337,7 +345,8 @@ def cmd_stream_live(args):
 
     deadline = (time.time() + args.max_seconds
                 if args.max_seconds else None)
-    track = _make_tracker(getattr(args, "track", False))
+    track = _make_tracker(getattr(args, "track", False),
+                          imm=getattr(args, "imm", False))
     events = 0
     try:
         while True:
@@ -481,7 +490,8 @@ def cmd_stream(args):
                   f"(events so far: {int(state.event_count)})")
     meter = profiling.ThroughputMeter()
     track = _make_tracker(getattr(args, "track", False),
-                          dim=3 if solve_xyz else 2)
+                          dim=3 if solve_xyz else 2,
+                          imm=getattr(args, "imm", False))
     extractor = None
     if getattr(args, "extract", None):
         import math
@@ -914,6 +924,10 @@ def main(argv=None):
                         "event's xy_cov as measurement noise); prints "
                         "track id/position/velocity per event; with "
                         "--solve-xyz the tracker runs in 3-D")
+    p.add_argument("--imm", action="store_true",
+                   help="with --track: IMM cruise/maneuver mode bank "
+                        "(TrackerConfig.imm_q=(0.05, 8.0)) instead of a "
+                        "single CV filter; prints p(maneuver) per event")
     p.add_argument("--velocity", action="store_true",
                    help="per-event instantaneous velocity via the "
                         "delay-Doppler cross-ambiguity (ops.caf) on the "

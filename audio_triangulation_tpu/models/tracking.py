@@ -76,6 +76,19 @@ class TrackerConfig:
     # static constant and the marginalization is one einsum, so it jits
     # and vmaps like everything else (fine for N, K <= ~6).
     joint_association: str = "cheap"
+    # IMM (interacting multiple model): a tuple of process-noise densities
+    # makes each track a bank of mode-matched CV filters — e.g.
+    # (0.05, 8.0) = "cruising" vs "maneuvering" — mixed every step by a
+    # Markov mode chain and re-weighted by each mode's measurement
+    # likelihood.  One process_noise can't track both regimes: small q
+    # lags hard turns, large q jitters on straight legs; the IMM switches
+    # in a few events.  None (default) = the plain single-model tracker.
+    # Supported on the single-measurement step path (hard + soft
+    # association, z_cov); not with step_multi / z_vel / rts_smooth.
+    imm_q: tuple | None = None
+    # self-transition probability of the mode chain (off-diagonal mass is
+    # split uniformly across the other modes)
+    imm_stay: float = 0.95
 
 
 @jax.tree_util.register_dataclass
@@ -383,6 +396,208 @@ def step(
     return new_state, out
 
 
+# ----------------------------------------------------------------------
+# IMM (interacting multiple model) bank
+# ----------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ImmTrackState:
+    """IMM tracker bank state: per-track per-mode filters + mode beliefs.
+
+    Bookkeeping fields mirror :class:`TrackState`; the filter arrays gain
+    a mode axis R = len(cfg.imm_q)."""
+
+    xm: jnp.ndarray       # [K, R, 2*dim] per-mode state
+    pm: jnp.ndarray       # [K, R, 2*dim, 2*dim] per-mode covariance
+    mu: jnp.ndarray       # [K, R] mode probabilities
+    active: jnp.ndarray   # [K] bool
+    hits: jnp.ndarray     # [K] int32
+    last_t: jnp.ndarray   # [K] float32
+    born_t: jnp.ndarray   # [K] float32
+    track_id: jnp.ndarray  # [K] int32
+    next_id: jnp.ndarray  # scalar int32
+    dropped: jnp.ndarray  # scalar int32
+    unassigned: jnp.ndarray  # scalar int32
+
+
+def init_state_imm(cfg: TrackerConfig) -> ImmTrackState:
+    if not cfg.imm_q:
+        raise ValueError("init_state_imm needs cfg.imm_q (a tuple of "
+                         "per-mode process-noise densities)")
+    k, r, sd = cfg.max_tracks, len(cfg.imm_q), 2 * cfg.dim
+    return ImmTrackState(
+        xm=jnp.zeros((k, r, sd), jnp.float32),
+        pm=jnp.zeros((k, r, sd, sd), jnp.float32),
+        mu=jnp.full((k, r), 1.0 / r, jnp.float32),
+        active=jnp.zeros((k,), bool),
+        hits=jnp.zeros((k,), jnp.int32),
+        last_t=jnp.zeros((k,), jnp.float32),
+        born_t=jnp.zeros((k,), jnp.float32),
+        track_id=jnp.zeros((k,), jnp.int32),
+        next_id=jnp.ones((), jnp.int32),
+        dropped=jnp.zeros((), jnp.int32),
+        unassigned=jnp.zeros((), jnp.int32),
+    )
+
+
+def _imm_transition(cfg: TrackerConfig) -> np.ndarray:
+    """Markov mode-transition matrix pi[i, j] = P(mode i -> mode j)."""
+    r = len(cfg.imm_q)
+    if r == 1:
+        return np.ones((1, 1), np.float32)
+    off = (1.0 - cfg.imm_stay) / (r - 1)
+    pi = np.full((r, r), off, np.float32)
+    np.fill_diagonal(pi, cfg.imm_stay)
+    return pi
+
+
+def step_imm(
+    state: ImmTrackState,
+    z: jnp.ndarray,        # [dim] measured position (meters)
+    t: jnp.ndarray,        # scalar time (seconds)
+    valid: jnp.ndarray,    # scalar bool
+    cfg: TrackerConfig,
+    z_cov: jnp.ndarray | None = None,  # [dim, dim] per-measurement noise
+) -> tuple[ImmTrackState, dict]:
+    """One event-driven IMM tracker update (Blom & Bar-Shalom 1988).
+
+    Per active track: (1) mix the mode-conditioned estimates under the
+    transition prior, (2) predict each mode with ITS process noise,
+    (3) gate/associate on the moment-matched mixture (hard NN or soft
+    PDA, exactly :func:`step`'s rules), (4) weighted Kalman update per
+    mode, (5) reweight modes by their measurement likelihoods.  All mode
+    math is einsum-batched over [K, R] — no per-mode Python branching.
+
+    Outputs as :func:`step` plus ``model_prob`` [K, R] (posterior mode
+    beliefs; watch the maneuver mode light up during turns)."""
+    k, dim = cfg.max_tracks, cfg.dim
+    qvec = jnp.asarray(cfg.imm_q, jnp.float32)      # [R]
+    pi = jnp.asarray(_imm_transition(cfg))          # [R, R]
+    z = z.astype(jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    r_meas = (cfg.measurement_noise ** 2 * jnp.eye(dim, dtype=jnp.float32)
+              if z_cov is None else z_cov.astype(jnp.float32))
+
+    stale = state.active & ((t - state.last_t) > cfg.max_coast_s)
+    active = state.active & ~stale
+    dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
+
+    # ---- 1) interaction / mixing ----------------------------------------
+    cbar = jnp.einsum("ki,ij->kj", state.mu, pi)        # [K, R] prior modes
+    cbar_s = jnp.maximum(cbar, 1e-12)
+    mucond = (state.mu[:, :, None] * pi[None]) / cbar_s[:, None, :]
+    x0 = jnp.einsum("kij,kid->kjd", mucond, state.xm)   # [K, R, 2d]
+    dx = state.xm[:, :, None, :] - x0[:, None, :, :]    # [K, i, j, 2d]
+    p0 = (jnp.einsum("kij,kide->kjde", mucond, state.pm)
+          + jnp.einsum("kij,kijd,kije->kjde", mucond, dx, dx))
+
+    # ---- 2) per-mode predict (each mode its own q) -----------------------
+    dt = jnp.maximum(t - state.last_t, 0.0) * active    # [K]
+
+    def _predict_track(xk, pk, dtk):
+        return jax.vmap(
+            lambda xr, pr, qr: _predict(xr, pr, dtk, qr, dim)
+        )(xk, pk, qvec)
+
+    xp, pp = jax.vmap(_predict_track)(x0, p0, dt)       # [K, R, ...]
+    s_m = pp[:, :, :dim, :dim] + r_meas                 # [K, R, d, d]
+    sinv_m, det_m = _inv_det(s_m)
+
+    # ---- 3) association on the moment-matched mixture --------------------
+    xbar = jnp.einsum("kj,kjd->kd", cbar, xp)           # [K, 2d]
+    dpos = xp[:, :, :dim] - xbar[:, None, :dim]         # [K, R, d]
+    pbar_pos = (jnp.einsum("kj,kjde->kde", cbar, pp[:, :, :dim, :dim])
+                + jnp.einsum("kj,kjd,kje->kde", cbar, dpos, dpos))
+    s_bar = pbar_pos + r_meas
+    sinv_bar, det_bar = _inv_det(s_bar)
+    innov_bar = z[None, :] - xbar[:, :dim]              # [K, d]
+    maha2 = jnp.einsum("ki,kij,kj->k", innov_bar, sinv_bar, innov_bar)
+    maha2 = jnp.where(active, maha2, jnp.inf)
+    best = jnp.argmin(maha2)
+    gated = active & (maha2 <= cfg.gate_maha2)
+
+    if cfg.association == "soft":
+        like = jnp.where(
+            gated,
+            jnp.exp(-0.5 * jnp.minimum(maha2, 80.0))
+            / ((2.0 * jnp.pi) ** (dim / 2.0) * jnp.sqrt(det_bar)),
+            0.0)
+        denom = cfg.clutter_density + cfg.detect_prob * jnp.sum(like)
+        b = valid * cfg.detect_prob * like / denom
+        b0 = jnp.where(valid, cfg.clutter_density / denom, 1.0)
+        slot_sel = b > 0.5
+        spawn = valid & (b0 > cfg.spawn_b0)
+    else:
+        can_assoc = valid & gated[best]
+        slot_sel = (jnp.arange(k) == best) & can_assoc
+        b = slot_sel.astype(jnp.float32)
+        spawn = valid & ~can_assoc
+
+    # ---- 4) weighted Kalman update per mode ------------------------------
+    innov_m = z[None, None, :] - xp[:, :, :dim]         # [K, R, d]
+    gain = jnp.einsum("krij,krjl->kril", pp[:, :, :, :dim], sinv_m)
+    ky = jnp.einsum("krij,krj->kri", gain, innov_m)     # [K, R, 2d]
+    bw = b[:, None]                                     # [K, 1]
+    x_new = xp + bw[..., None] * ky
+    ksk = jnp.einsum("krij,krjl->kril", gain, pp[:, :, :dim, :])
+    spread = (bw * (1.0 - bw))[..., None, None] * (
+        ky[..., :, None] * ky[..., None, :])
+    p_new = pp - bw[..., None, None] * ksk + spread
+
+    # ---- 5) mode-probability update --------------------------------------
+    m2_m = jnp.einsum("kri,krij,krj->kr", innov_m, sinv_m, innov_m)
+    lam = (jnp.exp(-0.5 * jnp.minimum(m2_m, 80.0))
+           / ((2.0 * jnp.pi) ** (dim / 2.0) * jnp.sqrt(det_m)))  # [K, R]
+    mu_meas = cbar * jnp.maximum(lam, 1e-30)
+    mu_meas = mu_meas / jnp.maximum(
+        jnp.sum(mu_meas, axis=-1, keepdims=True), 1e-30)
+    # tracks that took the measurement reweight; others keep the prior mix
+    mu_new = jnp.where(slot_sel[:, None], mu_meas, cbar)
+    mu_new = mu_new / jnp.maximum(
+        jnp.sum(mu_new, axis=-1, keepdims=True), 1e-30)
+
+    hits = state.hits + slot_sel.astype(jnp.int32)
+    last_t = jnp.where(slot_sel, t, state.last_t)
+
+    # ---- spawn (all modes identical, uniform beliefs) ---------------------
+    free = ~active
+    spawn_slot = jnp.argmax(free)
+    have_free = jnp.any(free)
+    do_spawn = spawn & have_free
+    sm = (jnp.arange(k) == spawn_slot) & do_spawn
+    x0s = jnp.concatenate([z, jnp.zeros((dim,), jnp.float32)])
+    p0s = _spawn_cov(cfg, r_meas if z_cov is not None else None)
+    nmodes = qvec.shape[0]
+    x_new = jnp.where(sm[:, None, None], x0s[None, None, :], x_new)
+    p_new = jnp.where(sm[:, None, None, None], p0s[None, None], p_new)
+    mu_new = jnp.where(sm[:, None], 1.0 / nmodes, mu_new)
+    active = active | sm
+    hits = jnp.where(sm, 1, hits)
+    last_t = jnp.where(sm, t, last_t)
+    born_t = jnp.where(sm, t, state.born_t)
+    track_id = jnp.where(sm, state.next_id, state.track_id)
+    next_id = state.next_id + do_spawn.astype(jnp.int32)
+    unassigned = state.unassigned + (spawn & ~have_free).astype(jnp.int32)
+
+    new_state = ImmTrackState(
+        xm=x_new, pm=p_new, mu=mu_new, active=active, hits=hits,
+        last_t=last_t, born_t=born_t, track_id=track_id, next_id=next_id,
+        dropped=dropped, unassigned=unassigned)
+    x_hat = jnp.einsum("kr,krd->kd", mu_new, x_new)     # moment-matched
+    out = {
+        "track_xy": x_hat[:, :dim],
+        "track_vel": x_hat[:, dim:],
+        "track_active": active,
+        "track_confirmed": active & (hits >= cfg.confirm_hits),
+        "track_id": track_id,
+        "model_prob": mu_new,
+        "assigned": jnp.where(jnp.any(slot_sel),
+                              jnp.argmax(slot_sel), -1).astype(jnp.int32),
+    }
+    return new_state, out
+
+
 def step_multi(
     state: TrackState,
     zs: jnp.ndarray,       # [N, 2] simultaneous measurements (meters)
@@ -627,6 +842,8 @@ class Tracker:
     cfg: TrackerConfig = TrackerConfig()
 
     def init(self) -> TrackState:
+        if self.cfg.imm_q:
+            return init_state_imm(self.cfg)
         return init_state(self.cfg)
 
     def init_many(self, n_streams: int) -> TrackState:
@@ -636,25 +853,29 @@ class Tracker:
 
     @functools.cached_property
     def _step(self):
-        return jax.jit(functools.partial(step, cfg=self.cfg),
+        fn = step_imm if self.cfg.imm_q else step
+        return jax.jit(functools.partial(fn, cfg=self.cfg),
                        donate_argnums=(0,))
 
     @functools.cached_property
     def _step_cov(self):
+        fn = step_imm if self.cfg.imm_q else step
         return jax.jit(
-            lambda state, z, t, valid, z_cov: step(
+            lambda state, z, t, valid, z_cov: fn(
                 state, z, t, valid, self.cfg, z_cov=z_cov),
             donate_argnums=(0,))
 
     @functools.cached_property
     def _step_many(self):
-        return jax.jit(jax.vmap(functools.partial(step, cfg=self.cfg)),
+        fn = step_imm if self.cfg.imm_q else step
+        return jax.jit(jax.vmap(functools.partial(fn, cfg=self.cfg)),
                        donate_argnums=(0,))
 
     @functools.cached_property
     def _step_many_cov(self):
+        fn = step_imm if self.cfg.imm_q else step
         return jax.jit(
-            jax.vmap(lambda state, z, t, valid, z_cov: step(
+            jax.vmap(lambda state, z, t, valid, z_cov: fn(
                 state, z, t, valid, self.cfg, z_cov=z_cov)),
             donate_argnums=(0,))
 
@@ -692,6 +913,10 @@ class Tracker:
             # would be silently ignored (no velocity update happens)
             raise ValueError("v_cov requires z_vel (it is the noise of the "
                              "velocity measurement, not a standalone input)")
+        if self.cfg.imm_q and z_vel is not None:
+            raise ValueError("z_vel is not supported with the IMM bank "
+                             "(imm_q); use the single-model tracker for "
+                             "velocity-measurement fusion")
         if z_vel is not None:
             return self._step_any(
                 state, jnp.asarray(z, jnp.float32),
@@ -737,6 +962,10 @@ class Tracker:
         """Joint JPDA update with N simultaneous measurements: zs [N, 2];
         z_covs (optional) [N, 2, 2] per-measurement noise covariances
         (heterogeneous-R JPDA)."""
+        if self.cfg.imm_q:
+            raise ValueError("step_multi is not supported with the IMM "
+                             "bank (imm_q); use association='soft' with "
+                             "per-measurement step calls instead")
         zs = jnp.asarray(zs, jnp.float32)
         if valids is None:
             valids = jnp.ones((zs.shape[0],), bool)
