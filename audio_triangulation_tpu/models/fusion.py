@@ -423,3 +423,81 @@ def fuse_frames_sync(
     out["clock_offsets_s"] = offsets
     out["sync_rms_m"] = rms
     return out
+
+
+# ----------------------------------------------------------------------
+# Inter-array extrinsic registration (new capability)
+# ----------------------------------------------------------------------
+
+def register_arrays(
+    local_xy: jnp.ndarray,
+    *,
+    anchor: int = 0,
+    weights: jnp.ndarray | None = None,
+) -> dict:
+    """Rigid registration of K arrays from jointly observed events.
+
+    Deployment problem the reference never faces (single fixed array):
+    K independently placed arrays each localize the SAME E events in
+    their own local frames; recover each array's pose (rotation +
+    translation, no scale — geometry is metric) into the ``anchor``
+    array's frame.  Closed-form weighted Kabsch/Umeyama: one SVD of the
+    d x d weighted cross-covariance per array, batched over K.
+
+    local_xy [K, E, d] (d = 2 or 3): per-array local-frame event fixes.
+    Match events across arrays before calling (with synchronized streams
+    the trigger timestamps align them).  weights [K, E] (optional):
+    per-array per-event confidence; 0 drops an event for that array
+    (e.g. not detected there).  Effective weight of event e for array k
+    is ``weights[k, e] * weights[anchor, e]`` — an event unseen by the
+    anchor constrains nothing.
+
+    Returns dict of arrays:
+      'rot'   [K, d, d] — proper rotations (det +1; reflections are
+              rejected via the Kabsch sign fix)
+      'trans' [K, d]
+      'rms'   [K] — post-alignment residual against the anchor's fixes
+    with world = rot @ local + trans; the anchor's transform is the
+    identity.  At least 2 well-separated (3 for d=3, non-collinear)
+    events are needed per array for a unique pose.
+    """
+    local_xy = jnp.asarray(local_xy, jnp.float32)
+    k, e, d = local_xy.shape
+    if weights is None:
+        weights = jnp.ones((k, e), jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    w = weights * weights[anchor][None, :]          # [K, E]
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    wn = w / wsum                                   # normalized weights
+
+    b = local_xy[anchor]                            # [E, d] target frame
+    a_bar = jnp.einsum("ke,ked->kd", wn, local_xy)  # [K, d]
+    b_bar = jnp.einsum("ke,ed->kd", wn, b)          # [K, d]
+    a_c = local_xy - a_bar[:, None, :]
+    b_c = b[None] - b_bar[:, None, :]
+    h = jnp.einsum("ke,ked,kef->kdf", wn, a_c, b_c)  # [K, d, d]
+    u, _, vt = jnp.linalg.svd(h)
+    # proper rotation: flip the last singular direction if det < 0
+    det = jnp.linalg.det(jnp.einsum("kij,kjl->kil",
+                                    jnp.swapaxes(vt, -1, -2),
+                                    jnp.swapaxes(u, -1, -2)))
+    signs = jnp.concatenate(
+        [jnp.ones((k, d - 1), jnp.float32), det[:, None]], axis=1)
+    rot = jnp.einsum("kji,kj,kjl->kil", vt, signs, jnp.swapaxes(u, -1, -2))
+    trans = b_bar - jnp.einsum("kij,kj->ki", rot, a_bar)
+    fit = jnp.einsum("kij,kej->kei", rot, local_xy) + trans[:, None, :]
+    rms = jnp.sqrt(jnp.einsum("ke,ke->k", wn,
+                              jnp.sum((fit - b[None]) ** 2, axis=-1)))
+    return {"rot": rot, "trans": trans, "rms": rms}
+
+
+def registered_arrays(
+    local_arrays: Sequence[np.ndarray], reg: dict
+) -> list[np.ndarray]:
+    """Apply a :func:`register_arrays` result to each array's LOCAL mic
+    coordinates, returning world-frame arrays ready for
+    :meth:`ArrayFusionLocalizer.create`."""
+    rot = np.asarray(reg["rot"])
+    trans = np.asarray(reg["trans"])
+    return [np.asarray(a, np.float32) @ rot[i].T + trans[i]
+            for i, a in enumerate(local_arrays)]
