@@ -75,6 +75,9 @@ def test_quickstart_example(example_outputs):
 def test_advanced_example(example_outputs):
     out = _get(example_outputs, "advanced.py")
     assert "DoA" in out and "3-D" in out and "multi-source" in out
+    assert "registration:" in out
+    assert "dereverb: WPE cut the reverberant tail" in out
+    assert "IMM tracking: p(maneuver)" in out
 
 
 def test_production_example(example_outputs):
