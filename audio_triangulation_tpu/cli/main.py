@@ -475,8 +475,11 @@ def cmd_stream(args):
                               trigger_ratio=args.trigger_ratio)
     sl = StreamingLocalizer.create(
         mics, pcfg,
-        stream=StreamConfig(chunk_size=args.chunk, solve_xyz=solve_xyz,
-                            solve_velocity=solve_velocity))
+        stream=StreamConfig(
+            chunk_size=args.chunk, solve_xyz=solve_xyz,
+            solve_velocity=solve_velocity,
+            health_weighting=bool(getattr(args, "health_weighting",
+                                          False))))
     state = sl.init_state()
     if args.checkpoint:
         import os
@@ -919,6 +922,12 @@ def main(argv=None):
                         "(models/extraction.StreamingExtractor)")
     p.add_argument("--extract-method", choices=("das", "mvdr"),
                    default="das")
+    p.add_argument("--health-weighting", action="store_true",
+                   help="fault-tolerant solve: leave-one-mic-out "
+                        "cycle-consistency weights auto-suppress a "
+                        "failing channel's pairs in the SRP init and GN "
+                        "solve (StreamConfig.health_weighting; adds "
+                        "mic_weight/pair_weight outputs)")
     p.add_argument("--track", action="store_true",
                    help="run the Kalman tracker over events (uses each "
                         "event's xy_cov as measurement noise); prints "

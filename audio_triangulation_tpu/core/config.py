@@ -420,6 +420,19 @@ class StreamConfig:
     solve_velocity: bool = False
     velocity_v_max: float = 8.0
     velocity_n_scales: int = 33
+    # fault-tolerant live solve: convert the per-mic TDOA cycle-consistency
+    # scores the step already reports (ops/consistency) into per-pair
+    # weights applied to the SRP scoring and the GN solve, so a failing
+    # channel's pairs stop dragging the fit while a healthy array is left
+    # (relatively) unweighted.  Needs pair redundancy to matter: with
+    # M >= 5 mics a single dead channel is fully absorbed.  health_ratio
+    # is the Cauchy scale in units of the median mic score; health_floor_s
+    # bounds that scale from below (seconds — 1e-5 s = 0.5 sample @ 50 kHz,
+    # the EMA peak wander of a healthy array) so a near-perfect array
+    # never amplifies numerical noise.
+    health_weighting: bool = False
+    health_ratio: float = 3.0
+    health_floor_s: float = 1e-5
 
 
 @dataclasses.dataclass(frozen=True)

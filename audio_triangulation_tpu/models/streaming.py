@@ -142,6 +142,9 @@ class StreamingLocalizer:
                 solve_velocity=self.stream.solve_velocity,
                 velocity_v_max=self.stream.velocity_v_max,
                 velocity_n_scales=self.stream.velocity_n_scales,
+                health_weighting=self.stream.health_weighting,
+                health_ratio=self.stream.health_ratio,
+                health_floor_s=self.stream.health_floor_s,
             ),
             donate_argnums=(0,),
         )
@@ -361,6 +364,9 @@ def stream_step(
     velocity_v_max: float = 8.0,
     velocity_n_scales: int = 33,
     caf_resample: jnp.ndarray | None = None,
+    health_weighting: bool = False,
+    health_ratio: float = 3.0,
+    health_floor_s: float = 1e-5,
 ):
     """One streaming step: returns (new_state, outputs dict).
 
@@ -408,11 +414,35 @@ def stream_step(
         any_accept, xcorr.best_lag(ema_corr, cfg.max_shift),
         state.best_shift)
 
+    # --- array health (computed every step; also drives fault-tolerant
+    # weighting below when enabled): TDOA cycle-consistency residual of
+    # the smoothed correlogram peaks (ops/consistency) — rises when a
+    # channel goes bad (0 for a healthy array), with per-mic attribution.
+    # Units are SECONDS, the same convention as diagnose_mics / the CLI.
+    n_mics = params.mic_positions.shape[0]
+    tdoa_samples = xcorr.subsample_peak(ema_corr, cfg.max_shift)[0]
+    _, _, c_resid = consistency.project_consistent(
+        tdoa_samples / fs, params.pairs, n_mics)
+    mic_scores = consistency.mic_consistency_scores(
+        c_resid, params.pairs, n_mics)
+    w2_health = None
+    if health_weighting:
+        # leave-one-mic-out mic weights + seeded per-pair IRLS
+        # (ops/consistency.fault_weights): a failing channel's pairs are
+        # suppressed in BOTH the SRP init grid and the GN solve, so
+        # localization degrades gracefully instead of breaking (needs
+        # M >= 5 for a dead mic to be fully absorbed by the remaining
+        # pair redundancy).
+        w2_health, tdoa_clean_s, w_mic = consistency.fault_weights(
+            tdoa_samples / fs, params.pairs, n_mics,
+            ratio=health_ratio, floor=health_floor_s)
+
     # --- localization from the smoothed correlograms ---
+    srp_in = ema_corr if w2_health is None else ema_corr * w2_health[:, None]
     if srp_form == "matmul":
-        scores = srp.srp_scores_matmul(ema_corr[None], params.onehot)[0]
+        scores = srp.srp_scores_matmul(srp_in[None], params.onehot)[0]
     else:
-        scores = srp.srp_scores_gather(ema_corr[None], params.lut_flat)[0]
+        scores = srp.srp_scores_gather(srp_in[None], params.lut_flat)[0]
     xy_grid = srp.grid_peak_xy(
         scores[None], (grid_cfg.height, grid_cfg.width),
         (grid_cfg.half_cells_x, grid_cfg.half_cells_y),
@@ -433,7 +463,6 @@ def stream_step(
         event_count=state.event_count + jnp.sum(accepts.astype(jnp.int32)),
     )
     event_abs = jnp.where(founds, state.abs_sample + (t_rels - (n - 1)), -1)
-    tdoa_samples = xcorr.subsample_peak(ema_corr, cfg.max_shift)[0]
     out = {
         "event": accepts[0] if max_events == 1 else any_accept,
         "triggered": found_any,
@@ -448,22 +477,25 @@ def stream_step(
         "xy_grid": xy_grid,
         "event_count": new_state.event_count,
     }
-    # continuous array health: TDOA cycle-consistency residual of the
-    # smoothed correlogram peaks (ops/consistency) — rises when a channel
-    # goes bad (0 for a healthy array), with per-mic attribution.  Units
-    # are SECONDS (the residual is projected from tdoa in seconds), the
-    # same convention as ops/consistency.diagnose_mics and the CLI.
-    _, _, c_resid = consistency.project_consistent(
-        tdoa_samples / fs, params.pairs, params.mic_positions.shape[0])
     out["consistency_rms"] = jnp.sqrt(jnp.mean(c_resid * c_resid))
-    out["mic_consistency"] = consistency.mic_consistency_scores(
-        c_resid, params.pairs, params.mic_positions.shape[0])
+    out["mic_consistency"] = mic_scores
+    if w2_health is not None:
+        out["pair_weight"] = w2_health  # [P] fault-tolerance weights
+        out["mic_weight"] = w_mic  # [M] leave-one-out mic health weights
     if with_solver:
-        tdoa_s = tdoa_samples[None] / fs  # [1, P] seconds
+        # health path: solve the DENOISED (weighted-consistent) TDOAs —
+        # every pair re-synthesized from arrival times fitted to the
+        # healthy pairs — with the IRLS weights besides
+        tdoa_s = (tdoa_samples[None] / fs if w2_health is None
+                  else tdoa_clean_s[None])  # [1, P] seconds
         xy, rms = solver_ops.solve_tdoa_batched(
             tdoa_s, params.mic_positions, params.pairs,
             speed_of_sound=cfg.speed_of_sound_mps,
             height=grid_cfg.height_m,
+            # solver convention: `weights` is the standard-deviation-style
+            # weight, squared internally — w2_health is already the
+            # squared-residual multiplier, so pass its root
+            weights=None if w2_health is None else jnp.sqrt(w2_health),
             init_xy=xy_grid[None], cfg=solver_cfg)
         out["xy"] = xy[0]
         out["rms_m"] = rms[0]
