@@ -181,6 +181,70 @@ def cmd_serve(args):
         srv.stop()
 
 
+def cmd_map_room(args):
+    """Reflector-mapping demo: simulate a shoebox room with reflective
+    wall(s) (utils/room ISM), fire a few chirp events, and print the
+    mapped walls vs truth (models/mapping.ReflectorMapper)."""
+    import jax.numpy as jnp
+
+    from .. import Localizer, PipelineConfig, geometry
+    from ..core.config import GridConfig, SolverConfig
+    from ..models.mapping import ReflectorMapper
+    from ..utils import room as room_mod
+
+    m = 6
+    mics = geometry.circular_array(m, 0.25)
+    center = np.array([4.8, 1.5, 1.2])  # array placement in the room
+    mics_room = np.zeros((m, 3))
+    mics_room[:, :2] = mics + center[:2]
+    mics_room[:, 2] = center[2]
+    # wall x1 (room x = 6 -> array-frame +x at 1.2 m) always reflective;
+    # --two-walls adds y0 (room y = 0 -> array-frame -y at 1.5 m)
+    absorp = [0.99, 0.02, 0.02 if args.two_walls else 0.99,
+              0.99, 0.99, 0.99]
+    rm = room_mod.ShoeboxRoom(size=(6.0, 5.0, 3.0),
+                              absorption=tuple(absorp), max_order=1)
+    # full-sweep chirp inside a short window: broadband, so the source
+    # autocorrelation compresses and echoes stand out
+    n, length, start = 1024, 400, 50
+    sweep = 800.0 + (7000.0 - 800.0) * np.arange(length) / length
+    sig = np.zeros(n)
+    sig[start:start + length] = (np.hanning(length)
+                                 * np.sin(2 * np.pi * np.cumsum(sweep)
+                                          / 50_000.0))
+    rng = np.random.default_rng(args.seed)
+    sources = rng.uniform((-0.5, -0.5), (0.5, 0.5), size=(args.events, 2))
+    frames = np.concatenate([
+        room_mod.simulate(
+            np.array([sx + center[0], sy + center[1], center[2]]),
+            mics_room, rm, noise_rms=args.noise, seed=args.seed + i,
+            signal=sig)
+        for i, (sx, sy) in enumerate(sources)], axis=0)
+
+    grid = GridConfig(projection="plane", height_m=0.0, cells_per_m=24.0,
+                      half_cells_x=40, half_cells_y=40)
+    pcfg = PipelineConfig(
+        phat=True, band_hz=(700.0, 7000.0), window_enabled=False,
+        max_shift_samples=geometry.max_lag_for_array(mics,
+                                                     PipelineConfig()))
+    loc = Localizer.create(mics, pcfg, grid,
+                           SolverConfig(constrain_to_sphere=False))
+    mapper = ReflectorMapper(loc, n_echoes=2 if args.two_walls else 1,
+                             q_max=900)
+    result = mapper.map(jnp.asarray(frames, jnp.float32))
+    truths = [(np.array([1.0, 0.0]), 1.2)]
+    if args.two_walls:
+        truths.append((np.array([0.0, -1.0]), 1.5))
+    print(f"{args.events} events; true walls:")
+    for tn, td in truths:
+        print(f"  normal ({tn[0]:+.2f}, {tn[1]:+.2f})  distance {td:.2f} m")
+    print("mapped walls (support = merged hypotheses):")
+    for w in result["walls"]:
+        print(f"  normal ({w.normal[0]:+.2f}, {w.normal[1]:+.2f})  "
+              f"distance {w.distance:.2f} m  support {w.support}  "
+              f"rms {w.rms_m * 100:.1f} cm")
+
+
 def cmd_simulate(args):
     import jax.numpy as jnp
 
@@ -1090,6 +1154,16 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--perturb", type=float, default=0.01)
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser(
+        "map-room",
+        help="acoustic reflector mapping demo: echoes -> wall estimates")
+    p.add_argument("--events", type=int, default=3)
+    p.add_argument("--two-walls", action="store_true",
+                   help="make two walls reflective instead of one")
+    p.add_argument("--noise", type=float, default=0.003)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_map_room)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -12,3 +12,4 @@ from .neural import NeuralLocalizer  # noqa: F401
 from .extraction import StreamingExtractor, ExtractorState  # noqa: F401
 from .fusion import ArrayFusionLocalizer  # noqa: F401
 from .volume import VolumeLocalizer, localize_frames_volume  # noqa: F401
+from .mapping import ReflectorMapper, WallEstimate  # noqa: F401

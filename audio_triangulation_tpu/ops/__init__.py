@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     conditioning,
     dereverb,
     detector,
+    echo,
     framing,
     mxu_fft,
     solver,
