@@ -35,9 +35,12 @@ def _build_scene(args, mics):
 
 
 def _parse_band(spec):
-    """'LO:HI' (Hz) -> (lo, hi) tuple, or None."""
+    """'LO:HI' (Hz) -> (lo, hi) tuple, 'auto' -> per-event selection
+    (ops/xcorr.auto_band_weight), or None."""
     if not spec:
         return None
+    if spec == "auto":
+        return "auto"
     lo, hi = spec.split(":")
     return (float(lo), float(hi))
 
@@ -399,7 +402,8 @@ def cmd_stream_live(args):
     from ..runtime import native_rt, transport
 
     mics = _mic_array(args)
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(phat=bool(getattr(args, "phat", False)),
+                         band_hz=_parse_band(getattr(args, "band", None)))
     loc = Localizer.create(mics, cfg)
     rt = native_rt.create_ingest_runtime(mics.shape[0], cfg.frame_size)
     src = transport.open_source(rt, args.source)
@@ -523,20 +527,26 @@ def cmd_stream(args):
         # sample), lag range from the actual array
         from ..core import geometry
 
+        band = _parse_band(getattr(args, "band", None)) or (
+            (700.0, 9500.0) if solve_velocity else (700.0, 7000.0))
         pcfg = PipelineConfig(
             trigger_mode=args.trigger_mode,
             trigger_ratio=args.trigger_ratio,
             phat=True,
-            band_hz=(700.0, 9500.0) if solve_velocity else (700.0, 7000.0),
+            band_hz=band,
             # band_crop also selects the CAF's spectral resample fold
-            # (scaled spectra as one matmul — smaller program, less HBM)
-            band_crop=solve_velocity,
+            # (scaled spectra as one matmul — smaller program, less HBM);
+            # crop needs a static band, so 'auto' falls back to masking
+            band_crop=solve_velocity and band != "auto",
             window_enabled=False,
             max_shift_samples=geometry.max_lag_for_array(
                 mics, PipelineConfig()))
     else:
         pcfg = PipelineConfig(trigger_mode=args.trigger_mode,
-                              trigger_ratio=args.trigger_ratio)
+                              trigger_ratio=args.trigger_ratio,
+                              phat=bool(getattr(args, "phat", False)),
+                              band_hz=_parse_band(
+                                  getattr(args, "band", None)))
     sl = StreamingLocalizer.create(
         mics, pcfg,
         stream=StreamConfig(
@@ -929,8 +939,9 @@ def main(argv=None):
                    choices=("auto", "none", "phat", "scot", "roth", "ml"),
                    help="GCC frequency weighting (Knapp & Carter); "
                         "'auto' follows --phat")
-    p.add_argument("--band", metavar="LO:HI",
-                   help="band-limit the cross-power to LO:HI Hz "
+    p.add_argument("--band", metavar="LO:HI|auto",
+                   help="band-limit the cross-power to LO:HI Hz, or 'auto' "
+                        "to select the band per event from pair coherence "
                         "(e.g. 800:6000)")
     p.add_argument("--phat-beta", type=float, default=1.0,
                    help="partial PHAT exponent (1.0 = full whitening)")
@@ -953,7 +964,7 @@ def main(argv=None):
     p.add_argument("--phat", action="store_true")
     p.add_argument("--weighting", default="auto",
                    choices=("auto", "none", "phat", "scot", "roth", "ml"))
-    p.add_argument("--band", metavar="LO:HI")
+    p.add_argument("--band", metavar="LO:HI|auto")
     p.add_argument("--phat-beta", type=float, default=1.0)
     p.add_argument("--out", help="write the full JSON report here")
     p.set_defaults(fn=cmd_evaluate)
@@ -973,6 +984,13 @@ def main(argv=None):
     p = sub.add_parser("stream", help="streaming demo with native ingest")
     common(p)
     p.add_argument("--chunk", type=int, default=512)
+    p.add_argument("--phat", action="store_true",
+                   help="PHAT-whiten the cross-power (pair with --band)")
+    p.add_argument("--band", metavar="LO:HI|auto",
+                   help="band-limit the cross-power to LO:HI Hz, or 'auto' "
+                        "to select the band per event from pair coherence "
+                        "(ops/xcorr.auto_band_weight); overrides the tuned "
+                        "defaults of --solve-xyz/--velocity")
     p.add_argument("--duration-samples", type=int, default=50_000)
     p.add_argument("--trigger-mode", choices=("absolute", "relative"),
                    default="absolute",
@@ -1080,8 +1098,9 @@ def main(argv=None):
                    choices=("auto", "none", "phat", "scot", "roth", "ml"),
                    help="GCC frequency weighting (Knapp & Carter); "
                         "'auto' follows --phat")
-    p.add_argument("--band", metavar="LO:HI",
-                   help="band-limit the cross-power to LO:HI Hz "
+    p.add_argument("--band", metavar="LO:HI|auto",
+                   help="band-limit the cross-power to LO:HI Hz, or 'auto' "
+                        "to select the band per event from pair coherence "
                         "(e.g. 800:6000)")
     p.add_argument("--phat-beta", type=float, default=1.0,
                    help="partial PHAT exponent (1.0 = full whitening)")

@@ -135,8 +135,21 @@ class PipelineConfig:
     # Folded into the lag-synthesis matrices on the MXU and fused-Pallas
     # paths (zero runtime cost); fixes PHAT's classic failure on
     # band-limited sources (whitened out-of-band noise swamping the peak).
-    # None = full band.
+    # None = full band.  The string 'auto' selects the band PER EVENT from
+    # the data itself: rfft bins whose pair-averaged smoothed magnitude-
+    # squared coherence clears a relative threshold (ops/xcorr.
+    # auto_band_weight) weight the cross-power before lag synthesis — the
+    # hands-free form of the static band (no constant to hand-match to the
+    # source).  'auto' runs on the XLA-FFT correlation path (the dynamic
+    # per-event mask cannot be folded into precomputed synthesis matrices).
     band_hz: Optional[tuple] = None
+    # 'auto' band selection knobs: a bin is in-band when its pair-mean
+    # smoothed coherence >= max(rel * peak coherence, floor); if fewer than
+    # min_bins qualify the event falls back to the full band (a flat-
+    # coherence frame carries no band information).
+    auto_band_rel: float = 0.5
+    auto_band_floor: float = 0.15
+    auto_band_min_bins: int = 8
     # Band-crop fast path: with band_hz set, compute ONLY the in-band rfft
     # bins (cropped DFT/synthesis matrices) instead of masking after the
     # fact — identical correlograms, ~bandwidth-fraction of the spectral
@@ -166,7 +179,16 @@ class PipelineConfig:
     #              (ops/xcorr.tdoa_phase_slope) — lower bias for band-limited
     #              signals; runs an extra FFT pass and disables the fused
     #              kernel (precision tool, like the smoothed weightings)
+    # 'hybrid'   : per-pair dispatch between the two — phase-slope where the
+    #              pair's in-band mean coherence clears
+    #              ``hybrid_coherence_min`` (phase wins there, ~30% at high
+    #              SNR), parabolic elsewhere (both are noise-limited at low
+    #              coherence and parabolic is cheaper/bias-free).  Same
+    #              cost/path implications as 'phase'.
     subsample_method: str = "parabolic"
+    # coherence gate of the 'hybrid' dispatch (in-band pair-mean smoothed
+    # magnitude-squared coherence above which phase-slope is used)
+    hybrid_coherence_min: float = 0.5
 
     # --- temporal smoothing (correlations.c:38-49) ---
     ema_tau_s: float = 0.5
@@ -202,6 +224,11 @@ class PipelineConfig:
         return 2 << (2 * (self.frame_size_bits - 1))
 
     @property
+    def band_auto(self) -> bool:
+        """True when per-event data-driven band selection is configured."""
+        return isinstance(self.band_hz, str)
+
+    @property
     def effective_weighting(self) -> str:
         """The resolved GCC weighting: 'auto' maps to 'phat' iff ``phat``."""
         if self.weighting == "auto":
@@ -228,7 +255,7 @@ class PipelineConfig:
             "srp_dtype": ("float32", "bfloat16"),
             "fft_pad_mode": ("linear", "circular"),
             "weighting": ("auto", "none", "phat", "scot", "roth", "ml"),
-            "subsample_method": ("parabolic", "phase"),
+            "subsample_method": ("parabolic", "phase", "hybrid"),
             "dft_precision": ("default", "highest"),
         }
         for field, allowed in _check.items():
@@ -238,18 +265,37 @@ class PipelineConfig:
                     f"{field}={v!r} not in {allowed}")
         if not 0.0 < self.phat_beta <= 1.0:
             raise ValueError(f"phat_beta={self.phat_beta} not in (0, 1]")
-        if self.band_hz is not None:
+        if isinstance(self.band_hz, str):
+            if self.band_hz != "auto":
+                raise ValueError(
+                    f"band_hz={self.band_hz!r}: the only string value is "
+                    "'auto' (else pass a (lo_hz, hi_hz) tuple or None)")
+            if self.band_crop:
+                raise ValueError(
+                    "band_crop needs a static (lo, hi) band known at "
+                    "compile time; band_hz='auto' selects bins per event")
+            if not 0.0 < self.auto_band_rel <= 1.0:
+                raise ValueError(
+                    f"auto_band_rel={self.auto_band_rel} not in (0, 1]")
+            if not 0.0 <= self.auto_band_floor < 1.0:
+                raise ValueError(
+                    f"auto_band_floor={self.auto_band_floor} not in [0, 1)")
+        elif self.band_hz is not None:
             lo, hi = self.band_hz
             if not 0.0 <= lo < hi <= self.sample_rate_hz / 2:
                 raise ValueError(
                     f"band_hz={self.band_hz} must satisfy "
                     f"0 <= lo < hi <= nyquist")
-            if self.xcorr_mode == "time":
-                raise ValueError(
-                    "band_hz is a spectral-domain control; the time-domain "
-                    "correlator (xcorr_mode='time') cannot honor it")
+        if self.band_hz is not None and self.xcorr_mode == "time":
+            raise ValueError(
+                "band_hz is a spectral-domain control; the time-domain "
+                "correlator (xcorr_mode='time') cannot honor it")
         if self.band_crop and self.band_hz is None:
             raise ValueError("band_crop requires band_hz")
+        if not 0.0 <= self.hybrid_coherence_min <= 1.0:
+            raise ValueError(
+                f"hybrid_coherence_min={self.hybrid_coherence_min} "
+                "not in [0, 1]")
         if self.dft_precision == "highest" and self.matmul_dtype != "float32":
             raise ValueError(
                 "dft_precision='highest' requires matmul_dtype='float32' "

@@ -410,9 +410,10 @@ def condition_frames(frames: jnp.ndarray, window: jnp.ndarray,
 def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
                      cfg: PipelineConfig) -> jnp.ndarray:
     """Conditioned frames [..., M, N] -> correlograms [..., P, L]."""
-    if cfg.effective_weighting in ("scot", "roth", "ml"):
-        # smoothed-spectral-estimate weightings live on the XLA-FFT path
-        # (robustness-oriented; PHAT/none stay on the MXU/fused hot paths)
+    if cfg.effective_weighting in ("scot", "roth", "ml") or cfg.band_auto:
+        # smoothed-spectral-estimate weightings and the per-event 'auto'
+        # band mask live on the XLA-FFT path (robustness/accuracy tools;
+        # PHAT/none with static bands stay on the MXU/fused hot paths)
         return xcorr.xcorr_fft(frames, params.pairs, cfg)
     if cfg.xcorr_mode == "mxu":
         n_pairs = params.pairs.shape[0]
@@ -444,7 +445,9 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
         return None  # full-range normalization is not folded into the kernel
     if cfg.effective_weighting in ("scot", "roth", "ml"):
         return None  # smoothed weightings run on the XLA-FFT path
-    if cfg.subsample_method == "phase" and cfg.subsample_peak:
+    if cfg.band_auto:
+        return None  # per-event band mask runs on the XLA-FFT path
+    if cfg.subsample_method in ("phase", "hybrid") and cfg.subsample_peak:
         return None  # phase-slope regression needs the spectra
     if cfg.phat and cfg.phat_beta != 1.0:
         return None  # the kernel's whitening is the rsqrt (beta = 1) form
@@ -482,6 +485,7 @@ def _use_gcc_large(cfg: PipelineConfig, pairs_static, b_total) -> bool:
     return (pairs_static is not None and len(pairs_static) > 256
             and cfg.xcorr_mode == "mxu"
             and cfg.effective_weighting in ("none", "phat")
+            and not cfg.band_auto  # dynamic mask -> XLA-FFT path
             and cfg.dft_precision == "default"  # exact f32 -> XLA path
             and jax.default_backend() == "tpu"
             and b_total is not None)
@@ -642,14 +646,35 @@ def localize_frames(
         psr = xcorr.peak_confidence(corr, k)  # raw, pre-taper
         if not cfg.subsample_peak:
             tdoa_samples = shifts.astype(corr.dtype)
-        elif cfg.subsample_method == "phase":
+        elif cfg.subsample_method in ("phase", "hybrid"):
             cond = condition_frames(frames, params.window, cfg)
             spectra = xcorr.rfft_frames(cond, cfg.fft_length)
-            tdoa_samples = xcorr.tdoa_phase_slope(
+            wm = xcorr.band_mask(cfg)
+            if wm is None and cfg.band_auto:
+                wm = xcorr.auto_band_weight(
+                    spectra, params.pairs, cfg)[..., None, :]
+            tdoa_phase = xcorr.tdoa_phase_slope(
                 spectra, params.pairs, shifts,
                 fft_length=cfg.fft_length,
                 half_width=cfg.coherence_bins, eps=cfg.phat_eps,
-                weight_mask=xcorr.band_mask(cfg))
+                weight_mask=wm)
+            if cfg.subsample_method == "hybrid":
+                # per-pair dispatch: phase-slope where the pair's in-band
+                # mean coherence clears the gate (it wins ~30% at high
+                # SNR), else the parabolic estimate already computed
+                _, _, _, g2 = xcorr.smoothed_cross_stats(
+                    spectra, params.pairs, cfg.coherence_bins,
+                    eps=cfg.phat_eps)
+                w_bins = (jnp.ones_like(g2) if wm is None
+                          else jnp.broadcast_to(
+                              jnp.asarray(wm, g2.dtype), g2.shape))
+                coh = (jnp.sum(g2 * w_bins, axis=-1)
+                       / jnp.maximum(jnp.sum(w_bins, axis=-1), 1e-12))
+                tdoa_samples = jnp.where(
+                    coh >= cfg.hybrid_coherence_min,
+                    tdoa_phase, tdoa_samples)
+            else:
+                tdoa_samples = tdoa_phase
         corr_t = (
             xcorr.peak_taper(corr, k, cfg.taper_denom, shifts)
             if cfg.taper_enabled else corr

@@ -105,8 +105,11 @@ def band_mask(cfg: PipelineConfig) -> np.ndarray | None:
     band-limits the correlation — the fix for PHAT's classic failure on
     band-limited sources, where whitening equalizes out-of-band noise bins
     up to the signal's level (new capability; the reference has no
-    spectral processing at all)."""
-    if cfg.band_hz is None:
+    spectral processing at all).
+
+    ``band_hz='auto'`` also returns None: its mask is data-dependent
+    (:func:`auto_band_weight`), not a compile-time constant."""
+    if cfg.band_hz is None or cfg.band_auto:
         return None
     f = cfg.fft_length // 2 + 1
     freqs = np.arange(f) * (cfg.sample_rate_hz / cfg.fft_length)
@@ -171,6 +174,46 @@ def smoothed_cross_stats(
     return gaa, gbb, gab_mag2, g2
 
 
+def auto_band_weight(
+    spectra: jnp.ndarray,
+    pairs: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Per-event data-driven band mask [..., F] for ``band_hz='auto'``.
+
+    The usable band is read off the data itself: the pair-averaged smoothed
+    magnitude-squared coherence (:func:`smoothed_cross_stats` — high where
+    the mics receive the same signal, low in noise-only bins).  A bin is
+    in-band when its mean coherence clears
+    ``max(auto_band_rel * peak, auto_band_floor)``; DC and Nyquist are
+    always excluded (no phase information).  Events where fewer than
+    ``auto_band_min_bins`` bins qualify fall back to the full interior band
+    — a flat coherence profile carries no band information, and a hard
+    empty mask would zero the correlogram.
+
+    This generalizes the hand-tuned static band (the correlator the
+    reference ships is unweighted, ``src/components/correlations.c:4-24``):
+    multiply the cross-power by this weight before lag synthesis and the
+    PHAT-whitened correlogram ignores out-of-band noise without anyone
+    telling it where the source lives.
+
+    ``spectra``: RAW per-mic rfft [..., M, F] (pre-whitening: coherence is
+    a ratio, but the smoothing makes whitened estimates noisier).
+    """
+    _, _, _, g2 = smoothed_cross_stats(
+        spectra, pairs, cfg.coherence_bins, eps=cfg.phat_eps)
+    g2m = jnp.mean(g2, axis=-2)  # [..., F]
+    f = g2m.shape[-1]
+    interior = (jnp.arange(f) > 0) & (jnp.arange(f) < f - 1)
+    g2i = jnp.where(interior, g2m, 0.0)
+    thr = jnp.maximum(
+        cfg.auto_band_rel * jnp.max(g2i, axis=-1, keepdims=True),
+        cfg.auto_band_floor)
+    sel = g2i >= thr
+    enough = jnp.sum(sel, axis=-1, keepdims=True) >= cfg.auto_band_min_bins
+    return jnp.where(enough, sel, interior).astype(jnp.float32)
+
+
 def gcc_weight(
     spectra: jnp.ndarray,
     pairs: jnp.ndarray,
@@ -221,6 +264,11 @@ def restrict_bins_to_band(bins: np.ndarray,
     falling back to the full spectrum would un-band the estimator."""
     if cfg.band_hz is None:
         return bins
+    if cfg.band_auto:
+        raise ValueError(
+            "band_hz='auto' selects bins per event at runtime; the "
+            "subspace/frequency-domain estimators need a static bin set — "
+            "pass an explicit (lo_hz, hi_hz) band")
     freqs = bins * (cfg.sample_rate_hz / cfg.fft_length)
     lo, hi = cfg.band_hz
     keep = (freqs >= lo) & (freqs <= hi)
@@ -251,6 +299,8 @@ def xcorr_fft(
     mask = band_mask(cfg)
     if mask is not None:
         r = r * mask
+    elif cfg.band_auto:
+        r = r * auto_band_weight(spectra, pairs, cfg)[..., None, :]
     return correlogram_from_cross_power(r, cfg.fft_length, cfg.max_shift)
 
 

@@ -41,14 +41,23 @@ def main():
         frames = synth.synth_scene(
             sources, mics, noise_rms=noise, seed=snr_db)
         # 'band_crop' = the headline bench config (PHAT band-limited to the
-        # chirp source's 800-6000 Hz, cropped spectra)
-        for method in ("plain", "phat", "band_crop"):
+        # chirp source's 800-6000 Hz, cropped spectra); 'band_auto' is its
+        # hands-free form (per-event coherence-selected band, no constant
+        # matched to the source); 'auto_hybrid' adds the coherence-gated
+        # phase-slope sub-sample dispatch (the accuracy-flagship config)
+        for method in ("plain", "phat", "band_crop", "band_auto",
+                       "auto_hybrid"):
             extra = {}
             if method == "phat":
                 extra = dict(phat=True)
             elif method == "band_crop":
                 extra = dict(phat=True, band_hz=(800.0, 6000.0),
                              band_crop=True)
+            elif method == "band_auto":
+                extra = dict(phat=True, band_hz="auto")
+            elif method == "auto_hybrid":
+                extra = dict(phat=True, band_hz="auto",
+                             subsample_method="hybrid")
             # stride 3 = the coarse init grid bench.py runs with (the GN
             # solver refines; this record proves accuracy is unchanged)
             for stride in (1, 3):
