@@ -387,6 +387,45 @@ def _make_tracker(enabled: bool, dim: int = 2, imm: bool = False):
     return update
 
 
+def _fused_track_formatter(dim: int = 2, imm: bool = False):
+    """Format the FUSED tracked-streaming outputs (models/tracked.py) into
+    the same one-line track summaries _make_tracker prints for the
+    host-driven live path.  Call only on event chunks."""
+    holder = {"n_active": 0}
+
+    def _fmt(v):
+        return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
+
+    def fmt(out):
+        k = int(np.asarray(out["assigned"]))
+        active = np.asarray(out["track_active"])
+        n_active = int(active.sum())
+        spawned = n_active > holder["n_active"]
+        holder["n_active"] = n_active
+        ids = np.asarray(out["track_id"])
+        if k < 0:
+            if spawned:
+                sm = int(np.argmax(active & (ids == ids.max())))
+                return f"track #{int(ids[sm])}: spawned"
+            return "track: gated out (no free slot)"
+        txy = np.asarray(out["track_xy"])[k]
+        vel = np.asarray(out["track_vel"])[k]
+        conf = bool(np.asarray(out["track_confirmed"])[k])
+        sig = ""
+        if "xy_cov" in out and dim == 2:
+            cov = np.asarray(out["xy_cov"])
+            sig = (f" sigma="
+                   f"{np.sqrt(max(np.trace(cov) / dim, 0)):.3f}m")
+        mode = ""
+        if imm and "model_prob" in out:
+            mode = (f" p(maneuver)="
+                    f"{float(np.asarray(out['model_prob'])[k, -1]):.2f}")
+        return (f"track #{int(ids[k])}{'*' if conf else ''}: "
+                f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}{mode}")
+
+    return fmt
+
+
 def cmd_stream_live(args):
     """Live ingest: a transport source (fifo/socket/alsa) feeds the native
     detector; each event frame gets the full localization burst.
@@ -547,14 +586,35 @@ def cmd_stream(args):
                               phat=bool(getattr(args, "phat", False)),
                               band_hz=_parse_band(
                                   getattr(args, "band", None)))
-    sl = StreamingLocalizer.create(
-        mics, pcfg,
-        stream=StreamConfig(
-            chunk_size=args.chunk, solve_xyz=solve_xyz,
-            solve_velocity=solve_velocity,
-            health_weighting=bool(getattr(args, "health_weighting",
-                                          False))))
-    state = sl.init_state()
+    stream_cfg = StreamConfig(
+        chunk_size=args.chunk, solve_xyz=solve_xyz,
+        solve_velocity=solve_velocity,
+        health_weighting=bool(getattr(args, "health_weighting", False)))
+    use_track = bool(getattr(args, "track", False))
+    if use_track:
+        # one-dispatch tracked streaming: localization + association +
+        # tracker update fused into a single donated-state device program
+        # per chunk (models/tracked.py) — no host loop between them
+        from ..models.tracked import TrackedStreamingLocalizer
+        from ..models.tracking import TrackerConfig
+
+        dim = 3 if solve_xyz else 2
+        stepper = TrackedStreamingLocalizer.create(
+            mics, pcfg, stream=stream_cfg,
+            tracker_cfg=TrackerConfig(
+                dim=dim, gate_maha2=11.34 if dim == 3 else 9.21,
+                imm_q=(0.05, 8.0) if getattr(args, "imm", False) else None),
+            fuse_velocity=solve_velocity and not getattr(args, "imm",
+                                                         False))
+        sl = stepper.sl
+    else:
+        sl = StreamingLocalizer.create(mics, pcfg, stream=stream_cfg)
+        stepper = sl
+    state = stepper.init_state()
+
+    def _sp(st):
+        # the streaming half of the carried state (fused or plain)
+        return st.stream if use_track else st
     if args.checkpoint:
         import os
 
@@ -564,11 +624,11 @@ def cmd_stream(args):
                 args.checkpoint + ".npz"):
             state = ckpt.restore(args.checkpoint, state)
             print(f"resumed from {args.checkpoint} "
-                  f"(events so far: {int(state.event_count)})")
+                  f"(events so far: {int(_sp(state).event_count)})")
     meter = profiling.ThroughputMeter()
-    track = _make_tracker(getattr(args, "track", False),
-                          dim=3 if solve_xyz else 2,
-                          imm=getattr(args, "imm", False))
+    track_fmt = _fused_track_formatter(
+        dim=3 if solve_xyz else 2,
+        imm=getattr(args, "imm", False)) if use_track else None
     extractor = None
     if getattr(args, "extract", None):
         import math
@@ -670,7 +730,7 @@ def cmd_stream(args):
         if dereverber is not None:
             dvb_state, chunk = dereverber.step(
                 dvb_state, jnp.asarray(chunk, jnp.float32))
-        state, out = sl(state, jnp.asarray(chunk, jnp.float32))
+        state, out = stepper(state, jnp.asarray(chunk, jnp.float32))
         meter.add(frames=args.chunk)
         if bool(out["event"]):
             # GN-refined position when the streaming solver is on,
@@ -689,15 +749,11 @@ def cmd_stream(args):
                 print(f"event @ sample {int(out['trigger_abs'])}: "
                       f"xy=({xy[0]:+.3f}, {xy[1]:+.3f}) m{extra} "
                       f"shifts={np.asarray(out['best_shift'])}")
-            if track is not None:
-                # the 3-D solve has no covariance output; the tracker's
-                # configured measurement noise stands in for it
-                cov = (np.asarray(out["xy_cov"])
-                       if "xy_cov" in out and xyz is None else None)
-                line = track(xy if xyz is None else xyz, cov,
-                             int(out["trigger_abs"]) / 50_000.0,
-                             vel=vel if xyz is None else None)
-                if live is None:
+            if track_fmt is not None:
+                # fused path: the tracker already updated on-device this
+                # chunk; just format its outputs
+                line = track_fmt(out)
+                if live is None and line:
                     print("  " + line)
             if extractor is not None:
                 steer = jnp.asarray(xy, jnp.float32)
@@ -709,10 +765,10 @@ def cmd_stream(args):
             extracted.append(np.asarray(y))
         if refresh_every is not None:
             while i + args.chunk > next_refresh:
-                _redraw(state, out, i)
+                _redraw(_sp(state), out, i)
                 next_refresh += refresh_every
-        elif live is not None and int(state.event_count) > 0:
-            _redraw(state, out, i)  # legacy: refresh per processed chunk
+        elif live is not None and int(_sp(state).event_count) > 0:
+            _redraw(_sp(state), out, i)  # legacy: refresh per chunk
 
     if args.frames_dir:
         print(f"{frames_written} dashboard frames -> {args.frames_dir}")
@@ -727,7 +783,7 @@ def cmd_stream(args):
               f"({extractor.method}) -> {args.extract}")
 
     print(f"[{kind}] native events: {rt.events_detected}, "
-          f"jax events: {int(state.event_count)}, "
+          f"jax events: {int(_sp(state).event_count)}, "
           f"ingest rate: {meter.frames_per_sec / 1e3:.0f}k samples/s")
     if args.checkpoint:
         from ..utils import checkpoint as ckpt

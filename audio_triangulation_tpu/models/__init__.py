@@ -4,6 +4,8 @@ learned (neural) localization."""
 from .localizer import Localizer, LocalizerParams, localize_frames  # noqa: F401
 from .streaming import (  # noqa: F401
     StreamingLocalizer, StreamState, TwoRateStreamingLocalizer)
+from .tracked import (  # noqa: F401
+    TrackedStreamingLocalizer, TrackedStreamState)
 from .doa import DoaEstimator  # noqa: F401
 from .calibration import CalibBatch, CalibParams, Calibrator  # noqa: F401
 from .tracking import (Tracker, TrackerConfig, TrackState,  # noqa: F401

@@ -121,31 +121,37 @@ class StreamingLocalizer:
             self.stream.velocity_n_scales, self.pipeline.speed_of_sound_mps,
             cfg=self.pipeline)
 
+    def step_kwargs(self) -> dict:
+        """The full static-kwargs set binding :func:`stream_step` to this
+        localizer's configuration — the single source shared by the
+        single-stream jit, the batched jit, and the fused tracked step
+        (models.tracked.TrackedStreamingLocalizer)."""
+        return dict(
+            params=self.params,
+            cfg=self.pipeline,
+            grid_cfg=self.grid,
+            solver_cfg=self.solver,
+            srp_form=self.srp_form,
+            max_events=self.stream.max_events_per_chunk,
+            refractory=self.stream.refractory_samples,
+            with_solver=self.with_solver,
+            n_sources=self.stream.n_sources,
+            multi_min_separation_m=self.stream.multi_min_separation_m,
+            multi_assoc_window=self.stream.multi_assoc_window_samples,
+            solve_xyz=self.stream.solve_xyz,
+            xyz_z_inits=self.stream.xyz_z_inits,
+            solve_velocity=self.stream.solve_velocity,
+            velocity_v_max=self.stream.velocity_v_max,
+            velocity_n_scales=self.stream.velocity_n_scales,
+            health_weighting=self.stream.health_weighting,
+            health_ratio=self.stream.health_ratio,
+            health_floor_s=self.stream.health_floor_s,
+        )
+
     @functools.cached_property
     def _jitted(self):
         return jax.jit(
-            functools.partial(
-                stream_step,
-                params=self.params,
-                cfg=self.pipeline,
-                grid_cfg=self.grid,
-                solver_cfg=self.solver,
-                srp_form=self.srp_form,
-                max_events=self.stream.max_events_per_chunk,
-                refractory=self.stream.refractory_samples,
-                with_solver=self.with_solver,
-                n_sources=self.stream.n_sources,
-                multi_min_separation_m=self.stream.multi_min_separation_m,
-                multi_assoc_window=self.stream.multi_assoc_window_samples,
-                solve_xyz=self.stream.solve_xyz,
-                xyz_z_inits=self.stream.xyz_z_inits,
-                solve_velocity=self.stream.solve_velocity,
-                velocity_v_max=self.stream.velocity_v_max,
-                velocity_n_scales=self.stream.velocity_n_scales,
-                health_weighting=self.stream.health_weighting,
-                health_ratio=self.stream.health_ratio,
-                health_floor_s=self.stream.health_floor_s,
-            ),
+            functools.partial(stream_step, **self.step_kwargs()),
             donate_argnums=(0,),
         )
 
@@ -243,25 +249,7 @@ class StreamingLocalizer:
 
     @functools.cached_property
     def _jitted_batch(self):
-        one = functools.partial(
-            stream_step,
-            params=self.params,
-            cfg=self.pipeline,
-            grid_cfg=self.grid,
-            solver_cfg=self.solver,
-            srp_form=self.srp_form,
-            max_events=self.stream.max_events_per_chunk,
-            refractory=self.stream.refractory_samples,
-            with_solver=self.with_solver,
-            n_sources=self.stream.n_sources,
-            multi_min_separation_m=self.stream.multi_min_separation_m,
-            multi_assoc_window=self.stream.multi_assoc_window_samples,
-            solve_xyz=self.stream.solve_xyz,
-            xyz_z_inits=self.stream.xyz_z_inits,
-            solve_velocity=self.stream.solve_velocity,
-            velocity_v_max=self.stream.velocity_v_max,
-            velocity_n_scales=self.stream.velocity_n_scales,
-        )
+        one = functools.partial(stream_step, **self.step_kwargs())
 
         def vstep(states, chunks, caf_resample=None):
             # resample matrices shared (unbatched) across streams; closed

@@ -1,0 +1,258 @@
+"""One-dispatch tracked streaming: chunks in -> tracks out.
+
+Fuses the streaming localizer's chunk step (:func:`.streaming.stream_step`)
+with the Kalman tracker bank update (:mod:`.tracking`) into ONE jitted,
+donated-state device program — no host round-trip between localization and
+association.  The same pure step vmaps across streams, so tracked serving
+runs at the multi-thousand-stream-per-chip scale the dense localization
+path already reaches (bench_streaming's tracked capacity row).
+
+Semantics per chunk:
+
+- the localization half is EXACTLY ``stream_step`` (same outputs);
+- the tracker consumes the chunk's event — the GN-refined position (or the
+  free-3-D ``xyz`` when ``StreamConfig.solve_xyz``) with its ``xy_cov`` as
+  per-measurement noise — at the accepted trigger's stream time, masked by
+  the accept flag;
+- chunks with no accepted event leave the tracker state untouched (the
+  tracker bank is event-driven, like the host loop it replaces — coasting
+  and drop decisions happen at the next event, not on silence);
+- with ``StreamConfig.n_sources > 1`` the first event slot's resolved
+  sources update the bank jointly through the JPDA ``step_multi``;
+- with ``StreamConfig.solve_velocity`` the delay-Doppler velocity fuses as
+  a velocity measurement (single-model tracker only, like
+  ``Tracker.step(z_vel=...)``).
+
+Reference analogue: the correlogram-EMA state machine IS the reference's
+only cross-frame tracking (``src/components/correlations.c:38-63``); this
+module adds the multi-target bank on the same dispatch as the burst.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import (GridConfig, PipelineConfig, SolverConfig,
+                           StreamConfig)
+from . import tracking as tracking_mod
+from .streaming import StreamState, StreamingLocalizer, stream_step
+from .tracking import Tracker, TrackerConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrackedStreamState:
+    """Carried state of the fused step: the streaming localizer's state
+    plus the tracker bank's (TrackState or ImmTrackState)."""
+
+    stream: StreamState
+    track: Any
+
+
+def tracked_stream_step(
+    state: TrackedStreamState,
+    chunk: jnp.ndarray,  # [M, C]
+    *,
+    tracker_cfg: TrackerConfig,
+    use_imm: bool,
+    fuse_velocity: bool,
+    caf_resample: jnp.ndarray | None = None,
+    **stream_kwargs,
+):
+    """One fused chunk step: localization burst + tracker update.
+
+    Returns (new_state, outputs): ``outputs`` is ``stream_step``'s dict
+    plus the tracker outputs ('track_xy', 'track_vel', 'track_active',
+    'track_confirmed', 'track_id', 'assigned', and 'model_prob' for IMM /
+    'beta' for JPDA).  Pure and donation-safe like both halves.
+    """
+    s_state, out = stream_step(state.stream, chunk,
+                               caf_resample=caf_resample, **stream_kwargs)
+
+    # measurement time: the last ACCEPTED event's stream time this chunk
+    # (stream_step chains it into last_event_s); for no-event chunks the
+    # tracker state is reverted wholesale below, so t is don't-care there.
+    t = s_state.last_event_s
+    any_event = out["event"]
+
+    if stream_kwargs.get("n_sources", 1) > 1:
+        # joint JPDA update from the first event slot's resolved sources
+        zs = out["multi_xy"][0]  # [S, 2]
+        valids = out["multi_valid"][0]
+        z_covs = out["multi_xy_cov"][0]
+        t_state, t_out = tracking_mod.step_multi(
+            state.track, zs, t, valids, tracker_cfg, z_covs=z_covs)
+    else:
+        if stream_kwargs.get("solve_xyz", False):
+            z = out["xyz"]
+            z_cov = None  # the free-3-D solve has no covariance output
+        else:
+            z = out["xy"]
+            z_cov = out.get("xy_cov")
+        z_vel = (out["velocity"] if fuse_velocity and not use_imm
+                 else None)
+        fn = tracking_mod.step_imm if use_imm else tracking_mod.step
+        kw = {} if use_imm else {"z_vel": z_vel}
+        t_state, t_out = fn(state.track, z, t, any_event, tracker_cfg,
+                            z_cov=z_cov, **kw)
+
+    # event-driven bank: silence leaves the tracker untouched (masked
+    # revert keeps the step branch-free and vmappable)
+    t_state = jax.tree.map(
+        lambda new, old: jnp.where(
+            jnp.reshape(any_event, (1,) * new.ndim), new, old),
+        t_state, state.track)
+    t_out = {k: jnp.where(jnp.reshape(any_event, (1,) * v.ndim), v,
+                          _no_event_value(k, v))
+             for k, v in t_out.items()}
+    out.update(t_out)
+    return TrackedStreamState(stream=s_state, track=t_state), out
+
+
+def _no_event_value(key: str, v: jnp.ndarray) -> jnp.ndarray:
+    """Tracker outputs reported on a no-event chunk: 'assigned' becomes -1
+    (nothing was associated); everything else keeps its computed value,
+    which equals the carried state's (the masked revert guarantees the
+    STATE is untouched, but 'track_xy' etc. come from the speculative
+    update — report them as the carried predictions would be misleading,
+    so simply mark association absent and keep identity fields)."""
+    if key == "assigned":
+        return jnp.full_like(v, -1)
+    return v
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackedStreamingLocalizer:
+    """Streaming localizer + tracker bank in one donated-state dispatch.
+
+    >>> tsl = TrackedStreamingLocalizer.create(mics)
+    >>> state = tsl.init_state()
+    >>> state, out = tsl(state, chunk)          # single stream
+    >>> states = tsl.init_states(4096)
+    >>> states, outs = tsl.step_many(states, chunks)   # [S, M, C]
+
+    Equality contract (tested): the localization outputs match
+    :class:`StreamingLocalizer` bit-for-bit, and the tracker state after an
+    event chunk matches feeding that chunk's measurement through
+    ``Tracker.step`` by hand.
+    """
+
+    sl: StreamingLocalizer
+    tracker: Tracker
+    # fuse the delay-Doppler velocity as a tracker measurement (needs
+    # StreamConfig.solve_velocity and a non-IMM tracker)
+    fuse_velocity: bool = False
+
+    @classmethod
+    def create(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig = PipelineConfig(),
+        grid: GridConfig = GridConfig(),
+        solver: SolverConfig = SolverConfig(),
+        stream: StreamConfig = StreamConfig(),
+        tracker_cfg: TrackerConfig | None = None,
+        fuse_velocity: bool = False,
+        **kwargs,
+    ) -> "TrackedStreamingLocalizer":
+        if tracker_cfg is None:
+            dim = 3 if stream.solve_xyz else 2
+            tracker_cfg = TrackerConfig(
+                dim=dim, gate_maha2=11.34 if dim == 3 else 9.21)
+        if stream.solve_xyz and tracker_cfg.dim != 3:
+            raise ValueError("StreamConfig.solve_xyz feeds xyz measurements"
+                             " — tracker_cfg.dim must be 3")
+        if stream.n_sources > 1 and tracker_cfg.imm_q:
+            raise ValueError("multi-source chunks update via JPDA "
+                             "step_multi, which does not support the IMM "
+                             "bank (imm_q)")
+        if fuse_velocity and not stream.solve_velocity:
+            raise ValueError("fuse_velocity needs StreamConfig."
+                             "solve_velocity (the CAF measurement)")
+        if fuse_velocity and tracker_cfg.imm_q:
+            raise ValueError("velocity-measurement fusion is single-model "
+                             "only (no imm_q)")
+        sl = StreamingLocalizer.create(
+            mic_positions, pipeline, grid, solver, stream, **kwargs)
+        return cls(sl=sl, tracker=Tracker(tracker_cfg),
+                   fuse_velocity=fuse_velocity)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrackedStreamState:
+        return TrackedStreamState(stream=self.sl.init_state(),
+                                  track=self.tracker.init())
+
+    def init_states(self, n_streams: int) -> TrackedStreamState:
+        one = self.init_state()
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(),
+            one)
+
+    def _fused_kwargs(self) -> dict:
+        return dict(
+            tracker_cfg=self.tracker.cfg,
+            use_imm=bool(self.tracker.cfg.imm_q),
+            fuse_velocity=self.fuse_velocity,
+            **self.sl.step_kwargs(),
+        )
+
+    def __call__(self, state: TrackedStreamState, chunk: jnp.ndarray):
+        return self._jitted(state, chunk,
+                            caf_resample=self.sl._caf_resample)
+
+    @functools.cached_property
+    def _jitted(self):
+        return jax.jit(
+            functools.partial(tracked_stream_step, **self._fused_kwargs()),
+            donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def step_many(self, states: TrackedStreamState, chunks: jnp.ndarray):
+        """Batched serving: stacked states, chunks [S, M, C] — one device
+        program per sub-batch, with the same dispatch-level sub-batching
+        past ``stream.batch_chunk_streams`` streams as the untracked
+        :meth:`StreamingLocalizer.step_many` (the VMEM-cliff fix)."""
+        cs = self.sl.stream.batch_chunk_streams
+        s = chunks.shape[0]
+        traced = isinstance(chunks, jax.core.Tracer) or any(
+            isinstance(x, jax.core.Tracer)
+            for x in jax.tree.leaves(states))
+        if cs is None or s <= cs or traced:
+            return self._jitted_batch(states, chunks,
+                                      caf_resample=self.sl._caf_resample)
+        k = -(-s // cs)
+        parts = self.sl._split_batch(k * cs, cs)(states, chunks)
+        res = [self._jitted_batch(st, ch,
+                                  caf_resample=self.sl._caf_resample)
+               for st, ch in parts]
+        return self.sl._concat_batch(s)(
+            [r[0] for r in res], [r[1] for r in res])
+
+    @functools.cached_property
+    def _jitted_batch(self):
+        one = functools.partial(tracked_stream_step, **self._fused_kwargs())
+
+        def vstep(states, chunks, caf_resample=None):
+            return jax.vmap(
+                lambda st, ch: one(st, ch, caf_resample=caf_resample)
+            )(states, chunks)
+
+        return jax.jit(vstep, donate_argnums=(0,))
+
+    def run(self, streams: np.ndarray):
+        """Drive a whole [M, T] stream through chunked fused steps on
+        host, returning (final_state, per-chunk outputs)."""
+        c = self.sl.stream.chunk_size
+        t = streams.shape[-1]
+        state = self.init_state()
+        outs = []
+        for i in range(0, t - t % c, c):
+            state, out = self(state, jnp.asarray(streams[:, i: i + c]))
+            outs.append(jax.tree.map(np.asarray, out))
+        return state, outs

@@ -100,7 +100,12 @@ class TrackState:
     p: jnp.ndarray        # [K, 2*dim, 2*dim] covariance
     active: jnp.ndarray   # [K] bool
     hits: jnp.ndarray     # [K] int32
-    last_t: jnp.ndarray   # [K] float32 time of last update
+    last_t: jnp.ndarray   # [K] float32 time of last ASSIGNMENT (coasting)
+    # time the stored (x, p) refer to: every step predicts active tracks
+    # to its t and stores them, so the next prediction starts here — NOT
+    # at last_t, which would double-advance unassigned tracks (a per-chunk
+    # caller like TrackedStreamingLocalizer would compound that quadratically)
+    state_t: jnp.ndarray  # [K] float32
     born_t: jnp.ndarray   # [K] float32 spawn time
     track_id: jnp.ndarray  # [K] int32 (monotonic; 0 = never used)
     next_id: jnp.ndarray  # scalar int32
@@ -117,6 +122,7 @@ def init_state(cfg: TrackerConfig) -> TrackState:
         active=jnp.zeros((k,), bool),
         hits=jnp.zeros((k,), jnp.int32),
         last_t=jnp.zeros((k,), jnp.float32),
+        state_t=jnp.zeros((k,), jnp.float32),
         born_t=jnp.zeros((k,), jnp.float32),
         track_id=jnp.zeros((k,), jnp.int32),
         next_id=jnp.ones((), jnp.int32),
@@ -226,7 +232,9 @@ def _predict_all(state: TrackState, t, cfg: TrackerConfig, r=None):
     active = state.active & ~stale
     dropped = state.dropped + jnp.sum(stale.astype(jnp.int32))
 
-    dt = jnp.maximum(t - state.last_t, 0.0) * active  # [K]
+    # predict from the time the STORED state refers to (see TrackState.
+    # state_t); last_t is the assignment clock and would double-predict
+    dt = jnp.maximum(t - state.state_t, 0.0) * active  # [K]
     xp, pp = jax.vmap(
         functools.partial(_predict, q=cfg.process_noise, dim=dim)
     )(state.x, state.p, dt)
@@ -381,6 +389,7 @@ def step(
     # keep inactive slots' stored time (prevents huge dt on reuse)
     new_state = TrackState(
         x=x_new, p=p_new, active=active, hits=hits, last_t=last_t,
+        state_t=jnp.where(active, t, state.state_t),
         born_t=born_t, track_id=track_id, next_id=next_id, dropped=dropped,
         unassigned=unassigned)
     out = {
@@ -413,7 +422,8 @@ class ImmTrackState:
     mu: jnp.ndarray       # [K, R] mode probabilities
     active: jnp.ndarray   # [K] bool
     hits: jnp.ndarray     # [K] int32
-    last_t: jnp.ndarray   # [K] float32
+    last_t: jnp.ndarray   # [K] float32 last-ASSIGNMENT time (coasting)
+    state_t: jnp.ndarray  # [K] float32 time the stored filters refer to
     born_t: jnp.ndarray   # [K] float32
     track_id: jnp.ndarray  # [K] int32
     next_id: jnp.ndarray  # scalar int32
@@ -433,6 +443,7 @@ def init_state_imm(cfg: TrackerConfig) -> ImmTrackState:
         active=jnp.zeros((k,), bool),
         hits=jnp.zeros((k,), jnp.int32),
         last_t=jnp.zeros((k,), jnp.float32),
+        state_t=jnp.zeros((k,), jnp.float32),
         born_t=jnp.zeros((k,), jnp.float32),
         track_id=jnp.zeros((k,), jnp.int32),
         next_id=jnp.ones((), jnp.int32),
@@ -493,7 +504,8 @@ def step_imm(
           + jnp.einsum("kij,kijd,kije->kjde", mucond, dx, dx))
 
     # ---- 2) per-mode predict (each mode its own q) -----------------------
-    dt = jnp.maximum(t - state.last_t, 0.0) * active    # [K]
+    # from state_t, the stored filters' time (see TrackState.state_t)
+    dt = jnp.maximum(t - state.state_t, 0.0) * active    # [K]
 
     def _predict_track(xk, pk, dtk):
         return jax.vmap(
@@ -582,7 +594,8 @@ def step_imm(
 
     new_state = ImmTrackState(
         xm=x_new, pm=p_new, mu=mu_new, active=active, hits=hits,
-        last_t=last_t, born_t=born_t, track_id=track_id, next_id=next_id,
+        last_t=last_t, state_t=jnp.where(active, t, state.state_t),
+        born_t=born_t, track_id=track_id, next_id=next_id,
         dropped=dropped, unassigned=unassigned)
     x_hat = jnp.einsum("kr,krd->kd", mu_new, x_new)     # moment-matched
     out = {
@@ -758,6 +771,7 @@ def step_multi(
 
     new_state = TrackState(
         x=x_new, p=p_new, active=active, hits=hits_new, last_t=last_t,
+        state_t=jnp.where(active, t, state.state_t),
         born_t=born_t, track_id=track_id, next_id=next_id, dropped=dropped,
         unassigned=unassigned)
     dominant = (jnp.max(beta, axis=1) > 0.5)  # [N]

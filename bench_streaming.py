@@ -109,6 +109,37 @@ def main():
         print(json.dumps(rec))
     best = max(best, best_band)
 
+    # --- tracked serving: the ONE-dispatch fused localize+track step ---
+    # (models/tracked.py: Kalman bank update rides the same device program
+    # as the burst — no host round-trip, so tracked capacity is measured
+    # at the same scale as dense serving)
+    from audio_triangulation_tpu.models.tracked import (
+        TrackedStreamingLocalizer)
+
+    tsl = TrackedStreamingLocalizer.create(
+        geometry.reference_array(), stream=StreamConfig(chunk_size=chunk))
+    worst_case_tracked = None
+    for s_count in (1024, 2048, 4096):
+        states = tsl.init_states(s_count)
+        chunks = jax.device_put(jnp.asarray(
+            rng.integers(127, 130, (s_count, 3, chunk)), jnp.float32))
+        states, out = tsl.step_many(states, chunks)
+        jax.block_until_ready(out["track_xy"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            states, out = tsl.step_many(states, chunks)
+        jax.block_until_ready(out["track_xy"])
+        lat = (time.perf_counter() - t0) / 20
+        capacity = int(chunk_s / lat * s_count)
+        worst_case_tracked = (capacity if worst_case_tracked is None
+                              else min(worst_case_tracked, capacity))
+        rec = {"streams": s_count, "mode": "tracked_fused",
+               "step_ms": round(lat * 1e3, 2),
+               "realtime_capacity_streams": capacity,
+               "realtime_ok": lat < chunk_s}
+        results.append(rec)
+        print(json.dumps(rec))
+
     # --- two-rate serving: detect every chunk, localize at event rate ---
     # Acoustic events are sparse, so the detect-only step bounds capacity;
     # the event-rate localization batch amortizes over all streams.  The
@@ -160,6 +191,7 @@ def main():
                "dense_path_best": best,
                "dense_fullband_worst_case": worst_case,
                "dense_band_crop_worst_case": worst_case_band,
+               "tracked_fused_worst_case": worst_case_tracked,
                "two_rate_path": best_tworate,
                "vs_baseline": worst_case_band}  # reference: 1 stream
     results.append(summary)

@@ -711,3 +711,33 @@ def test_rts_smoother_dim3():
     err_f = np.linalg.norm(xs_f[:, :3] - truth, axis=-1)
     err_s = np.linalg.norm(xs_s[:, :3] - truth, axis=-1)
     assert err_s.mean() < 0.85 * err_f.mean(), (err_s.mean(), err_f.mean())
+
+
+def test_unassigned_track_predicts_once_per_interval():
+    """Regression: the stored state refers to state_t (the step's t), so an
+    ACTIVE track that receives no measurements for several steps must not be
+    re-predicted from its last ASSIGNMENT time each step (that compounded
+    quadratically for per-chunk callers: position t0 + sum(k*dt)*v instead
+    of t0 + (t - t0)*v)."""
+    tr = Tracker(TrackerConfig(max_tracks=2, process_noise=0.01,
+                               measurement_noise=0.02, max_coast_s=10.0))
+    state = tr.init()
+    # establish track A moving in +x
+    state, _ = tr.step(state, np.array([0.0, 0.0], np.float32), 0.0, True)
+    state, out = tr.step(state, np.array([0.1, 0.0], np.float32), 0.1, True)
+    a = int(np.asarray(out["assigned"]))
+    assert a >= 0
+    x_a = float(np.asarray(state.x)[a, 0])   # posterior position at t=0.1
+    v_a = float(np.asarray(state.x)[a, 2])   # posterior velocity
+    # far-away track B takes every later measurement; A only coasts
+    for t in (0.2, 0.3, 0.4, 0.5):
+        state, out = tr.step(
+            state, np.array([5.0, 5.0], np.float32), t, True)
+        assigned = int(np.asarray(out["assigned"]))
+        assert assigned != a  # -1 (spawn) or B's slot
+    # A coasted under constant velocity: x(0.5) = x(0.1) + v * 0.4 exactly
+    # (the double-predict bug lands at x(0.1) + v * (0.1+0.2+0.3+0.4))
+    xa = float(np.asarray(out["track_xy"])[a, 0])
+    np.testing.assert_allclose(xa, x_a + v_a * 0.4, atol=1e-5)
+    # and the stored state is AT t (state_t), not stale
+    np.testing.assert_allclose(float(np.asarray(state.state_t)[a]), 0.5)
