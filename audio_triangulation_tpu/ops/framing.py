@@ -62,3 +62,43 @@ def frame_multichannel(
     """[M, T] -> [n_frames, M, frame_size] (pipeline-ready ordering)."""
     f = frame_stream(stream, frame_size, hop)  # [M, F, N]
     return jnp.moveaxis(f, -3, -2) if f.ndim == 3 else f
+
+
+def frame_multichannel_lanes(stream: jnp.ndarray, frame_size: int,
+                             hop: int):
+    """[M, T] -> (frames [n_frames, M, frame_size] in LANE order,
+    time_order [n_frames] numpy).
+
+    Throughput form of :func:`frame_multichannel` for hop | frame_size:
+    frames are grouped by start-offset residue (lane k = frames starting
+    at k*hop mod frame_size), so each lane is a FREE contiguous reshape of
+    the stream plus one [M, F_k, N] -> [F_k, M, N] transpose — the
+    interleave/pad/slice chain of the time-ordered form is gone (it was
+    64% of config 3's device time, r4 trace: 2.27 of 3.56 ms/iter).
+
+    Per-frame outputs come back in lane order; restore stream order on the
+    SMALL outputs (``xy[order]``), not the frames: ``frames[order]`` would
+    re-materialize the big array and give the copies right back.
+    """
+    if frame_size % hop != 0:
+        raise ValueError("lane framing needs hop | frame_size "
+                         f"(got {hop} vs {frame_size})")
+    import numpy as np
+
+    t = stream.shape[-1]
+    n_frames = (t - frame_size) // hop + 1
+    if n_frames <= 0:
+        raise ValueError("stream shorter than one frame")
+    r = frame_size // hop
+    lanes, order_src = [], []
+    for k in range(min(r, n_frames)):
+        start = k * hop
+        n_k = (n_frames - 1 - k) // r + 1
+        lane = stream[..., start: start + n_k * frame_size]
+        lane = lane.reshape(*stream.shape[:-1], n_k, frame_size)
+        lanes.append(jnp.moveaxis(lane, -3, -2))  # [F_k, M, N]
+        order_src.extend(k + i * r for i in range(n_k))
+    frames = jnp.concatenate(lanes, axis=-3) if len(lanes) > 1 else lanes[0]
+    # frames[order] is time order <=> order = argsort(lane-order starts)
+    order = np.argsort(np.asarray(order_src, np.int64), kind="stable")
+    return frames, order

@@ -110,37 +110,53 @@ def main():
             "resident_batches": 8})
 
     # ---- config 3: 4-mic square, streaming 50%-overlap framing ----
+    # r4 roofline work (docs/PERFORMANCE.md): lane-order framing (the
+    # interleave/pad copy chain was 64% of device time) plus the
+    # headline's accuracy-neutral settings (stride-3 init grid + bf16 SRP
+    # contraction; the GN solver supersedes grid resolution) — 1.19M ->
+    # ~3.5M frames/s, at the traced device ceiling
     mics4 = geometry.square_array(0.3)
     loc4 = Localizer.create(
-        mics4, PipelineConfig(phat=True, fft_pad_mode="circular"))
-    t_len = 1024 * 2049  # -> 4096 overlapped frames of 1024 @ hop 512
+        mics4, PipelineConfig(phat=True, fft_pad_mode="circular",
+                              srp_dtype="bfloat16"),
+        init_grid_stride=3)
+    t_len = 1024 * 2049  # -> 4097 overlapped frames of 1024 @ hop 512
     stream = np.random.default_rng(0).normal(
         0, 0.05, (4, t_len)).astype(np.float32)
 
     from audio_triangulation_tpu.ops import framing
 
     def overlap_localize(p, s):
-        # 50%-overlap framing via reshape-interleave, then the full pipeline
-        frames = framing.frame_multichannel(s, 1024, 512)  # [F, M, N]
-        return loc4._jitted(p, frames)["xy"]
+        frames, order = framing.frame_multichannel_lanes(s, 1024, 512)
+        # time order restored on the SMALL output, not the frames
+        return loc4._jitted(p, frames)["xy"][jnp.asarray(order)]
 
-    dt = _timed_resident(overlap_localize, loc4.params, stream, g=4, iters=5)
+    dt = _timed_resident(overlap_localize, loc4.params, stream, g=12,
+                         iters=5)
     n_frames = (t_len - 1024) // 512 + 1
     report("3_4mic_streaming_overlap", n_frames / dt, n_frames,
-           {"resident_batches": 4})
+           {"resident_batches": 12, "framing": "lanes",
+            "init_grid_stride": 3})
 
     # ---- config 4: 8-mic circular SRP-PHAT, 64x64 grid ----
+    # r4 roofline work: stride-2 init grid + bf16 scoring attack the
+    # 2.1 ms scoring stage (accuracy-neutral, BENCH_ACCURACY.json);
+    # the fused kernel itself is compute-bound at ~140 TFLOPS and keeps
+    # 72% of device time — see docs/PERFORMANCE.md for the table
     mics8 = geometry.circular_array(8, 0.15)
     grid64 = GridConfig(half_cells_x=32, half_cells_y=32, cells_per_m=24.0)
     loc8 = Localizer.create(
-        mics8, PipelineConfig(phat=True, fft_pad_mode="circular"), grid64)
+        mics8, PipelineConfig(phat=True, fft_pad_mode="circular",
+                              srp_dtype="bfloat16"), grid64,
+        init_grid_stride=2)
     b8 = 8192
     one8 = synth.synth_scene(src, mics8, noise_rms=0.01, seed=2)
     fr8 = np.broadcast_to(one8, (b8, 8, 1024)).astype(np.float32)
     dt = _timed_resident(lambda p, x: loc8._jitted(p, x)["xy"],
-                         loc8.params, fr8, g=8)
+                         loc8.params, fr8, g=12)
     report("4_8mic_circular_srp_phat_65x65", b8 / dt, b8,
-           {"srp_form": loc8.srp_form, "resident_batches": 8})
+           {"srp_form": loc8.srp_form, "resident_batches": 12,
+            "init_grid_stride": 2})
 
     # ---- config 5: 64-mic, 4096-pt frames, 10k frames chunked ----
     mics64 = geometry.grid_array(8, 8, 0.05)

@@ -36,3 +36,22 @@ def test_multichannel(rng):
     assert got.shape == ((6000 - 1024) // 512 + 1, 3, 1024)
     ref = _ref_frames(s, 1024, 512)  # [3, F, N]
     np.testing.assert_array_equal(got, np.moveaxis(ref, 0, 1))
+
+
+def test_lane_framing_matches_time_order():
+    """frame_multichannel_lanes + order == frame_multichannel, for even
+    and odd frame counts and hops dividing the frame."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu.ops import framing
+
+    rng = np.random.default_rng(3)
+    for t_len, n, hop in ((96 * 16 + 16, 16, 8), (40 * 8, 8, 4),
+                          (33 * 12 + 12, 12, 4)):
+        stream = jnp.asarray(rng.normal(0, 1, (3, t_len)), jnp.float32)
+        want = np.asarray(framing.frame_multichannel(stream, n, hop))
+        got, order = framing.frame_multichannel_lanes(stream, n, hop)
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got[order], want)

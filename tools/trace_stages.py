@@ -200,6 +200,102 @@ def build_config5b(batch):
     return jax.jit(run), (loc.params, frames), batch
 
 
+def build_config3(t_chunks, resident):
+    """BENCH_CONFIGS.json config 3: 4-mic square array, 50%-overlap framing
+    of a continuous stream through the full pipeline (the framing +
+    pipeline composition bench_configs times)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
+    from audio_triangulation_tpu.ops import framing
+
+    mics4 = geometry.square_array(0.3)
+    loc4 = Localizer.create(
+        mics4, PipelineConfig(phat=True, fft_pad_mode="circular"))
+    t_len = 1024 * (t_chunks + 1)  # -> 2*t_chunks+1 overlapped frames
+    stream_np = np.random.default_rng(0).normal(
+        0, 0.05, (4, t_len)).astype(np.float32)
+    dev = jax.devices()[0]
+    streams = tuple(jax.device_put(jnp.asarray(stream_np), dev)
+                    for _ in range(resident))
+
+    def one(p, s):
+        frames = framing.frame_multichannel(s, 1024, 512)
+        return loc4._jitted(p, frames)["xy"]
+
+    run = jax.jit(lambda p, ss: tuple(one(p, s) for s in ss))
+    n_frames = (t_len - 1024) // 512 + 1
+    return (lambda ss: run(loc4.params, ss)), (streams,), \
+        n_frames * resident
+
+
+def build_config3_lanes(t_chunks, resident):
+    """Config 3 with lane-order framing (ops.framing.
+    frame_multichannel_lanes): the interleave/pad copy chain replaced by
+    per-lane reshapes + transposes, time order restored on the xy output."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import Localizer, PipelineConfig, geometry
+    from audio_triangulation_tpu.ops import framing
+
+    mics4 = geometry.square_array(0.3)
+    loc4 = Localizer.create(
+        mics4, PipelineConfig(phat=True, fft_pad_mode="circular"))
+    t_len = 1024 * (t_chunks + 1)
+    stream_np = np.random.default_rng(0).normal(
+        0, 0.05, (4, t_len)).astype(np.float32)
+    dev = jax.devices()[0]
+    streams = tuple(jax.device_put(jnp.asarray(stream_np), dev)
+                    for _ in range(resident))
+
+    def one(p, s):
+        frames, order = framing.frame_multichannel_lanes(s, 1024, 512)
+        xy = loc4._jitted(p, frames)["xy"]
+        return xy[jnp.asarray(order)]  # time order on the SMALL output
+
+    run = jax.jit(lambda p, ss: tuple(one(p, s) for s in ss))
+    n_frames = (t_len - 1024) // 512 + 1
+    return (lambda ss: run(loc4.params, ss)), (streams,), \
+        n_frames * resident
+
+
+def build_config4(batch, resident, tuned=False, sub_tiles=1):
+    """BENCH_CONFIGS.json config 4: 8-mic circular SRP-PHAT over the
+    65x65 grid (28 pairs; the cross-power/scoring-heavy config).
+
+    ``tuned`` applies the headline's accuracy-neutral settings (stride-2
+    init grid + bf16 SRP contraction: the GN solver supersedes grid
+    resolution, BENCH_ACCURACY.json); ``sub_tiles`` > 1 software-pipelines
+    the fused kernel's MXU/VPU stages."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu import (GridConfig, Localizer,
+                                         PipelineConfig, geometry)
+    from audio_triangulation_tpu.utils import synth
+
+    mics8 = geometry.circular_array(8, 0.15)
+    grid64 = GridConfig(half_cells_x=32, half_cells_y=32, cells_per_m=24.0)
+    cfg8 = PipelineConfig(
+        phat=True, fft_pad_mode="circular",
+        srp_dtype="bfloat16" if tuned else "float32",
+        fused_sub_tiles=sub_tiles)
+    loc8 = Localizer.create(mics8, cfg8, grid64,
+                            init_grid_stride=2 if tuned else 1)
+    src = np.array([0.7, 0.4, 1.2]) * (1.2 / np.linalg.norm([0.7, 0.4, 1.2]))
+    one8 = synth.synth_scene(src, mics8, noise_rms=0.01, seed=2)
+    one = np.broadcast_to(one8, (batch, 8, 1024)).astype(np.float32)
+    dev = jax.devices()[0]
+    frames = tuple(jax.device_put(jnp.asarray(one), dev)
+                   for _ in range(resident))
+
+    run = jax.jit(
+        lambda p, xs: tuple(loc8._jitted(p, x)["xy"] for x in xs))
+    return (lambda xs: run(loc8.params, xs)), (frames,), batch * resident
+
+
 def build_streaming(n_streams):
     """Dense vmapped stream_step at n_streams — the BENCH_STREAMING.json
     dense-path workload (3-mic reference array, 512-sample chunks)."""
@@ -229,13 +325,16 @@ def build_streaming(n_streams):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["headline", "fullband", "config5b",
+    ap.add_argument("mode", choices=["headline", "fullband", "config3",
+                                     "config3_lanes", "config4",
+                                     "config4_tuned", "config5b",
                                      "streaming"])
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--resident", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--streams", type=int, nargs="+", default=[1024])
     ap.add_argument("--stride", type=int, default=3)
+    ap.add_argument("--sub-tiles", type=int, default=1)
     ap.add_argument("--json", help="write results here")
     ap.add_argument("--logdir", default="/tmp/jax-trace-stages")
     args = ap.parse_args()
@@ -273,6 +372,19 @@ def main():
     elif args.mode == "fullband":
         one("fullband", build_headline(None, args.batch, args.resident,
                                        args.stride))
+    elif args.mode == "config3":
+        one("config3_4mic_overlap",
+            build_config3(min(args.batch, 2048), args.resident))
+    elif args.mode == "config3_lanes":
+        one("config3_4mic_overlap_lanes",
+            build_config3_lanes(min(args.batch, 2048), args.resident))
+    elif args.mode == "config4":
+        one("config4_8mic_srp",
+            build_config4(min(args.batch, 8192), args.resident))
+    elif args.mode == "config4_tuned":
+        one("config4_8mic_srp_tuned",
+            build_config4(min(args.batch, 8192), args.resident,
+                          tuned=True, sub_tiles=args.sub_tiles))
     elif args.mode == "config5b":
         one("config5b_64mic", build_config5b(min(args.batch, 256)))
     elif args.mode == "streaming":
