@@ -251,15 +251,17 @@ def test_streaming_solve_velocity():
         streams[:, at: at + 1024] += 110.0 * fr
     streams = np.clip(np.round(streams), 0, 255)
 
+    # chunk 2048 (10 steps instead of 39): every step runs the 33-scale
+    # CAF, so step count IS the test's wall clock (25.9 -> ~8 s)
     sl = StreamingLocalizer.create(
         mics, cfg,
-        stream=StreamConfig(chunk_size=512, solve_velocity=True,
+        stream=StreamConfig(chunk_size=2048, solve_velocity=True,
                             velocity_n_scales=33),
         with_solver=True)
     state = sl.init_state()
     got = None
-    for i in range(0, 20_000 - 20_000 % 512, 512):
-        state, out = sl(state, jnp.asarray(streams[:, i: i + 512]))
+    for i in range(0, 20_000 - 20_000 % 2048, 2048):
+        state, out = sl(state, jnp.asarray(streams[:, i: i + 2048]))
         if bool(out["event"]):
             got = np.asarray(out["velocity"])
     assert got is not None, "no events detected"
@@ -317,13 +319,13 @@ def test_streaming_velocity_planar_mics_given_as_3d():
 
     sl = StreamingLocalizer.create(
         mics3, cfg,
-        stream=StreamConfig(chunk_size=512, solve_velocity=True,
+        stream=StreamConfig(chunk_size=2048, solve_velocity=True,
                             velocity_n_scales=9),
         with_solver=True)
     state = sl.init_state()
     got = None
-    for i in range(0, 6_144, 512):
-        state, out = sl(state, jnp.asarray(streams[:, i: i + 512]))
+    for i in range(0, 6_144, 2048):
+        state, out = sl(state, jnp.asarray(streams[:, i: i + 2048]))
         if bool(out["event"]):
             got = np.asarray(out["velocity"])
     assert got is not None, "no events detected"

@@ -110,7 +110,8 @@ def test_wpe_improves_reverberant_frame_localization():
     rm = room_lib.ShoeboxRoom(
         size=(6.0, 5.0, 3.0),
         absorption=room_lib.absorption_for_rt60((6.0, 5.0, 3.0), 0.5),
-        max_order=8)
+        max_order=6)  # order 6 keeps the RT60 tail; order 8 doubled the
+    # ISM cost for the same verdict (suite-time diet, r4)
     mics2 = np.asarray(geometry.circular_array(4, 0.25))
     mic3 = np.zeros((4, 3))
     mic3[:, :2] = mics2 + np.array([3.0, 2.5])
@@ -123,7 +124,7 @@ def test_wpe_improves_reverberant_frame_localization():
                             noise_rms=0.002, seed=1)[0]
     y = np.asarray(dereverb.wpe(jnp.asarray(out, jnp.float32),
                                 frame=1024, hop=256, taps=10, delay=4,
-                                iters=3))
+                                iters=2))
 
     cfg = PipelineConfig(phat=True, band_hz=(300.0, 8000.0), band_crop=True)
     loc = Localizer.create(mics2, cfg, GridConfig())

@@ -69,8 +69,8 @@ def test_healthy_array_unaffected():
     frame = np.asarray(synth.synth_scene(src, MICS, noise_rms=0.01,
                                          seed=1))[0]
     streams = _stream_with_events(frame, n_events=2)
-    off = _run(StreamConfig(chunk_size=512), streams)
-    on = _run(StreamConfig(chunk_size=512, health_weighting=True), streams)
+    off = _run(StreamConfig(chunk_size=2000), streams)
+    on = _run(StreamConfig(chunk_size=2000, health_weighting=True), streams)
     assert np.linalg.norm(np.asarray(on["xy"]) - np.asarray(off["xy"])) < 0.02
     # no MIC is flagged (individual noisy PAIRS may legitimately be
     # down-weighted — that is the robustness working, not a fault call)
@@ -89,8 +89,8 @@ def test_dead_channel_recovered():
     frame[3] = rng.normal(0, 0.3, frame.shape[-1])  # dead channel
     streams = _stream_with_events(frame, n_events=3, seed=3)
 
-    on = _run(StreamConfig(chunk_size=512, health_weighting=True), streams)
-    off = _run(StreamConfig(chunk_size=512), streams)
+    on = _run(StreamConfig(chunk_size=2000, health_weighting=True), streams)
+    off = _run(StreamConfig(chunk_size=2000), streams)
 
     err_on = np.linalg.norm(np.asarray(on["xy"]) - plane)
     err_off = np.linalg.norm(np.asarray(off["xy"]) - plane)

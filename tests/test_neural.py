@@ -26,13 +26,13 @@ def _dataset(n_scenes, seed=0, noise=0.02):
 def test_training_converges_to_decimeter_accuracy():
     """Fresh synthetic batches every step (the intended regime — data is
     free here, so memorizing noise realizations is impossible); held-out
-    scenes localize to ~dm RMS after 800 steps (~25 s CPU)."""
+    scenes localize to ~dm RMS after 500 steps (~15 s CPU)."""
     net = neural.NeuralLocalizer.create(MICS, CFG, hidden=(128, 64),
                                         learning_rate=2e-3)
     val_frames, val_xy = _dataset(128, seed=2)
 
     data = neural.synthetic_batches(
-        MICS, n_batches=800, batch_size=128, pipeline=CFG, extent_m=0.9,
+        MICS, n_batches=500, batch_size=128, pipeline=CFG, extent_m=0.9,
         seed=10)
     (params, _), losses = net.fit(data, seed=0)
 

@@ -14,7 +14,7 @@ from audio_triangulation_tpu.parallel import sharded
 from audio_triangulation_tpu.utils import synth
 
 MICS = geometry.reference_array()
-CHUNK = 512
+CHUNK = 1024  # 4 steps over the 4096-sample streams (suite-time diet)
 
 
 def _streams(n_streams, t_len=4096, seed=0):
@@ -124,7 +124,7 @@ def test_sharded_stream_step_solve_velocity_threads_resample():
         phat=True, window_enabled=False, band_hz=(700.0, 9500.0))
     sl = StreamingLocalizer.create(
         MICS, cfg,
-        stream=StreamConfig(chunk_size=CHUNK, solve_velocity=True,
+        stream=StreamConfig(chunk_size=2048, solve_velocity=True,
                             velocity_n_scales=5))
     assert sl._caf_resample is not None
     mesh = mesh_lib.make_mesh()
@@ -134,8 +134,8 @@ def test_sharded_stream_step_solve_velocity_threads_resample():
     streams, _ = _streams(n, seed=3)
     st = init_states(n)
     out = None
-    for i in range(0, 4096, CHUNK):
-        st, out = fn(st, jnp.asarray(streams[:, :, i: i + CHUNK]))
+    for i in range(0, 4096, 2048):
+        st, out = fn(st, jnp.asarray(streams[:, :, i: i + 2048]))
     assert out is not None
     assert np.asarray(out["velocity"]).shape == (n, 2)
     assert np.isfinite(np.asarray(out["velocity"])).all()
