@@ -156,3 +156,23 @@ def _snr(ref, x):
 in_snr = 10 * np.log10(np.var(clean4[0]) / 0.09)  # per-mic input SNR
 print(f"extraction: virtual mic SNR {_snr(sig[sl_], y[sl_]):.1f} dB vs "
       f"{in_snr:.1f} dB per input mic (delay-and-sum gain ~6 dB at 4 mics)")
+
+# --- 6. one-dispatch tracked serving ------------------------------------
+# The fused path: localization burst + association + Kalman update in a
+# SINGLE jitted donated-state device program per chunk (models/tracked),
+# vmapped across streams — tracked serving at dense-path scale.
+from audio_triangulation_tpu.models.tracked import TrackedStreamingLocalizer
+
+tsl = TrackedStreamingLocalizer.create(
+    mics, PipelineConfig(), stream=StreamConfig(chunk_size=2048))
+streams3 = rng.integers(127, 130, size=(3, 16_384)).astype(np.float64)
+for at in (3_000, 9_000):
+    fr = synth.synth_scene(src3, mics, noise_rms=0.0, seed=at)[0]
+    streams3[:, at: at + 1024] += 110.0 * fr
+tstate2, outs3 = tsl.run(np.clip(np.round(streams3), 0, 255))
+ev3 = [o for o in outs3 if bool(o["event"])]
+k3 = int(np.asarray(ev3[-1]["assigned"]))
+txy3 = np.asarray(ev3[-1]["track_xy"])[k3]
+print(f"fused tracking: {len(ev3)} events -> track "
+      f"#{int(np.asarray(ev3[-1]['track_id'])[k3])} at "
+      f"({txy3[0]:+.3f}, {txy3[1]:+.3f}) m, one dispatch per chunk")

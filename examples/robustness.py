@@ -35,6 +35,10 @@ print(f"plain               : {err_cm():6.2f} cm")
 print(f"PHAT (full band)    : {err_cm(phat=True):6.2f} cm")
 print(f"PHAT + band 800:6000: "
       f"{err_cm(phat=True, band_hz=(800.0, 6000.0)):6.2f} cm")
+# hands-free form: the band is read off each event's pair coherence
+# (ops/xcorr.auto_band_weight) — no constant matched to the source
+print(f"PHAT + band 'auto'  : "
+      f"{err_cm(phat=True, band_hz='auto'):6.2f} cm")
 print(f"PHAT-beta 0.5       : {err_cm(phat=True, phat_beta=0.5):6.2f} cm")
 
 # --- 2. GCC weighting family (Knapp & Carter) -------------------------
@@ -48,6 +52,12 @@ for w in ("scot", "ml"):
 # Precision option: coherence-gated WLS fit of the cross-spectrum phase
 # slope (better than parabolic at high SNR with true linear delays).
 print(f"subsample='phase'   : {err_cm(subsample_method='phase'):6.2f} cm")
+# 'hybrid' dispatches phase-slope only where a pair's in-band coherence
+# clears the gate (PipelineConfig.hybrid_coherence_min) — with the auto
+# band this is the accuracy-flagship config (<0.1-sample p90, >=20 dB)
+print(f"auto-band + hybrid  : "
+      f"{err_cm(phat=True, band_hz='auto', subsample_method='hybrid'):6.2f}"
+      " cm")
 
 # --- 4. robust (Huber IRLS) solving -----------------------------------
 # Corrupt 1 of the 3 pair TDOAs with a +2 ms multipath error: plain least

@@ -87,12 +87,14 @@ def test_production_example(example_outputs):
     assert "tracking: confirmed track" in out
     assert "health: faulty mics [5]" in out
     assert "extraction: virtual mic SNR" in out
+    assert "fused tracking:" in out and "one dispatch per chunk" in out
 
 
 def test_robustness_example(example_outputs):
     out = _get(example_outputs, "robustness.py")
     assert "robustness tour done" in out
     assert "huber" in out
+    assert "band 'auto'" in out and "auto-band + hybrid" in out
 
 
 def test_serving_http_example(example_outputs):
