@@ -59,6 +59,32 @@ class LocalizerParams:
     onehot_big: Optional[jnp.ndarray] = None
 
 
+# Opt-in instance memoization for Localizer.create / StreamingLocalizer.
+# create (env ATRT_SHARE_LOCALIZERS=1): identical (mics, configs, kwargs)
+# return the SAME instance, so its cached_property jits — and their traced
+# programs — are shared.  Instances are immutable (frozen dataclasses,
+# params used read-only), so sharing is safe; it is opt-in because a
+# long-lived cache pins params arrays in memory.  The test suite enables
+# it (tests/conftest.py): re-tracing near-identical pipelines across files
+# was a measurable slice of the wall clock.
+_CREATE_CACHE: dict = {}
+_CREATE_STATS = {"hits": 0, "misses": 0}
+
+
+def _memo_create(key, build):
+    import os
+
+    if not os.environ.get("ATRT_SHARE_LOCALIZERS"):
+        return build()
+    hit = _CREATE_CACHE.get(key)
+    if hit is None:
+        _CREATE_STATS["misses"] += 1
+        hit = _CREATE_CACHE[key] = build()
+    else:
+        _CREATE_STATS["hits"] += 1
+    return hit
+
+
 @dataclasses.dataclass(frozen=True)
 class Localizer:
     """Configured, jit-compiled frame-batch localizer.
@@ -112,6 +138,26 @@ class Localizer:
                 cells_per_m=grid.cells_per_m / s,
             )
         mic_positions = np.asarray(mic_positions, dtype=np.float32)
+        key = (cls, mic_positions.tobytes(), mic_positions.shape, pipeline,
+               grid, solver, srp_form, with_solver, with_heatmap, str(dtype))
+        return _memo_create(key, lambda: cls._build(
+            mic_positions, pipeline, grid, solver, srp_form=srp_form,
+            with_solver=with_solver, with_heatmap=with_heatmap,
+            dtype=dtype))
+
+    @classmethod
+    def _build(
+        cls,
+        mic_positions: np.ndarray,
+        pipeline: PipelineConfig,
+        grid: GridConfig,
+        solver: SolverConfig,
+        *,
+        srp_form: str,
+        with_solver: bool,
+        with_heatmap: bool,
+        dtype,
+    ) -> "Localizer":
         pairs = geometry.mic_pairs(mic_positions.shape[0])
         lut = geometry.lag_lut(grid, mic_positions, pairs, pipeline)  # [P,H,W]
         lut_flat = lut.reshape(lut.shape[0], -1)

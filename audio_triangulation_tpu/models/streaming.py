@@ -82,11 +82,19 @@ class StreamingLocalizer:
         with_solver: bool = True,
         **kwargs,
     ) -> "StreamingLocalizer":
-        base = localizer_mod.Localizer.create(
-            mic_positions, pipeline, grid, solver, **kwargs)
-        return cls(pipeline=pipeline, grid=grid, solver=solver, stream=stream,
-                   params=base.params, srp_form=base.srp_form,
-                   with_solver=with_solver)
+        mic_positions = np.asarray(mic_positions, dtype=np.float32)
+        key = (cls, mic_positions.tobytes(), mic_positions.shape, pipeline,
+               grid, solver, stream, with_solver,
+               tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
+
+        def build():
+            base = localizer_mod.Localizer.create(
+                mic_positions, pipeline, grid, solver, **kwargs)
+            return cls(pipeline=pipeline, grid=grid, solver=solver,
+                       stream=stream, params=base.params,
+                       srp_form=base.srp_form, with_solver=with_solver)
+
+        return localizer_mod._memo_create(key, build)
 
     # ------------------------------------------------------------------
     def init_state(self) -> StreamState:

@@ -178,10 +178,19 @@ class TrackedStreamingLocalizer:
         if fuse_velocity and tracker_cfg.imm_q:
             raise ValueError("velocity-measurement fusion is single-model "
                              "only (no imm_q)")
-        sl = StreamingLocalizer.create(
-            mic_positions, pipeline, grid, solver, stream, **kwargs)
-        return cls(sl=sl, tracker=Tracker(tracker_cfg),
-                   fuse_velocity=fuse_velocity)
+        mic_positions = np.asarray(mic_positions, dtype=np.float32)
+        key = (cls, mic_positions.tobytes(), mic_positions.shape, pipeline,
+               grid, solver, stream, tracker_cfg, fuse_velocity,
+               tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
+
+        def build():
+            sl = StreamingLocalizer.create(
+                mic_positions, pipeline, grid, solver, stream, **kwargs)
+            return cls(sl=sl, tracker=Tracker(tracker_cfg),
+                       fuse_velocity=fuse_velocity)
+
+        from .localizer import _memo_create
+        return _memo_create(key, build)
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrackedStreamState:

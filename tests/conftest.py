@@ -32,6 +32,13 @@ if _cache_dir:
 # jax_exec_time_optimization_effort=-1.0 were both timing-neutral on the
 # CPU backend for a compile-heavy 22-test subset (90/95/93 s) — the CPU
 # compiler ignores the effort dial, so the suite keeps XLA defaults.
+# Share Localizer/StreamingLocalizer/TrackedStreamingLocalizer instances
+# across tests (models/localizer._memo_create): identical configs return
+# the same frozen instance, so the per-instance cached_property jits — and
+# their traces — are built once per session instead of once per file.
+# Opt-out by exporting ATRT_SHARE_LOCALIZERS= (empty).
+os.environ.setdefault("ATRT_SHARE_LOCALIZERS", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -105,6 +112,19 @@ _SLOW = {
         "test_per_condition_floors",
     },
 }
+
+
+def pytest_terminal_summary(terminalreporter):
+    """Report localizer instance-sharing effectiveness (opt-in probe)."""
+    if not os.environ.get("ATRT_SHARE_DEBUG"):
+        return
+    try:
+        from audio_triangulation_tpu.models.localizer import _CREATE_STATS
+        terminalreporter.write_line(
+            f"localizer share: {_CREATE_STATS['hits']} hits / "
+            f"{_CREATE_STATS['misses']} misses")
+    except Exception:
+        pass
 
 
 def pytest_collection_modifyitems(config, items):
