@@ -333,6 +333,36 @@ def _simulate_volume(args, mics):
         print(f"volume view -> {args.out}")
 
 
+def _track_summary_line(out, holder, k, sig=""):
+    """One-line track summary shared by the host-driven (--source) and
+    fused (--track) printouts: spawn detection (holder['n_active'] carries
+    the previous count), gating, and the
+    'track #id*: xy v sigma p(maneuver)' line.  model_prob is present in
+    `out` only on the IMM path (models/tracking.py:607)."""
+    def _fmt(v):
+        return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
+
+    active = np.asarray(out["track_active"])
+    ids = np.asarray(out["track_id"])
+    n_active = int(active.sum())
+    spawned = n_active > holder["n_active"]
+    holder["n_active"] = n_active
+    if k < 0:
+        if spawned:
+            sm = int(np.argmax(active & (ids == ids.max())))
+            return f"track #{int(ids[sm])}: spawned"
+        return "track: gated out (no free slot)"
+    txy = np.asarray(out["track_xy"])[k]
+    vel = np.asarray(out["track_vel"])[k]
+    conf = bool(np.asarray(out["track_confirmed"])[k])
+    mode = ""
+    if "model_prob" in out:
+        mode = (f" p(maneuver)="
+                f"{float(np.asarray(out['model_prob'])[k, -1]):.2f}")
+    return (f"track #{int(ids[k])}{'*' if conf else ''}: "
+            f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}{mode}")
+
+
 def _make_tracker(enabled: bool, dim: int = 2, imm: bool = False):
     """(tracker, state, update_fn) for the stream commands' --track flag;
     update_fn(z, cov, t) -> one-line track summary (or '').  dim=3 pairs
@@ -349,9 +379,6 @@ def _make_tracker(enabled: bool, dim: int = 2, imm: bool = False):
                                 gate_maha2=11.34 if dim == 3 else 9.21))
     holder = {"state": trk.init(), "n_active": 0}
 
-    def _fmt(v):
-        return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
-
     def update(z, cov, t, vel=None):
         if imm:
             vel = None  # velocity-measurement fusion is single-model only
@@ -359,30 +386,10 @@ def _make_tracker(enabled: bool, dim: int = 2, imm: bool = False):
             holder["state"], np.asarray(z, np.float32), float(t), True,
             z_cov=None if cov is None else np.asarray(cov, np.float32),
             z_vel=None if vel is None else np.asarray(vel, np.float32))
-        k = int(out["assigned"])
-        n_active = int(np.asarray(out["track_active"]).sum())
-        spawned = n_active > holder["n_active"]
-        holder["n_active"] = n_active
-        if k < 0:
-            if spawned:
-                sm = int(np.argmax(np.asarray(out["track_active"])
-                                   & (np.asarray(out["track_id"])
-                                      == np.asarray(out["track_id"]).max())))
-                tid = int(np.asarray(out["track_id"])[sm])
-                return f"track #{tid}: spawned"
-            return "track: gated out (no free slot)"
-        tid = int(np.asarray(out["track_id"])[k])
-        txy = np.asarray(out["track_xy"])[k]
-        vel = np.asarray(out["track_vel"])[k]
-        conf = bool(np.asarray(out["track_confirmed"])[k])
         sig = ("" if cov is None else
                f" sigma="
                f"{np.sqrt(max(np.trace(np.asarray(cov)) / dim, 0)):.3f}m")
-        mode = ""
-        if "model_prob" in out:
-            mode = f" p(maneuver)={float(out['model_prob'][k, -1]):.2f}"
-        return (f"track #{tid}{'*' if conf else ''}: "
-                f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}{mode}")
+        return _track_summary_line(out, holder, int(out["assigned"]), sig)
 
     return update
 
@@ -391,37 +398,17 @@ def _fused_track_formatter(dim: int = 2, imm: bool = False):
     """Format the FUSED tracked-streaming outputs (models/tracked.py) into
     the same one-line track summaries _make_tracker prints for the
     host-driven live path.  Call only on event chunks."""
+    del imm  # mode column keys off model_prob's presence in `out`
     holder = {"n_active": 0}
 
-    def _fmt(v):
-        return "(" + ", ".join(f"{c:+.3f}" for c in v) + ")"
-
     def fmt(out):
-        k = int(np.asarray(out["assigned"]))
-        active = np.asarray(out["track_active"])
-        n_active = int(active.sum())
-        spawned = n_active > holder["n_active"]
-        holder["n_active"] = n_active
-        ids = np.asarray(out["track_id"])
-        if k < 0:
-            if spawned:
-                sm = int(np.argmax(active & (ids == ids.max())))
-                return f"track #{int(ids[sm])}: spawned"
-            return "track: gated out (no free slot)"
-        txy = np.asarray(out["track_xy"])[k]
-        vel = np.asarray(out["track_vel"])[k]
-        conf = bool(np.asarray(out["track_confirmed"])[k])
         sig = ""
         if "xy_cov" in out and dim == 2:
             cov = np.asarray(out["xy_cov"])
             sig = (f" sigma="
                    f"{np.sqrt(max(np.trace(cov) / dim, 0)):.3f}m")
-        mode = ""
-        if imm and "model_prob" in out:
-            mode = (f" p(maneuver)="
-                    f"{float(np.asarray(out['model_prob'])[k, -1]):.2f}")
-        return (f"track #{int(ids[k])}{'*' if conf else ''}: "
-                f"{_fmt(txy)} m v={_fmt(vel)} m/s{sig}{mode}")
+        return _track_summary_line(out, holder,
+                                   int(np.asarray(out["assigned"])), sig)
 
     return fmt
 
@@ -622,7 +609,22 @@ def cmd_stream(args):
 
         if os.path.exists(args.checkpoint) or os.path.exists(
                 args.checkpoint + ".npz"):
-            state = ckpt.restore(args.checkpoint, state)
+            try:
+                state = ckpt.restore(args.checkpoint, state)
+            except ValueError as e:
+                if not use_track:
+                    raise
+                # a plain stream checkpoint (saved without --track, or by
+                # the pre-fused host-tracker version) resumed into the
+                # tracked template: restore the streaming half, start the
+                # tracker fresh
+                import dataclasses as _dc
+
+                stream_part = ckpt.restore(args.checkpoint,
+                                           sl.init_state())
+                state = _dc.replace(state, stream=stream_part)
+                print(f"note: checkpoint predates --track "
+                      f"({e}); tracker state starts fresh")
             print(f"resumed from {args.checkpoint} "
                   f"(events so far: {int(_sp(state).event_count)})")
     meter = profiling.ThroughputMeter()

@@ -175,6 +175,11 @@ class TrackedStreamingLocalizer:
         if fuse_velocity and not stream.solve_velocity:
             raise ValueError("fuse_velocity needs StreamConfig."
                              "solve_velocity (the CAF measurement)")
+        if fuse_velocity and stream.n_sources > 1:
+            raise ValueError("multi-source chunks update via JPDA "
+                             "step_multi, which has no velocity-"
+                             "measurement path — fuse_velocity needs "
+                             "n_sources == 1")
         if fuse_velocity and tracker_cfg.imm_q:
             raise ValueError("velocity-measurement fusion is single-model "
                              "only (no imm_q)")

@@ -179,6 +179,19 @@ def caf_correlograms(
     rr, jj = mxu_fft.cross_power_reim(
         re_cat, im_cat, jnp.asarray(pairs2), phat=cfg.phat,
         phat_eps=cfg.phat_eps, phat_beta=cfg.phat_beta)
+    if cfg.band_auto:
+        # band_hz='auto': the same per-event coherence-driven band weight
+        # the localization path applies (ops/xcorr.auto_band_weight),
+        # read off the UNSCALED spectra and broadcast across the scale
+        # axis — without it the whitened CAF would run full-band and
+        # out-of-band noise would degrade the velocity peak
+        from . import xcorr
+
+        w = xcorr.auto_band_weight(
+            xcorr.rfft_frames(x, cfg.fft_length), jnp.asarray(pairs),
+            cfg)[..., None, :]  # [..., 1(P), F]
+        rr = rr * w
+        jj = jj * w
     corr = mxu_fft.lag_correlogram(
         rr, jj, jnp.asarray(syn_c), jnp.asarray(syn_s), prec)  # [S,...,P,L]
     return jnp.moveaxis(corr, 0, -2)  # [..., P, S, L]

@@ -47,9 +47,18 @@ def save(path: str, tree: Any, *, use_orbax: bool | None = None) -> str:
     return path
 
 
-def restore(path: str, like: Any) -> Any:
+def restore(path: str, like: Any, *, partial: bool = False) -> Any:
     """Restore a checkpoint into the structure of ``like`` (a template
-    pytree with the right shapes/dtypes)."""
+    pytree with the right shapes/dtypes).
+
+    npz archives written by :func:`save` carry each leaf's key-path, and
+    leaves are matched BY PATH — so a checkpoint saved under a different
+    state structure (e.g. a plain stream checkpoint resumed into a
+    tracked-stream template after an upgrade) raises a ``ValueError``
+    naming the mismatch instead of silently misassigning leaves by index.
+    ``partial=True`` instead keeps the template's value for leaves missing
+    from the archive and ignores archived extras (resume a subset of a
+    grown state)."""
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
@@ -58,13 +67,38 @@ def restore(path: str, like: Any) -> Any:
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)
-    leaves_like, treedef = jax.tree_util.tree_flatten(like)
-    leaves = []
-    for i, ref in enumerate(leaves_like):
-        arr = data[f"leaf_{i}"]
-        leaves.append(
-            jax.numpy.asarray(arr).astype(ref.dtype)
-            if hasattr(ref, "dtype") else arr)
+    paths_like, leaves_like, treedef = _flatten_with_paths(like)
+
+    def _cast(arr, ref):
+        return (jax.numpy.asarray(arr).astype(ref.dtype)
+                if hasattr(ref, "dtype") else arr)
+
+    if "__paths__" in data:
+        saved_paths = json.loads(str(data["__paths__"]))
+        by_path = {p: data[f"leaf_{i}"] for i, p in enumerate(saved_paths)}
+        missing = [p for p in paths_like if p not in by_path]
+        extra = [p for p in saved_paths if p not in set(paths_like)]
+        if (missing or extra) and not partial:
+            raise ValueError(
+                f"checkpoint structure mismatch for {path}: "
+                f"{len(missing)} template leaves not in archive "
+                f"(e.g. {missing[:3]}), {len(extra)} archived leaves not "
+                f"in template (e.g. {extra[:3]}); pass partial=True to "
+                f"restore the intersection")
+        leaves = [
+            _cast(by_path[p], ref) if p in by_path else ref
+            for p, ref in zip(paths_like, leaves_like)]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # legacy archive without key-paths: positional match, guarded
+    n_saved = len([k for k in data.files if k.startswith("leaf_")])
+    if n_saved != len(leaves_like):
+        raise ValueError(
+            f"checkpoint {path} has {n_saved} leaves but the template "
+            f"expects {len(leaves_like)} — saved under a different "
+            f"configuration")
+    leaves = [_cast(data[f"leaf_{i}"], ref)
+              for i, ref in enumerate(leaves_like)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -22,6 +22,12 @@ METHODS = {
     "roth": {"weighting": "roth"},
     "ml": {"weighting": "ml"},
     "phase": {"subsample_method": "phase"},
+    # round-4 hands-free configs: per-event coherence-driven band
+    # weighting and the coherence-gated phase-slope dispatch — the same
+    # rows BENCH_ACCURACY carries, here under reverb/noise instead of SNR
+    "band_auto": {"phat": True, "band_hz": "auto"},
+    "auto_hybrid": {"phat": True, "band_hz": "auto",
+                    "subsample_method": "hybrid"},
 }
 
 

@@ -330,3 +330,50 @@ def test_streaming_velocity_planar_mics_given_as_3d():
             got = np.asarray(out["velocity"])
     assert got is not None, "no events detected"
     assert got.shape == (2,), got
+
+
+def _hf_noise(shape_mn, rng, lo_hz=11_000.0, rms=0.08):
+    """Independent per-mic noise strictly ABOVE the burst band (800-9000):
+    energy the whitened full-band CAF up-weights but band selection should
+    exclude."""
+    m, n = shape_mn
+    w = rng.normal(0.0, 1.0, (m, n))
+    spec = np.fft.rfft(w, axis=-1)
+    spec[:, np.fft.rfftfreq(n, 1.0 / FS) < lo_hz] = 0.0
+    x = np.fft.irfft(spec, n=n, axis=-1)
+    return x * (rms / (x.std(axis=-1, keepdims=True) + 1e-12))
+
+
+def test_caf_band_auto_suppresses_out_of_band_noise():
+    """band_hz='auto' must reach the CAF path too: the per-event coherence
+    weight is applied to the cross-power before lag synthesis
+    (ops/caf.caf_correlograms), so with strong out-of-band interference
+    the auto CAF tracks the hand-tuned band and clearly beats the
+    full-band whitened CAF."""
+    mics = geometry.reference_array()
+    pairs = geometry.mic_pairs(mics.shape[0])
+    src = np.array([0.5, 0.4])
+    rng = np.random.default_rng(17)
+    frames = np.asarray(_moving_frames(mics, src, np.zeros(2), seed=4))[0]
+    frames = jnp.asarray(frames + _hf_noise(frames.shape, rng),
+                         jnp.float32)[None]
+
+    m = np.asarray(mics, np.float64)
+    d = np.linalg.norm(src - m, axis=1)
+    want = (d[pairs[:, 1]] - d[pairs[:, 0]]) / C * FS
+
+    def err(**kw):
+        cfg = PipelineConfig(
+            phat=True, window_enabled=False,
+            max_shift_samples=geometry.max_lag_for_array(
+                mics, PipelineConfig()), **kw)
+        out = caf_ops.estimate_delay_doppler(
+            frames, jnp.asarray(window_ops.window_for(cfg)), pairs, cfg,
+            v_max=8.0, n_scales=9)
+        return np.max(np.abs(np.asarray(out["tdoa_samples"][0]) - want))
+
+    e_hand = err(band_hz=(700.0, 9500.0))
+    e_auto = err(band_hz="auto")
+    e_full = err()
+    assert e_auto < 2.0 * e_hand + 0.1, (e_auto, e_hand)
+    assert e_auto < 0.6 * e_full, (e_auto, e_full)

@@ -74,3 +74,33 @@ def test_throughput_meter():
 
 def test_memory_stats_does_not_crash():
     profiling.device_memory_stats()
+
+
+def test_restore_structure_mismatch_raises(tmp_path):
+    """A checkpoint saved under a different state structure must fail
+    loudly with the path diff, not misassign leaves by index (the
+    pre-r4 restore matched leaf_i positionally)."""
+    import pytest
+
+    from audio_triangulation_tpu.models.tracked import (
+        TrackedStreamingLocalizer)
+
+    sl = StreamingLocalizer.create(MICS)
+    p = checkpoint.save(str(tmp_path / "plain"), sl.init_state(),
+                        use_orbax=False)
+    tsl = TrackedStreamingLocalizer.create(MICS)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        checkpoint.restore(p, tsl.init_state())
+
+
+def test_restore_partial_keeps_template_for_missing(tmp_path):
+    """partial=True restores the path intersection and keeps template
+    values elsewhere — resuming a subset of a grown state."""
+    old = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray(7)}
+    p = checkpoint.save(str(tmp_path / "old"), old, use_orbax=False)
+    template = {"a": jnp.zeros(2), "b": jnp.asarray(0),
+                "c": jnp.asarray(42.0)}
+    got = checkpoint.restore(p, template, partial=True)
+    np.testing.assert_array_equal(np.asarray(got["a"]), [1.0, 2.0])
+    assert int(got["b"]) == 7
+    assert float(got["c"]) == 42.0  # template value kept

@@ -182,6 +182,21 @@ def test_stream_checkpoint_resume(tmp_path, capsys):
     assert "resumed from" in second
 
 
+def test_stream_track_resumes_plain_checkpoint(tmp_path, capsys):
+    """A checkpoint saved WITHOUT --track (plain StreamState — also what
+    the pre-fused host-tracker version saved) must resume under --track:
+    streaming state restored, tracker starts fresh, with a note."""
+    ck = str(tmp_path / "plain_state")
+    cli.main(["stream", "--duration-samples", "12000", "--chunk", "512",
+              "--checkpoint", ck])
+    capsys.readouterr()
+    cli.main(["stream", "--duration-samples", "12000", "--chunk", "512",
+              "--checkpoint", ck, "--seed", "1", "--track"])
+    out = capsys.readouterr().out
+    assert "tracker state starts fresh" in out
+    assert "resumed from" in out
+
+
 def test_gen_window_plot(tmp_path, capsys):
     out = str(tmp_path / "win.png")
     cli.main(["gen-window", "--length", "128", "--plot", out])

@@ -211,6 +211,13 @@ def test_create_validation():
     with pytest.raises(ValueError, match="solve_velocity"):
         TrackedStreamingLocalizer.create(
             MICS, PipelineConfig(), fuse_velocity=True)
+    # JPDA multi-source chunks have no velocity-measurement path: the
+    # combination must be rejected, not silently dropped
+    with pytest.raises(ValueError, match="n_sources"):
+        TrackedStreamingLocalizer.create(
+            MICS, PipelineConfig(),
+            stream=StreamConfig(n_sources=2, solve_velocity=True),
+            fuse_velocity=True)
 
 
 def test_solve_xyz_fused_three_dim_tracks():

@@ -165,8 +165,15 @@ def main():
         step += 1
 
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    w = np.asarray(walls[20:])
+    # very short runs (<= warmup) have no post-warmup samples: fall back
+    # to the full wall list so the percentiles below never see an empty
+    # slice (half == 0 additionally disables the flat-wall split)
+    w = np.asarray(walls[20:] if len(walls) > 20 else walls)
     half = len(w) // 2
+
+    def pct(a, q):
+        return round(float(np.percentile(a, q)), 2) if len(a) else None
+
     result = {
         "metric": "streaming_soak",
         "streams": n, "steps": step, "chunk": c,
@@ -174,13 +181,11 @@ def main():
         "fault_at": args.fault_at,
         "events_detected": events,
         "xy_err_max_m": round(xy_err_max, 4),
-        "step_ms_p50": round(float(np.percentile(w, 50)), 2),
-        "step_ms_p99": round(float(np.percentile(w, 99)), 2),
+        "step_ms_p50": pct(w, 50),
+        "step_ms_p99": pct(w, 99),
         # flat-wall check: second half vs first half medians
-        "step_ms_p50_first_half": round(
-            float(np.percentile(w[:half], 50)), 2),
-        "step_ms_p50_second_half": round(
-            float(np.percentile(w[half:], 50)), 2),
+        "step_ms_p50_first_half": pct(w[:half], 50),
+        "step_ms_p50_second_half": pct(w[half:], 50),
         "rss_growth_mb": round((rss1 - (rss0 or rss1)) / 1024.0, 1),
         "wall_s": round(time.perf_counter() - t_start, 1),
     }
