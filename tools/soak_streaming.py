@@ -126,6 +126,16 @@ def main():
                         if (total_steps and args.fault_at is not None)
                         else None)
 
+    def _vm_rss_mb():
+        # CURRENT resident set (ru_maxrss is the high-water mark only —
+        # it cannot distinguish a steady leak from one transient spike)
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    rss_curve = []  # (step, VmRSS MB) sampled during the run
     t_start = time.perf_counter()
     step = 0
     while True:
@@ -162,6 +172,10 @@ def main():
                 bucket.update(int(v) for v in np.unique(dom))
         if step == 19:  # RSS baseline after warmup/compiles
             rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        if step % 500 == 0:
+            rss_curve.append((step, round(_vm_rss_mb(), 1)))
+            print(f"rss step={step} vm={rss_curve[-1][1]} MB",
+                  file=sys.stderr, flush=True)
         step += 1
 
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -186,12 +200,20 @@ def main():
         # flat-wall check: second half vs first half medians
         "step_ms_p50_first_half": pct(w[:half], 50),
         "step_ms_p50_second_half": pct(w[half:], 50),
-        "rss_growth_mb": round((rss1 - (rss0 or rss1)) / 1024.0, 1),
+        "rss_peak_growth_mb": round((rss1 - (rss0 or rss1)) / 1024.0, 1),
         "wall_s": round(time.perf_counter() - t_start, 1),
     }
+    # leak gate on CURRENT RSS (post-warmup sample vs end), not the
+    # ru_maxrss high-water mark: endurance means no unbounded growth; a
+    # transient allocation spike moves the peak once but not the curve
+    vm_growth = (rss_curve[-1][1] - rss_curve[1][1]
+                 if len(rss_curve) >= 3 else 0.0)
+    result["rss_growth_mb"] = round(vm_growth, 1)
+    stride = max(1, len(rss_curve) // 24)
+    result["rss_curve_mb"] = rss_curve[::stride]
     ok = (events >= step // 8 - 2
           and xy_err_max < 0.15
-          and (rss1 - (rss0 or rss1)) / 1024.0 < 256
+          and vm_growth < 256
           and (half < 10 or float(np.percentile(w[half:], 50))
                < 1.5 * float(np.percentile(w[:half], 50))))
     if args.fault_at is not None:
