@@ -102,6 +102,16 @@ class DoaEstimator:
         smp: bool = False,
     ) -> "DoaEstimator":
         mic_positions = np.asarray(mic_positions, np.float32)
+        if pipeline.max_shift_samples is None:
+            # same auto-widen as Doa3dEstimator/VolumeLocalizer: the lag
+            # window must cover the array aperture, or azimuth_lag_lut's
+            # clip and the correlogram window both saturate on the long
+            # baselines and the bearing is silently biased (the default
+            # +-46 assumes the reference's 0.2 m triangle)
+            pipeline = dataclasses.replace(
+                pipeline,
+                max_shift_samples=geometry.max_lag_for_array(
+                    mic_positions, pipeline))
         pairs = geometry.mic_pairs(mic_positions.shape[0])
         merge = disp = None
         if smp:
@@ -275,6 +285,15 @@ def estimate_doa_smp(
     rr, jj = mxu_fft.cross_power_reim(
         re, im, params.pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         phat_beta=cfg.phat_beta)
+    if cfg.band_auto:
+        # band_hz='auto' must weight the merged path too (the unmerged
+        # path gets it via xcorr_fft): 'auto' forbids band_crop, so
+        # re/im are the full-band spectra; the weight is pair-averaged,
+        # hence merge-invariant — applied before group summation
+        w = xcorr.auto_band_weight(
+            re + 1j * im, params.pairs, cfg)[..., None, :]
+        rr = rr * w
+        jj = jj * w
     rr = jnp.einsum("pq,...pf->...qf", merge, rr)  # [..., P', F]
     jj = jnp.einsum("pq,...pf->...qf", merge, jj)
     corr = mxu_fft.lag_correlogram(

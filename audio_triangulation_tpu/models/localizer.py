@@ -287,11 +287,20 @@ class Localizer:
         fmt = blob.get("format", "")
         if not fmt.startswith("audio_triangulation_tpu.Localizer/"):
             raise ValueError(f"not a saved Localizer: {path} ({fmt!r})")
+
+        def detuple(d):
+            # JSON round-trips tuples as lists; config fields are never
+            # real lists (frozen dataclasses must stay hashable — e.g.
+            # band_hz=(lo, hi) as a list would crash the fused-kernel
+            # dispatch, whose jit declares cfg static)
+            return {k: tuple(v) if isinstance(v, list) else v
+                    for k, v in d.items()}
+
         return cls.create(
             np.asarray(blob["mic_positions"], np.float32),
-            PipelineConfig(**blob["pipeline"]),
-            GridConfig(**blob["grid"]),
-            SolverConfig(**blob["solver"]),
+            PipelineConfig(**detuple(blob["pipeline"])),
+            GridConfig(**detuple(blob["grid"])),
+            SolverConfig(**detuple(blob["solver"])),
             srp_form=blob["srp_form"],
             with_solver=blob["with_solver"],
             with_heatmap=blob["with_heatmap"],
@@ -429,7 +438,11 @@ class Localizer:
             xy = self(frames)["xy"]
         delays = beamform.source_delays(
             jnp.asarray(xy), np.asarray(self.params.mic_positions),
-            self.pipeline, height=self.grid.height_m)
+            self.pipeline, height=self.grid.height_m,
+            # steer at the same 3-D lift the solver used (the streaming
+            # sibling, streaming._localize_triggered, already does):
+            # sphere-projecting a plane-model xy would steer off-source
+            constrain_sphere=self.solver.constrain_to_sphere)
         fn = {"das": beamform.extract_das,
               "mvdr": beamform.extract_mvdr}[method]
         return fn(frames, delays, self.pipeline, **kwargs)
@@ -878,7 +891,23 @@ def localize_frames_multi(
     if srp_form == "matmul":
         scores = srp.srp_scores_matmul(corr, params.onehot, cfg.srp_dtype)
     else:
-        scores = srp.srp_scores_gather(corr, params.lut_flat)
+        # same large-array routing as the single-source path: the plain
+        # gather materializes [B, P, G] (tens of GB at 64 mics / 2016
+        # pairs — srp.srp_scores_gather_blocked's docstring), so stream
+        # the precomputed steering matrix or block over pairs when big
+        n_pairs = params.pairs.shape[0]
+        chunk = cfg.pair_chunk
+        if chunk is None and n_pairs > 256:
+            chunk = 128
+        if params.onehot_big is not None:
+            scores = srp.srp_scores_matmul_big(
+                corr, params.onehot_big, dtype=cfg.srp_dtype)
+        elif chunk is not None and n_pairs > chunk:
+            scores = srp.srp_scores_matmul_blocked(
+                corr, params.lut_flat, cfg.num_lags, chunk,
+                dtype=cfg.srp_dtype)
+        else:
+            scores = srp.srp_scores_gather(corr, params.lut_flat)
     if params.score_bias is not None:
         scores = scores + params.score_bias
 

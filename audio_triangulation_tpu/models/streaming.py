@@ -417,6 +417,35 @@ def stream_step(
     # Units are SECONDS, the same convention as diagnose_mics / the CLI.
     n_mics = params.mic_positions.shape[0]
     tdoa_samples = xcorr.subsample_peak(ema_corr, cfg.max_shift)[0]
+    if cfg.subsample_peak and cfg.subsample_method in ("phase", "hybrid"):
+        # the batch dispatch (localizer.localize_frames), applied on EVENT
+        # steps from the PRIMARY captured frame's spectra: the EMA state
+        # carries no phase, but right after an accepted event its peak
+        # tracks that event's correlogram, so the phase-slope refinement
+        # anchors on the smoothed integer peak `best`.  Non-event steps
+        # (and, under 'hybrid', low-coherence pairs) keep the parabolic
+        # estimate.  Slot 0 is the first accepted event of the chunk.
+        spectra = xcorr.rfft_frames(x[0], cfg.fft_length)  # [M, F]
+        wm = xcorr.band_mask(cfg)
+        if wm is None and cfg.band_auto:
+            wm = xcorr.auto_band_weight(
+                spectra, params.pairs, cfg)[..., None, :]
+        tdoa_phase = xcorr.tdoa_phase_slope(
+            spectra, params.pairs, best, fft_length=cfg.fft_length,
+            half_width=cfg.coherence_bins, eps=cfg.phat_eps,
+            weight_mask=wm)
+        use_phase = accepts[0]
+        if cfg.subsample_method == "hybrid":
+            _, _, _, g2 = xcorr.smoothed_cross_stats(
+                spectra, params.pairs, cfg.coherence_bins,
+                eps=cfg.phat_eps)
+            w_bins = (jnp.ones_like(g2) if wm is None
+                      else jnp.broadcast_to(
+                          jnp.asarray(wm, g2.dtype), g2.shape))
+            coh = (jnp.sum(g2 * w_bins, axis=-1)
+                   / jnp.maximum(jnp.sum(w_bins, axis=-1), 1e-12))
+            use_phase = accepts[0] & (coh >= cfg.hybrid_coherence_min)
+        tdoa_samples = jnp.where(use_phase, tdoa_phase, tdoa_samples)
     _, _, c_resid = consistency.project_consistent(
         tdoa_samples / fs, params.pairs, n_mics)
     mic_scores = consistency.mic_consistency_scores(

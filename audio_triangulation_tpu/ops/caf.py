@@ -184,12 +184,11 @@ def caf_correlograms(
         # the localization path applies (ops/xcorr.auto_band_weight),
         # read off the UNSCALED spectra and broadcast across the scale
         # axis — without it the whitened CAF would run full-band and
-        # out-of-band noise would degrade the velocity peak
-        from . import xcorr
-
+        # out-of-band noise would degrade the velocity peak.  'auto'
+        # forbids band_crop, so re0/im0 above are already the full-band
+        # spectra — no second forward transform needed.
         w = xcorr.auto_band_weight(
-            xcorr.rfft_frames(x, cfg.fft_length), jnp.asarray(pairs),
-            cfg)[..., None, :]  # [..., 1(P), F]
+            re0 + 1j * im0, jnp.asarray(pairs), cfg)[..., None, :]
         rr = rr * w
         jj = jj * w
     corr = mxu_fft.lag_correlogram(

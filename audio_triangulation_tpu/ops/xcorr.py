@@ -134,12 +134,18 @@ def freq_smooth(x: jnp.ndarray, half_width: int) -> jnp.ndarray:
     (same role as Welch averaging, but within one frame)."""
     if half_width <= 0:
         return x
-    w = 2 * half_width + 1
-    pad = [(0, 0)] * (x.ndim - 1) + [(half_width, half_width)]
-    c = jnp.cumsum(jnp.pad(x, pad), axis=-1)
-    c = jnp.pad(c, [(0, 0)] * (x.ndim - 1) + [(1, 0)])
-    total = c[..., w:] - c[..., :-w]
+    # direct windowed summation (static unroll, 2*half_width adds), NOT
+    # cumsum-difference: power spectra span ~1e18 after shift8
+    # conditioning, and subtracting two ~1e20 running sums in f32 leaves
+    # pure rounding noise at quiet bins — which then poisons coherence,
+    # the ml weighting, and auto-band selection exactly where the band
+    # decision matters (ops/beamform.extract_mvdr sidesteps the same trap)
     f = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(half_width, half_width)]
+    padded = jnp.pad(x, pad)
+    total = padded[..., 0:f]
+    for o in range(1, 2 * half_width + 1):
+        total = total + padded[..., o:o + f]
     counts = np.minimum(np.arange(f) + half_width + 1, f) - np.maximum(
         np.arange(f) - half_width, 0)
     return total / jnp.asarray(counts, x.dtype)

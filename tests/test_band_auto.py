@@ -186,3 +186,35 @@ def test_auto_band_fused_kernel_gated_off():
     cfg_h = PipelineConfig(phat=True, subsample_method="hybrid",
                            fused_kernel="on")
     assert _fused_tile(cfg_h, 4, 1024) is None
+
+
+def test_streaming_hybrid_refines_event_tdoa():
+    """subsample_method='hybrid'/'phase' now reaches the STREAMING path:
+    on an accepted-event step the TDOAs are phase-slope-refined from the
+    captured frame's spectra (the batch dispatch, anchored on the
+    smoothed integer peak); non-event steps keep the parabolic estimate
+    of the carried EMA state."""
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.models.streaming import StreamingLocalizer
+
+    _, sources, true_tau = _scenes(1, seed=21)
+    noise = 0.8 / (10 ** (40 / 20.0)) / np.sqrt(2)
+    frame = synth.synth_scene(sources, MICS, noise_rms=noise, seed=41)[0]
+    stream = np.zeros((4, 4096 * 3))
+    stream[:, 2048:2048 + 1024] = frame * 0.9
+    stream = stream * 100 + 128  # ADC-ish scale for the detector
+
+    def event_tdoa(**kw):
+        sl = StreamingLocalizer.create(
+            MICS, PipelineConfig(fft_pad_mode="circular", phat=True,
+                                 band_hz="auto", **kw),
+            stream=StreamConfig(chunk_size=2048))
+        _, outs = sl.run(stream)
+        ev = [o for o in outs if bool(o["event"])]
+        assert ev
+        return np.asarray(ev[0]["tdoa_samples"])
+
+    e_par = np.abs(event_tdoa() - true_tau[0])
+    e_hyb = np.abs(event_tdoa(subsample_method="hybrid") - true_tau[0])
+    assert np.median(e_hyb) <= np.median(e_par) + 1e-6, (e_hyb, e_par)
+    assert np.percentile(e_hyb, 90) < 0.1, e_hyb

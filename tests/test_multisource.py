@@ -134,7 +134,7 @@ def test_localize_multi_batched_leading_dims():
 # streaming multi-source + JPDA tracking
 
 
-def _two_source_stream(xy1, xy2, t_len=16000, bursts=(3000, 7000, 11000)):
+def _two_source_stream(xy1, xy2, t_len=12000, bursts=(3000, 7000)):
     stream = np.zeros((8, t_len))
     for i, at in enumerate(bursts):
         stream[:, at: at + 1024] += _two_source_frames(

@@ -172,8 +172,8 @@ def test_jpda_fused_tracks_two_sources():
     def place(x, y):
         return np.array([x, y, H]) * (H / np.linalg.norm([x, y, H]))
 
-    stream = np.zeros((8, 16000))
-    for i, at in enumerate((3000, 7000, 11000)):
+    stream = np.zeros((8, 12000))
+    for i, at in enumerate((3000, 7000)):
         f1 = synth.synth_scene(place(*pos_a), mics8, seed=10 + 3 * i)
         sig2 = synth.chirp_burst(1024, 50_000.0, f0=2000, f1=9000,
                                  center=0.45)

@@ -34,13 +34,19 @@ def _scene_pcm(t_len=30_000, event_at=9_000, seed=0):
             src[:2])
 
 
-def _drain(rt, source, timeout_s=15.0):
+def _drain(rt, source, timeout_s=15.0, max_events=None):
+    """Collect detector events until the source ends or ``timeout_s``.
+    ``max_events`` returns early for sources that never stop on their own
+    (the ALSA shim streams forever — without it the test always pays the
+    full timeout)."""
     events = []
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         ev = rt.poll()
         if ev is not None:
             events.append(ev)
+            if max_events is not None and len(events) >= max_events:
+                break
             continue
         if not source.running:
             ev = rt.poll()
@@ -419,13 +425,18 @@ def test_alsa_native_capture_end_to_end(fake_alsa, tmp_path, monkeypatch):
     rt = native_rt.NativeIngestRuntime(3, 1024)
     src = rt.start_alsa_source("hw:0", sample_rate=50_000,
                                libpath=fake_alsa)
-    events = _drain(rt, src, timeout_s=10.0)
+    events = _drain(rt, src, timeout_s=10.0, max_events=1)
     assert events, "no event from the native ALSA path"
     frame, stamp = events[0]
     assert frame.shape == (3, 1024)
     # the burst (|x - 128| = 3000) must be inside the captured frame
     assert np.abs(frame.astype(np.int64) - 128).max() >= 2999
     assert src.error == 0
+    # the event can fire mid-burst (before the reader has consumed the
+    # full 7024-sample prefix); give the paced shim a moment to catch up
+    t0 = time.time()
+    while src.tuples_pushed <= 7000 and time.time() - t0 < 3.0:
+        time.sleep(0.01)
     assert src.tuples_pushed > 7000
     src.stop()
     text = log.read_text()

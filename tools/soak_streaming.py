@@ -172,9 +172,30 @@ def main():
                 bucket.update(int(v) for v in np.unique(dom))
         if step == 19:  # RSS baseline after warmup/compiles
             rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        if os.environ.get("ATRT_TRACEMALLOC"):
+            import tracemalloc
+
+            if step == 200:
+                tracemalloc.start(25)
+            elif step == 400:
+                globals()["_tm_base"] = tracemalloc.take_snapshot()
+            elif step == 2400:
+                snap = tracemalloc.take_snapshot()
+                for st in snap.compare_to(
+                        globals()["_tm_base"], "traceback")[:10]:
+                    print(f"tm {st.size_diff/1024:+.0f} KB "
+                          f"({st.count_diff:+d})", file=sys.stderr)
+                    for line in st.traceback.format()[-4:]:
+                        print("   ", line, file=sys.stderr)
         if step % 500 == 0:
+            if os.environ.get("ATRT_MALLOC_TRIM"):
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
             rss_curve.append((step, round(_vm_rss_mb(), 1)))
-            print(f"rss step={step} vm={rss_curve[-1][1]} MB",
+            live = (f" live_arrays={len(jax.live_arrays())}"
+                    if os.environ.get("ATRT_LIVE_ARRAYS") else "")
+            print(f"rss step={step} vm={rss_curve[-1][1]} MB{live}",
                   file=sys.stderr, flush=True)
         step += 1
 
