@@ -504,10 +504,13 @@ def _fused_tile(cfg: PipelineConfig, n_mics: int, n: int) -> int | None:
         return None  # full-range normalization is not folded into the kernel
     if cfg.effective_weighting in ("scot", "roth", "ml"):
         return None  # smoothed weightings run on the XLA-FFT path
-    if cfg.band_auto:
-        return None  # per-event band mask runs on the XLA-FFT path
-    if cfg.subsample_method in ("phase", "hybrid") and cfg.subsample_peak:
-        return None  # phase-slope regression needs the spectra
+    if cfg.band_auto or (cfg.subsample_peak
+                         and cfg.subsample_method in ("phase", "hybrid")):
+        # auto band / phase-slope run IN-KERNEL (gcc_kernel spectral-stats
+        # mode, r5) — but only on the folded full-band DFT: band_crop
+        # reindexes bins and an odd fft_length keeps the Nyquist column
+        if cfg.band_crop or cfg.fft_length % 2 != 0:
+            return None
     if cfg.phat and cfg.phat_beta != 1.0:
         return None  # the kernel's whitening is the rsqrt (beta = 1) form
     if cfg.fused_kernel == "on":
@@ -661,6 +664,8 @@ def localize_frames(
                   or (grid_cfg.refine_peak == "auto" and not with_solver))
         in_kernel_srp = (
             cfg.fused_srp == "on"
+            and not cfg.band_auto
+            and cfg.subsample_method not in ("phase", "hybrid")
             and srp_form == "matmul" and cfg.srp_dtype == "bfloat16"
             and params.onehot_pad is not None
             and params.score_bias is None

@@ -39,11 +39,62 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _atan_poly(x):
+    """atan for x >= 0 (Cephes atanf range reduction + degree-4-in-z
+    minimax polynomial; ~1e-7 abs error in f32).  Mosaic has no atan/atan2
+    primitive, so the kernel carries its own."""
+    t3p8 = 2.414213562373095  # tan(3*pi/8)
+    tp8 = 0.4142135623730950  # tan(pi/8)
+    big = x > t3p8
+    mid = (x > tp8) & ~big
+    safe = jnp.maximum(x, 1e-30)
+    xr = jnp.where(big, -1.0 / safe,
+                   jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    y0 = jnp.where(big, jnp.float32(np.pi / 2),
+                   jnp.where(mid, jnp.float32(np.pi / 4), jnp.float32(0.0)))
+    z = xr * xr
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z - 3.33329491539e-1
+    return y0 + p * z * xr + xr
+
+
+def _atan2(y, x):
+    """Quadrant-correct atan2(y, x) from :func:`_atan_poly` (f32)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    a = _atan_poly(ay / jnp.maximum(ax, 1e-30))
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+class _StatsCfg:
+    """Static parameters of the in-kernel spectral-stats path (smoothed
+    coherence -> per-event auto band weight and/or phase-slope sub-sample
+    TDOA).  A plain attribute bag so the kernel closure stays hashable via
+    functools.partial identity (constructed once per trace)."""
+
+    def __init__(self, *, band_auto, auto_rel, auto_floor, auto_min_bins,
+                 hw, f_full, fft_length, phase, hybrid, hybrid_min,
+                 band_lanes):
+        self.band_auto = band_auto      # per-event coherence band weight
+        self.auto_rel = auto_rel
+        self.auto_floor = auto_floor
+        self.auto_min_bins = auto_min_bins
+        self.hw = hw                    # coherence smoothing half-width
+        self.f_full = f_full            # rfft bin count INCLUDING Nyquist
+        self.fft_length = fft_length
+        self.phase = phase              # phase-slope TDOA refinement
+        self.hybrid = hybrid            # gate phase on in-band coherence
+        self.hybrid_min = hybrid_min
+        self.band_lanes = band_lanes    # static (lo, hi_excl) lane range
+        #                                 for phase weights, or None
+
+
 def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 syns_ref, out_ref, aux_ref, onehot_ref=None, cell_ref=None,
                 *, pairs, phat, phat_eps, n, tile_b, n_mics, num_lags,
                 taper_denom, with_peaks, nyq_fold, inv_fft_len, srp_g=0,
-                compact=False, sub_tiles=1, mxu_precision=None):
+                compact=False, sub_tiles=1, mxu_precision=None,
+                stats_cfg=None):
     """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
     (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
     carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
@@ -144,7 +195,7 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 + jnp.dot(jj, syns_ref[:],
                           preferred_element_type=jnp.float32,
                           precision=mxu_precision))
-        if nyq_fold:
+        if nyq_fold and nyq_corrs:
             corr = corr + jnp.stack(nyq_corrs, axis=1).reshape(
                 sb * n_pairs, l_pad)
         return corr
@@ -154,7 +205,220 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         native sublane->lane relayout)."""
         return col.reshape(sb, n_pairs)
 
-    def stage_out(s, corr):
+    # ---- spectral-stats mode (band_hz='auto' and/or phase/hybrid) -------
+    # The unfused analogue is ops.xcorr: freq_smooth -> smoothed_cross_stats
+    # -> auto_band_weight / tdoa_phase_slope.  Everything runs on the
+    # VMEM-resident spectra the kernel already has — the reason this mode
+    # exists (r4 verdict: the unfused fallback's HBM-resident [B, M, F] /
+    # [B, P, F] intermediates cost 36x and OOM at headline batch).
+    sc = stats_cfg
+
+    def _smooth(x, nyq_col=None):
+        """Moving average over +-hw lanes with edge support counted over
+        the FULL rfft bin set (= ops.xcorr.freq_smooth): x [R, F_k] holds
+        bins 0..F_full-2 (Nyquist folded out); ``nyq_col`` [R, 1] is the
+        Nyquist bin's value, folded back into the windows that cover it."""
+        f_lanes = x.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        total = x
+        for o in range(1, sc.hw + 1):
+            # left-shift by o == circular roll right by F - o (pltpu.roll
+            # takes non-negative shifts only); wrapped lanes masked off
+            lf = pltpu.roll(x, shift=f_lanes - o, axis=1)
+            total = total + jnp.where(lane < f_lanes - o, lf, 0.0)
+            rt = pltpu.roll(x, shift=o, axis=1)
+            total = total + jnp.where(lane >= o, rt, 0.0)
+        if nyq_col is not None:
+            total = total + jnp.where(
+                lane >= sc.f_full - 1 - sc.hw, nyq_col, 0.0)
+        cnt = (jnp.minimum(lane + sc.hw, sc.f_full - 1)
+               - jnp.maximum(lane - sc.hw, 0) + 1).astype(jnp.float32)
+        return total / cnt
+
+    def _expand_rows(w2):
+        """[SB, F] -> [SB*P, F] with each frame's row repeated per pair,
+        matching the (frame-major, pair-minor) row order of the stacked
+        cross tensors.  Static-unrolled stack — NOT pltpu.repeat, whose
+        semantics are tile-wise ([r0 r1 r0 r1], the wrong row mapping)."""
+        if n_pairs == 1:
+            return w2
+        return jnp.stack([w2] * n_pairs, axis=1).reshape(
+            sb * n_pairs, w2.shape[-1])
+
+    def stage_front_stats(s):
+        """Conditioning + RAW DFT + smoothed auto-spectra for sub-tile s.
+        Unlike stage_front the spectra are kept raw (the coherence
+        estimator wants unwhitened periodograms); the per-mic PHAT factor
+        is carried separately and folded into the cross stage."""
+        x = frames_ref[s * sb:(s + 1) * sb].astype(jnp.float32)
+        x = x.reshape(sb * n_mics, n)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        x = (x - mean) * window_ref[:]
+        re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=mxu_precision)
+        im = jnp.dot(x, msin_ref[:], preferred_element_type=jnp.float32,
+                     precision=mxu_precision)
+        auto = re * re + im * im  # [SB*M, F] raw periodogram
+        inv = None
+        if phat:
+            inv = jax.lax.rsqrt(auto + phat_eps * phat_eps)
+        # raw Nyquist bin (always present: stats mode requires the folded
+        # even-length DFT): feeds both the smoothing correction and the
+        # static-band correlogram contribution
+        alt = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % 2 == 0,
+            jnp.float32(1.0), jnp.float32(-1.0))
+        re_nyq = jnp.sum(x * alt, axis=-1, keepdims=True)  # [SB*M, 1]
+        inv_nyq = None
+        if phat:
+            inv_nyq = jax.lax.rsqrt(re_nyq * re_nyq + phat_eps * phat_eps)
+        auto_s = _smooth(auto, re_nyq * re_nyq)
+        f = re.shape[-1]
+        return dict(
+            re=re.reshape(sb, n_mics, f), im=im.reshape(sb, n_mics, f),
+            inv=None if inv is None else inv.reshape(sb, n_mics, f),
+            auto_s=auto_s.reshape(sb, n_mics, f),
+            re_nyq=re_nyq.reshape(sb, n_mics, 1),
+            inv_nyq=(None if inv_nyq is None
+                     else inv_nyq.reshape(sb, n_mics, 1)))
+
+    def stage_cross_stats(front):
+        """Raw per-pair cross-power -> smoothed coherence -> (auto) band
+        weight -> whitened+banded cross-power for synthesis, plus the
+        extras the phase-slope peak stage consumes."""
+        re, im = front["re"], front["im"]
+        inv, auto_s = front["inv"], front["auto_s"]
+        re_nyq, inv_nyq = front["re_nyq"], front["inv_nyq"]
+        f = re.shape[-1]
+        rrs, jjs, nyqs, gaas, gbbs, invijs = [], [], [], [], [], []
+        for (i, j) in pairs:
+            rrs.append(re[:, i, :] * re[:, j, :] + im[:, i, :] * im[:, j, :])
+            jjs.append(re[:, i, :] * im[:, j, :] - im[:, i, :] * re[:, j, :])
+            nyqs.append(re_nyq[:, i, :] * re_nyq[:, j, :])  # [SB, 1] raw
+            gaas.append(auto_s[:, i, :])
+            gbbs.append(auto_s[:, j, :])
+            if inv is not None:
+                invijs.append(inv[:, i, :] * inv[:, j, :])
+        rr_raw = jnp.stack(rrs, axis=1).reshape(sb * n_pairs, f)
+        jj_raw = jnp.stack(jjs, axis=1).reshape(sb * n_pairs, f)
+        nyq_raw = jnp.stack(nyqs, axis=1).reshape(sb * n_pairs, 1)
+        gaa = jnp.stack(gaas, axis=1).reshape(sb * n_pairs, f)
+        gbb = jnp.stack(gbbs, axis=1).reshape(sb * n_pairs, f)
+        # smoothed cross-spectrum -> magnitude-squared coherence
+        # (ops.xcorr.smoothed_cross_stats; Im at Nyquist is exactly 0)
+        rr_s = _smooth(rr_raw, nyq_raw)
+        jj_s = _smooth(jj_raw)
+        g2 = jnp.clip((rr_s * rr_s + jj_s * jj_s)
+                      / (gaa * gbb + phat_eps * phat_eps), 0.0, 1.0)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (sb, f), 1)
+        wband = None
+        if sc.band_auto:
+            # pair-mean coherence -> per-event band weight
+            # (ops.xcorr.auto_band_weight; DC excluded by `interior`,
+            # Nyquist excluded by the fold itself)
+            g2_3 = g2.reshape(sb, n_pairs, f)
+            g2m = g2_3[:, 0, :]
+            for p_i in range(1, n_pairs):
+                g2m = g2m + g2_3[:, p_i, :]
+            g2m = g2m * jnp.float32(1.0 / n_pairs)
+            interior = lane1 > 0
+            g2i = jnp.where(interior, g2m, 0.0)
+            thr = jnp.maximum(
+                sc.auto_rel * jnp.max(g2i, axis=-1, keepdims=True),
+                jnp.float32(sc.auto_floor))
+            # bools -> f32 via where (Mosaic's bool astype recurses)
+            selb = jnp.where(g2i >= thr, 1.0, 0.0)
+            enough = (jnp.sum(selb, -1, keepdims=True)
+                      >= jnp.float32(sc.auto_min_bins))
+            wband = jnp.where(
+                enough, selb,
+                jnp.where(interior, 1.0, 0.0))  # [SB, F]
+
+        # whitened cross-power for the correlogram (PHAT factorizes per
+        # mic for M >= 3; the 2-mic single pair whitens directly)
+        if phat and per_mic:
+            invij = jnp.stack(invijs, axis=1).reshape(sb * n_pairs, f)
+            rr_w, jj_w = rr_raw * invij, jj_raw * invij
+            nyq_w = nyq_raw * jnp.stack(
+                [inv_nyq[:, i, :] * inv_nyq[:, j, :] for (i, j) in pairs],
+                axis=1).reshape(sb * n_pairs, 1)
+        elif phat:
+            inv1 = jax.lax.rsqrt(
+                rr_raw * rr_raw + jj_raw * jj_raw + phat_eps * phat_eps)
+            rr_w, jj_w = rr_raw * inv1, jj_raw * inv1
+            nyq_w = nyq_raw * jax.lax.rsqrt(
+                nyq_raw * nyq_raw + phat_eps * phat_eps)
+        else:
+            rr_w, jj_w, nyq_w = rr_raw, jj_raw, nyq_raw
+        if wband is not None:
+            # the per-event band weights the cross-power before synthesis
+            # (the static band is instead folded into sync/syns rows);
+            # Nyquist is always out-of-band (inv_fft_len == 0 upstream)
+            wrows = _expand_rows(wband)
+            rr_w, jj_w = rr_w * wrows, jj_w * wrows
+        # Nyquist correlogram contribution (zero when the band — static
+        # or auto — excludes it: alt_l carries inv_fft_len == 0 then)
+        nyq_corrs = None
+        if nyq_fold and inv_fft_len != 0.0:
+            nyq_corrs = [
+                nyq_w.reshape(sb, n_pairs, 1)[:, p_i, :] * alt_l
+                for p_i in range(n_pairs)]
+        extras = dict(rr_raw=rr_raw, jj_raw=jj_raw, g2=g2, wband=wband,
+                      lane1=lane1)
+        return rr_w, jj_w, (nyq_corrs or []), extras
+
+    def phase_slope_tdoa(extras, idx, tdoa_par):
+        """Coherence-weighted phase-slope regression refined from the
+        integer argmax (ops.xcorr.tdoa_phase_slope), with the hybrid
+        coherence gate; all on the VMEM-resident raw cross-power."""
+        rr, jj, g2 = extras["rr_raw"], extras["jj_raw"], extras["g2"]
+        f = rr.shape[-1]
+        kf = jax.lax.broadcasted_iota(
+            jnp.int32, (sb * n_pairs, f), 1).astype(jnp.float32)
+        w = (rr * rr + jj * jj) * g2
+        if extras["wband"] is not None:
+            wb = _expand_rows(extras["wband"])
+        elif sc.band_lanes is not None:
+            lo, hi = sc.band_lanes
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (sb * n_pairs, f), 1)
+            wb = jnp.where((lane >= lo) & (lane < hi), 1.0, 0.0)
+        else:
+            wb = None
+        if wb is not None:
+            w = w * wb
+        # normalize per row: |R|^2 ~ 1e28 at ADC scale would overflow f32
+        # in the k^2-weighted sums (the unfused path runs the same sums
+        # un-normalized and sits just under f32 max; the ratio is
+        # scale-invariant, so normalizing only changes rounding)
+        w = w / jnp.maximum(
+            jnp.max(w, axis=-1, keepdims=True), jnp.float32(1e-30))
+        den = jnp.sum(w * kf * kf, axis=-1, keepdims=True)
+        # scalars pre-folded in f32 (a numpy f64 intermediate would
+        # promote the whole chain and break the f32 output refs)
+        omega = jnp.float32(2.0 * np.pi / sc.fft_length)
+        gain_d = jnp.float32(-sc.fft_length / (2.0 * np.pi))
+        d = idx.astype(jnp.float32) - jnp.float32(k_half)  # [rows, 1]
+        for _ in range(2):  # Gauss-Newton on the wrapped-phase model
+            ang = omega * kf * d
+            c, s_ = jnp.cos(ang), jnp.sin(ang)
+            re_rot = rr * c - jj * s_
+            im_rot = rr * s_ + jj * c
+            phi = _atan2(im_rot, re_rot)
+            num = jnp.sum(w * kf * phi, axis=-1, keepdims=True)
+            delta = gain_d * num / jnp.maximum(den, jnp.float32(1e-20))
+            d = d + jnp.clip(delta, -1.0, 1.0)
+        if not sc.hybrid:
+            return d
+        ones = jnp.float32(1.0)
+        wb_eff = wb if wb is not None else jnp.full_like(g2, ones)
+        coh = (jnp.sum(g2 * wb_eff, axis=-1, keepdims=True)
+               / jnp.maximum(jnp.sum(wb_eff, axis=-1, keepdims=True),
+                             jnp.float32(1e-12)))
+        return jnp.where(coh >= sc.hybrid_min, d, tdoa_par)
+
+    def stage_out(s, corr, extras=None):
         """Peaks + taper (VPU) and output writes for one sub-tile."""
         rows = slice(s * sb, (s + 1) * sb)
         if not with_peaks:
@@ -184,6 +448,9 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         delta = jnp.clip(delta, -0.5, 0.5)
         shift = (idx - k).astype(jnp.float32)
         tdoa = shift + delta
+        if sc is not None and sc.phase:
+            # phase-slope / hybrid sub-sample refinement in-kernel
+            tdoa = phase_slope_tdoa(extras, idx, tdoa)
 
         # Gaussian taper around the integer peak (correlations.c:26-33)
         d = (lane - idx).astype(jnp.float32)
@@ -239,12 +506,17 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
         aux_ref[rows] = aux.reshape(sb, n_pairs, l_pad)
 
     # software-pipelined emission: front(s+1) ahead of cross/synth/out(s)
-    front = stage_front(0)
+    f_front = stage_front_stats if sc is not None else stage_front
+    front = f_front(0)
     for s in range(sub_tiles):
-        nxt = stage_front(s + 1) if s + 1 < sub_tiles else None
-        rr, jj, nyq_corrs = stage_cross(front)
+        nxt = f_front(s + 1) if s + 1 < sub_tiles else None
+        if sc is not None:
+            rr, jj, nyq_corrs, extras = stage_cross_stats(front)
+        else:
+            rr, jj, nyq_corrs = stage_cross(front)
+            extras = None
         corr = stage_synth(rr, jj, nyq_corrs)
-        stage_out(s, corr)
+        stage_out(s, corr, extras)
         front = nxt
 
 
@@ -303,6 +575,36 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         win = jnp.ones_like(win)
     win = win * gain
 
+    # in-kernel spectral stats: per-event auto band (band_hz='auto') and/or
+    # phase-slope/hybrid sub-sample TDOA — the r4 verdict's headline item
+    # (the unfused fallback cost 36x and OOM'd at headline batch scale)
+    need_band = cfg.band_auto
+    need_phase = (with_peaks and cfg.subsample_peak
+                  and cfg.subsample_method in ("phase", "hybrid"))
+    stats_cfg = None
+    if need_band or need_phase:
+        if crop is not None or not nyq_fold:
+            raise ValueError(
+                "in-kernel spectral stats need the folded full-band DFT "
+                "(band_crop off, even fft_length); the dispatch in "
+                "models.localizer._fused_tile should have routed this "
+                "config to the unfused path")
+        band_lanes = None
+        if cfg.band_hz is not None and not cfg.band_auto:
+            lo_b, hi_b = mxu_fft.band_bins(
+                cfg.fft_length, cfg.sample_rate_hz, *cfg.band_hz)
+            band_lanes = (lo_b, min(hi_b, cfg.fft_length // 2))
+        if cfg.band_auto:
+            nyq_in_band = False  # the auto band always excludes Nyquist
+        stats_cfg = _StatsCfg(
+            band_auto=cfg.band_auto, auto_rel=cfg.auto_band_rel,
+            auto_floor=cfg.auto_band_floor,
+            auto_min_bins=cfg.auto_band_min_bins,
+            hw=cfg.coherence_bins, f_full=cfg.fft_length // 2 + 1,
+            fft_length=cfg.fft_length, phase=need_phase,
+            hybrid=cfg.subsample_method == "hybrid",
+            hybrid_min=cfg.hybrid_coherence_min, band_lanes=band_lanes)
+
     grid = (b // tile_b,)
     sub_tiles = cfg.fused_sub_tiles
     if tile_b % sub_tiles != 0:
@@ -317,7 +619,8 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     # row).  A compact-WITHOUT-scoring variant was measured and removed:
     # the sublane->lane relayout of the packed row costs more than the
     # full-lane aux tensor's relayout copies outside (3.29 vs 2.95 ms/iter)
-    compact = with_peaks and 4 * p + 2 <= 128 and srp_onehot is not None
+    compact = (with_peaks and 4 * p + 2 <= 128 and srp_onehot is not None
+               and stats_cfg is None)
     kernel = functools.partial(
         _gcc_kernel, pairs=pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         n=n, tile_b=tile_b, n_mics=m, num_lags=num_lags,
@@ -328,7 +631,7 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         inv_fft_len=(1.0 / cfg.fft_length) if nyq_in_band else 0.0,
         sub_tiles=sub_tiles,
         srp_g=int(srp_onehot.shape[-1]) if compact else 0,
-        compact=compact)
+        compact=compact, stats_cfg=stats_cfg)
     if not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
             _k(*refs, None)
@@ -473,6 +776,12 @@ def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,
     weights = 4 * (2 * n * f + 2 * f * l_pad + n)
     acts = 4 * (tile_b * n_mics * n + 4 * tile_b * n_mics * f
                 + 2 * tile_b * p * f + tile_b * p * l_pad)
+    if cfg.band_auto or (cfg.subsample_peak
+                         and cfg.subsample_method in ("phase", "hybrid")):
+        # spectral-stats mode keeps the raw cross-power, its smoothed
+        # form, the coherence, and the phase-regression weights resident
+        # alongside the whitened path (_gcc_kernel stage_cross_stats)
+        acts += 4 * (2 * tile_b * n_mics * f + 6 * tile_b * p * f)
     return weights + acts <= vmem_budget
 
 

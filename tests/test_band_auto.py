@@ -176,16 +176,25 @@ def test_config_validation():
     assert not PipelineConfig(band_hz=(800.0, 6000.0)).band_auto
 
 
-def test_auto_band_fused_kernel_gated_off():
-    """The fused Pallas kernel folds only STATIC masks; 'auto' must route
-    to the unfused path (localizer._fused_tile returns None)."""
+def test_auto_band_fused_kernel_dispatch():
+    """band_hz='auto' and phase/hybrid sub-sampling run IN-KERNEL since r5
+    (gcc_kernel spectral-stats mode): _fused_tile must return a tile for
+    them, and still gate off the configurations the kernel cannot express
+    (band-crop's reindexed bins, smoothed scot/roth/ml weightings)."""
     from audio_triangulation_tpu.models.localizer import _fused_tile
 
     cfg = PipelineConfig(phat=True, band_hz="auto", fused_kernel="on")
-    assert _fused_tile(cfg, 4, 1024) is None
+    assert _fused_tile(cfg, 4, 1024) is not None
     cfg_h = PipelineConfig(phat=True, subsample_method="hybrid",
                            fused_kernel="on")
-    assert _fused_tile(cfg_h, 4, 1024) is None
+    assert _fused_tile(cfg_h, 4, 1024) is not None
+    cfg_crop = PipelineConfig(phat=True, band_hz=(800.0, 6000.0),
+                              band_crop=True, subsample_method="hybrid",
+                              fused_kernel="on")
+    assert _fused_tile(cfg_crop, 4, 1024) is None
+    cfg_ml = PipelineConfig(weighting="ml", band_hz="auto",
+                            fused_kernel="on")
+    assert _fused_tile(cfg_ml, 4, 1024) is None
 
 
 def test_streaming_hybrid_refines_event_tdoa():

@@ -86,15 +86,20 @@ def test_localizer_phase_method_e2e():
                        np.asarray(out["best_shift"])[0], atol=1)
 
 
-def test_phase_method_disables_fused_path():
+def test_phase_method_fused_dispatch():
+    """Since r5 the phase-slope regression runs IN-KERNEL (gcc_kernel
+    spectral-stats mode), so 'phase' no longer disables the fused path —
+    only configurations the kernel cannot express (band-crop) do."""
     from audio_triangulation_tpu.models.localizer import _fused_tile
 
     cfg = PipelineConfig(subsample_method="phase", fused_kernel="on")
-    assert _fused_tile(cfg, 4, 1024) is None
-    # subsample off -> phase method moot, fused path allowed again
+    assert _fused_tile(cfg, 4, 1024) == cfg.fused_tile_b
     cfg2 = PipelineConfig(subsample_method="phase", fused_kernel="on",
                           subsample_peak=False)
     assert _fused_tile(cfg2, 4, 1024) == cfg2.fused_tile_b
+    cfg3 = PipelineConfig(subsample_method="phase", fused_kernel="on",
+                          band_hz=(800.0, 6000.0), band_crop=True)
+    assert _fused_tile(cfg3, 4, 1024) is None
 
 
 def test_validate_rejects_unknown_method():
