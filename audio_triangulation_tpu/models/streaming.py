@@ -496,6 +496,7 @@ def stream_step(
         "events": accepts,  # [K] accepted-event mask
         "events_found": founds,  # [K] raw trigger mask (pre shift-gate)
         "event_trigger_abs": event_abs,  # [K]
+        "event_time_s": trig_times,  # [K] stream seconds (valid iff found)
         "event_shifts": shifts,  # [K, P] per-event integer lags
         "best_shift": best,
         "tdoa_samples": tdoa_samples,

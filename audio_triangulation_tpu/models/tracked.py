@@ -17,8 +17,9 @@ Semantics per chunk:
 - chunks with no accepted event leave the tracker state untouched (the
   tracker bank is event-driven, like the host loop it replaces — coasting
   and drop decisions happen at the next event, not on silence);
-- with ``StreamConfig.n_sources > 1`` the first event slot's resolved
-  sources update the bank jointly through the JPDA ``step_multi``;
+- with ``StreamConfig.n_sources > 1`` every event slot's resolved sources
+  update the bank jointly through the JPDA ``step_multi`` (slots share the
+  chunk's measurement time; invalid slots are masked out);
 - with ``StreamConfig.solve_velocity`` the delay-Doppler velocity fuses as
   a velocity measurement (single-model tracker only, like
   ``Tracker.step(z_vel=...)``).
@@ -75,19 +76,42 @@ def tracked_stream_step(
     s_state, out = stream_step(state.stream, chunk,
                                caf_resample=caf_resample, **stream_kwargs)
 
-    # measurement time: the last ACCEPTED event's stream time this chunk
-    # (stream_step chains it into last_event_s); for no-event chunks the
-    # tracker state is reverted wholesale below, so t is don't-care there.
-    t = s_state.last_event_s
     any_event = out["event"]
+    # measurement time: the last ACCEPTED event's stream time this chunk
+    # (stream_step chains it into last_event_s).  On no-event chunks the
+    # tracker state is reverted wholesale below AND t is pinned to the
+    # PREVIOUS event time, so the speculative update runs at dt = 0 — its
+    # outputs then provably equal the carried state's (no new stale drops,
+    # no prediction), which is what the no-event output passthrough below
+    # relies on (pinned by test_tracked_streaming's silent-chunk test).
+    t = jnp.where(any_event, s_state.last_event_s,
+                  state.stream.last_event_s)
 
     if stream_kwargs.get("n_sources", 1) > 1:
-        # joint JPDA update from the first event slot's resolved sources
-        zs = out["multi_xy"][0]  # [S, 2]
-        valids = out["multi_valid"][0]
-        z_covs = out["multi_xy_cov"][0]
-        t_state, t_out = tracking_mod.step_multi(
-            state.track, zs, t, valids, tracker_cfg, z_covs=z_covs)
+        # joint JPDA updates from EVERY event slot's resolved sources,
+        # sequentially at each slot's own trigger time (r4 advisor
+        # finding: only slot 0 used to reach the tracker).  Statically
+        # unrolled over max_events_per_chunk (default 1, where this is
+        # exactly one step_multi); non-accepted slots run at the pinned
+        # previous time (dt = 0) with all-invalid measurements and are
+        # reverted, so they are identities.
+        n_ev = out["multi_xy"].shape[0]
+        t_state, t_out = state.track, None
+        t_prev = state.stream.last_event_s
+        for k in range(n_ev):
+            ev_k = out["events"][k]
+            t_k = jnp.where(ev_k, out["event_time_s"][k], t_prev)
+            s_new, o_k = tracking_mod.step_multi(
+                t_state, out["multi_xy"][k], t_k, out["multi_valid"][k],
+                tracker_cfg, z_covs=out["multi_xy_cov"][k])
+            t_state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(ev_k, (1,) * new.ndim), new, old),
+                s_new, t_state)
+            t_out = o_k if t_out is None else {
+                kk: jnp.where(jnp.reshape(ev_k, (1,) * v.ndim), o_k[kk], v)
+                for kk, v in t_out.items()}
+            t_prev = t_k
     else:
         if stream_kwargs.get("solve_xyz", False):
             z = out["xyz"]

@@ -76,8 +76,9 @@ def restore(path: str, like: Any, *, partial: bool = False) -> Any:
     if "__paths__" in data:
         saved_paths = json.loads(str(data["__paths__"]))
         by_path = {p: data[f"leaf_{i}"] for i, p in enumerate(saved_paths)}
+        like_set = set(paths_like)
         missing = [p for p in paths_like if p not in by_path]
-        extra = [p for p in saved_paths if p not in set(paths_like)]
+        extra = [p for p in saved_paths if p not in like_set]
         if (missing or extra) and not partial:
             raise ValueError(
                 f"checkpoint structure mismatch for {path}: "

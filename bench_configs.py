@@ -9,6 +9,12 @@ backend.  Prints one JSON line per config plus a summary line.
   5. 64-mic array, 4096-pt frames, 10k-frame batched inference (chunked)
 
 ``bench.py`` remains the single headline metric; this is the coverage run.
+
+Record names carry a methodology suffix when a config's settings changed
+across rounds, so cross-round BENCH_CONFIGS history stays self-describing
+(r4 advisor): ``_lanes_s3`` = lane-order framing + stride-3 init grid,
+``_s2bf16`` = stride-2 init grid + bf16 SRP contraction.  Rows without a
+suffix have kept their original methodology since r1.
 """
 
 import json
@@ -134,7 +140,8 @@ def main():
     dt = _timed_resident(overlap_localize, loc4.params, stream, g=12,
                          iters=5)
     n_frames = (t_len - 1024) // 512 + 1
-    report("3_4mic_streaming_overlap", n_frames / dt, n_frames,
+    report("3_4mic_streaming_overlap_lanes_s3", n_frames / dt,
+           n_frames,
            {"resident_batches": 12, "framing": "lanes",
             "init_grid_stride": 3})
 
@@ -154,7 +161,7 @@ def main():
     fr8 = np.broadcast_to(one8, (b8, 8, 1024)).astype(np.float32)
     dt = _timed_resident(lambda p, x: loc8._jitted(p, x)["xy"],
                          loc8.params, fr8, g=12)
-    report("4_8mic_circular_srp_phat_65x65", b8 / dt, b8,
+    report("4_8mic_circular_srp_phat_65x65_s2bf16", b8 / dt, b8,
            {"srp_form": loc8.srp_form, "resident_batches": 12,
             "init_grid_stride": 2})
 

@@ -113,13 +113,19 @@ def test_threaded_producer_consumer(rng):
     th = threading.Thread(target=producer)
     th.start()
     events = []
-    while th.is_alive() or True:
+    while True:
         ev = rt.poll()
         if ev is not None:
             events.append(ev)
         elif not th.is_alive():
             break
     th.join()
+    # drain: the producer may have enqueued between our last empty poll
+    # and the liveness check (the r4 load-induced flake — a racy test
+    # assertion, not a queue race; join() gives the happens-before edge
+    # that makes the counter reads and the final drain exact)
+    while (ev := rt.poll()) is not None:
+        events.append(ev)
     assert len(events) == rt.events_detected - rt.events_dropped
     assert len(events) >= 3
     # stamps strictly increasing, frames intact

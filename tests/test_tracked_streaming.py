@@ -115,6 +115,64 @@ def test_no_event_chunks_leave_tracker_untouched():
         np.testing.assert_array_equal(a, b)
 
 
+def test_no_event_outputs_equal_carried_state():
+    """On silent chunks the REPORTED tracker outputs must equal what the
+    carried (reverted) state implies — pins the dt=0 invariant the
+    output passthrough relies on (models/tracked.py: t is pinned to the
+    previous event time on no-event chunks, so the speculative update is
+    an identity on active tracks)."""
+    tsl = _mk(tracker_cfg=TrackerConfig(confirm_hits=2))
+    stream = _event_stream([(0.5, 0.4), (0.5, 0.4), (0.5, 0.4)])
+    state, outs = tsl.run(stream)
+    assert any(bool(o["event"]) for o in outs)
+    # drive several silent chunks against the settled state
+    rng = np.random.default_rng(5)
+    cfg = tsl.tracker.cfg
+    for _ in range(3):
+        quiet = rng.integers(127, 130, size=(4, CHUNK)).astype(np.float64)
+        carried = jax.tree.map(np.asarray, state.track)
+        state, out = tsl(state, jnp.asarray(quiet))
+        assert not bool(out["event"])
+        np.testing.assert_array_equal(
+            np.asarray(out["track_xy"]), carried.x[:, :cfg.dim])
+        np.testing.assert_array_equal(
+            np.asarray(out["track_vel"]), carried.x[:, cfg.dim:])
+        np.testing.assert_array_equal(
+            np.asarray(out["track_active"]), carried.active)
+        np.testing.assert_array_equal(
+            np.asarray(out["track_confirmed"]),
+            carried.active & (carried.hits >= cfg.confirm_hits))
+        np.testing.assert_array_equal(
+            np.asarray(out["track_id"]), carried.track_id)
+        assert int(out["assigned"]) == -1
+
+
+def test_jpda_second_event_slot_feeds_tracker():
+    """With max_events_per_chunk > 1 and n_sources > 1, sources resolved
+    in LATER event slots must reach step_multi (r4 advisor finding: they
+    were silently dropped).  Two bursts land in ONE chunk; both must
+    produce tracker hits in that single fused step."""
+    tsl = TrackedStreamingLocalizer.create(
+        MICS, PipelineConfig(phat=True),
+        stream=StreamConfig(chunk_size=8192, max_events_per_chunk=2,
+                            n_sources=2),
+        tracker_cfg=TrackerConfig(max_tracks=4, confirm_hits=1))
+    rng = np.random.default_rng(2)
+    stream = rng.integers(127, 130, size=(4, 8192)).astype(np.float64)
+    for e, (x, y) in enumerate([(0.5, 0.4), (0.5, 0.4)]):
+        src = np.array([x, y, H]) * (H / np.linalg.norm([x, y, H]))
+        fr = synth.synth_scene(src, MICS, noise_rms=0.01, seed=2 + e)[0]
+        at = 1500 + e * 3000  # both events inside the one chunk
+        stream[:, at: at + 1024] += 110.0 * np.asarray(fr)
+    state = tsl.init_state()
+    state, out = tsl(state, jnp.asarray(stream))
+    assert int(np.asarray(out["events"]).sum()) == 2
+    # both accepted events' slot-0 sources carry a valid measurement into
+    # the JPDA update: the (single) spatial track accumulates 2 hits
+    hits = np.asarray(state.track.hits)
+    assert hits.max() == 2, hits
+
+
 def test_step_many_matches_single_stream_calls():
     """Batched fused serving == per-stream fused calls (same pure step)."""
     s1 = _event_stream([(0.5, 0.4)], seed=3)
