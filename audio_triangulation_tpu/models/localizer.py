@@ -547,7 +547,9 @@ def _use_gcc_large(cfg: PipelineConfig, pairs_static, b_total) -> bool:
     return (pairs_static is not None and len(pairs_static) > 256
             and cfg.xcorr_mode == "mxu"
             and cfg.effective_weighting in ("none", "phat")
-            and not cfg.band_auto  # dynamic mask -> XLA-FFT path
+            # band_auto factorizes through the spectra (gcc_large.
+            # _prep_spectra scales them by sqrt(w)), so it stays on this
+            # kernel; the weight itself comes from a pair subsample
             and cfg.dft_precision == "default"  # exact f32 -> XLA path
             and jax.default_backend() == "tpu"
             and b_total is not None)

@@ -33,6 +33,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.config import PipelineConfig
 from .. import mxu_fft
+from .. import xcorr as xcorr_ops
+
+
+def _prep_spectra(frames, pairs, cfg: PipelineConfig):
+    """Forward spectra + per-mic PHAT + (auto) band weighting shared by
+    the large-array entry points.
+
+    ``band_hz='auto'`` factorizes THROUGH the spectra: the 0/1 weight w
+    multiplies the cross-power, and since w >= 0, scaling every mic's
+    spectrum by sqrt(w) yields exactly w-weighted cross-powers — so the
+    chunked kernel itself needs no band operand at all.  The pair-mean
+    coherence that picks the band is estimated from an evenly-strided
+    pair subsample (ops.xcorr.band_pair_subset): the band decision is a
+    pair-average statistic, so 2016-pair arrays need not pay O(P F)
+    smoothing for it."""
+    crop = mxu_fft.crop_bins(cfg)
+    if crop is not None:
+        re, im = mxu_fft.forward_spectra_band(
+            frames, cfg.fft_length, *crop, "float32")
+    else:
+        re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
+    w_sqrt = None
+    if cfg.band_auto:
+        sub = xcorr_ops.band_pair_subset(np.asarray(pairs))
+        w = xcorr_ops.auto_band_weight_reim(re, im, sub, cfg)  # [..., F]
+        w_sqrt = jnp.sqrt(w)[..., None, :]
+    if cfg.phat:
+        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
+    if w_sqrt is not None:
+        re, im = re * w_sqrt, im * w_sqrt
+    return re, im
 
 
 def _round_up(x: int, m: int) -> int:
@@ -251,14 +282,7 @@ def xcorr_large(
     b = frames.shape[0]
     if b % tile_b != 0:
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
-    crop = mxu_fft.crop_bins(cfg)
-    if crop is not None:
-        re, im = mxu_fft.forward_spectra_band(
-            frames, cfg.fft_length, *crop, "float32")
-    else:
-        re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
-    if cfg.phat:
-        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
+    re, im = _prep_spectra(frames, pairs, cfg)
     m = frames.shape[1]
     p = pairs.shape[0]
     sel_i, sel_j = _selection_matrices(np.asarray(pairs), m, chunk)
@@ -295,14 +319,7 @@ def xcorr_large_peaks(
     b = frames.shape[0]
     if b % tile_b != 0:
         raise ValueError(f"batch {b} % tile_b {tile_b} != 0")
-    crop = mxu_fft.crop_bins(cfg)
-    if crop is not None:
-        re, im = mxu_fft.forward_spectra_band(
-            frames, cfg.fft_length, *crop, "float32")
-    else:
-        re, im = mxu_fft.forward_spectra(frames, cfg.fft_length, "float32")
-    if cfg.phat:
-        re, im = mxu_fft.whiten_reim(re, im, cfg.phat_eps, cfg.phat_beta)
+    re, im = _prep_spectra(frames, pairs, cfg)
     m = frames.shape[1]
     p = pairs.shape[0]
     sel_i, sel_j = _selection_matrices(np.asarray(pairs), m, chunk)

@@ -208,7 +208,12 @@ def auto_band_weight(
     """
     _, _, _, g2 = smoothed_cross_stats(
         spectra, pairs, cfg.coherence_bins, eps=cfg.phat_eps)
-    g2m = jnp.mean(g2, axis=-2)  # [..., F]
+    return _auto_band_from_g2(jnp.mean(g2, axis=-2), cfg)
+
+
+def _auto_band_from_g2(g2m: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+    """Shared threshold tail of the auto band: pair-mean coherence
+    [..., F] -> 0/1 weight [..., F] (see :func:`auto_band_weight`)."""
     f = g2m.shape[-1]
     interior = (jnp.arange(f) > 0) & (jnp.arange(f) < f - 1)
     g2i = jnp.where(interior, g2m, 0.0)
@@ -218,6 +223,47 @@ def auto_band_weight(
     sel = g2i >= thr
     enough = jnp.sum(sel, axis=-1, keepdims=True) >= cfg.auto_band_min_bins
     return jnp.where(enough, sel, interior).astype(jnp.float32)
+
+
+def band_pair_subset(pairs: np.ndarray, limit: int = 64) -> np.ndarray:
+    """Evenly-strided subsample of the pair list for large-array auto-band
+    estimation.  The band decision averages coherence over pairs — a
+    statistic, not a per-pair quantity — so 2016-pair arrays need not pay
+    O(P F) smoothing to make it: ``limit`` strided pairs (spanning the
+    whole enumeration order, hence a spread of baselines) estimate the
+    same pair-mean.  Identity for small arrays."""
+    pairs = np.asarray(pairs)
+    p = pairs.shape[0]
+    if p <= limit:
+        return pairs
+    idx = np.linspace(0, p - 1, limit).round().astype(np.int64)
+    return pairs[np.unique(idx)]
+
+
+def auto_band_weight_reim(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    pairs: np.ndarray,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """:func:`auto_band_weight` on split re/im RAW spectra [..., M, F]
+    (the large-array MXU path carries spectra split, ops.mxu_fft) —
+    same smoothing, coherence and threshold math.  Returns [..., F]."""
+    pairs = jnp.asarray(pairs)
+    auto = re * re + im * im
+    auto_s = freq_smooth(auto, cfg.coherence_bins)
+    gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)
+    gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
+    ri = jnp.take(re, pairs[:, 0], axis=-2)
+    ii = jnp.take(im, pairs[:, 0], axis=-2)
+    rj = jnp.take(re, pairs[:, 1], axis=-2)
+    ij = jnp.take(im, pairs[:, 1], axis=-2)
+    rr_s = freq_smooth(ri * rj + ii * ij, cfg.coherence_bins)
+    jj_s = freq_smooth(ri * ij - ii * rj, cfg.coherence_bins)
+    eps = cfg.phat_eps
+    g2 = jnp.clip((rr_s * rr_s + jj_s * jj_s)
+                  / (gaa * gbb + eps * eps), 0.0, 1.0)
+    return _auto_band_from_g2(jnp.mean(g2, axis=-2), cfg)
 
 
 def gcc_weight(

@@ -111,3 +111,55 @@ def test_large_kernel_bf16_matmul_close(rng):
     assert np.array_equal(
         np.asarray(xcorr_ops.best_lag(jnp.asarray(got), k)),
         np.asarray(xcorr_ops.best_lag(jnp.asarray(ref), k)))
+
+
+def test_large_kernel_band_auto_matches_reference(rng):
+    """band_hz='auto' on the large-array path: the kernel sees spectra
+    pre-scaled by sqrt(w) (gcc_large._prep_spectra), which must equal
+    weighting the cross-power by w directly; w comes from the strided
+    pair subsample (ops.xcorr.band_pair_subset)."""
+    from audio_triangulation_tpu.ops import xcorr as xcorr_ops
+
+    cfg = PipelineConfig(fft_pad_mode="circular", phat=True,
+                         frame_size_bits=8, max_shift_samples=20,
+                         band_hz="auto")
+    m = 12
+    # band-limited frames so the auto band actually selects a sub-band
+    n = 256
+    t = np.arange(n)
+    base = np.sin(2 * np.pi * 0.08 * t) * np.exp(
+        -0.5 * ((t - n / 2) / (n / 6)) ** 2)
+    frames = np.asarray(
+        base[None, None, :] + 0.05 * rng.normal(size=(4, m, n)),
+        np.float32)
+    frames = jnp.asarray(frames)
+    pairs = geometry.mic_pairs(m)  # 66 pairs
+
+    got = np.asarray(gcc_large.xcorr_large(
+        frames, pairs, cfg, tile_b=2, chunk=24, interpret=True))
+
+    # reference: raw spectra -> subset band weight -> PHAT cross-power * w
+    spectra = xcorr_ops.rfft_frames(frames, cfg.fft_length)
+    sub = xcorr_ops.band_pair_subset(pairs)
+    w = xcorr_ops.auto_band_weight(spectra, jnp.asarray(sub), cfg)
+    r = xcorr_ops.cross_power(spectra, jnp.asarray(pairs), phat=True,
+                              phat_eps=cfg.phat_eps)
+    ref = np.asarray(xcorr_ops.correlogram_from_cross_power(
+        r * w[..., None, :], cfg.fft_length, cfg.max_shift))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+    # the weight did select a band (not the full-interior fallback)
+    wn = np.asarray(w)
+    assert (wn.sum(-1) < wn.shape[-1] - 2).all()
+
+
+def test_band_pair_subset_identity_and_stride():
+    from audio_triangulation_tpu.ops import xcorr as xcorr_ops
+
+    pairs = geometry.mic_pairs(8)  # 28 <= 64 -> identity
+    np.testing.assert_array_equal(
+        xcorr_ops.band_pair_subset(pairs), pairs)
+    big = geometry.mic_pairs(64)  # 2016 -> strided subset
+    sub = xcorr_ops.band_pair_subset(big)
+    assert sub.shape[0] <= 64
+    assert (sub[0] == big[0]).all() and (sub[-1] == big[-1]).all()
