@@ -469,10 +469,14 @@ def condition_frames(frames: jnp.ndarray, window: jnp.ndarray,
 def correlate_frames(frames: jnp.ndarray, params: LocalizerParams,
                      cfg: PipelineConfig) -> jnp.ndarray:
     """Conditioned frames [..., M, N] -> correlograms [..., P, L]."""
-    if cfg.effective_weighting in ("scot", "roth", "ml") or cfg.band_auto:
-        # smoothed-spectral-estimate weightings and the per-event 'auto'
-        # band mask live on the XLA-FFT path (robustness/accuracy tools;
-        # PHAT/none with static bands stay on the MXU/fused hot paths)
+    if cfg.effective_weighting in ("scot", "roth", "ml"):
+        # smoothed-spectral-estimate weightings live on the XLA-FFT path
+        # (robustness/accuracy tools; PHAT/none stay on the MXU paths)
+        return xcorr.xcorr_fft(frames, params.pairs, cfg)
+    if cfg.band_auto and cfg.xcorr_mode != "mxu":
+        # the MXU engines fold the per-event auto band into the spectra
+        # (mxu_fft.autoband_scale_reim, r5); only the explicit 'fft'
+        # engine still routes to the XLA-FFT reference path
         return xcorr.xcorr_fft(frames, params.pairs, cfg)
     if cfg.xcorr_mode == "mxu":
         n_pairs = params.pairs.shape[0]

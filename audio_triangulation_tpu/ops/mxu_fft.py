@@ -202,6 +202,33 @@ def whiten_reim(re: jnp.ndarray, im: jnp.ndarray, eps: float = 1e-12,
     return re * inv, im * inv
 
 
+def autoband_scale_reim(re: jnp.ndarray, im: jnp.ndarray,
+                        pairs, cfg: PipelineConfig):
+    """Fold the per-event auto band (``band_hz='auto'``) into RAW spectra
+    [..., M, F]: scale by sqrt(w).  Because the weight is binary 0/1, the
+    scaling commutes with PHAT whitening (whiten(0) = 0, whiten(X) else),
+    so the downstream cross-power equals the w-weighted whitened
+    cross-power — the engine needs no separate band operand.  The weight
+    is estimated in f32 from an evenly-strided pair subsample
+    (ops.xcorr.band_pair_subset; identity for small arrays)."""
+    from . import xcorr
+
+    # subset by STATIC indices (derived from the pair count alone): pairs
+    # may be a traced array under jit, so band_pair_subset's concrete
+    # slicing cannot run here
+    pairs = jnp.asarray(pairs)
+    p = pairs.shape[0]
+    if p > 64:
+        idx = np.unique(np.linspace(0, p - 1, 64).round().astype(np.int64))
+        sub = jnp.take(pairs, jnp.asarray(idx), axis=0)
+    else:
+        sub = pairs
+    w = xcorr.auto_band_weight_reim(
+        re.astype(jnp.float32), im.astype(jnp.float32), sub, cfg)
+    ws = jnp.sqrt(w)[..., None, :]
+    return (re * ws.astype(re.dtype)), (im * ws.astype(im.dtype))
+
+
 def cross_power_reim(
     re: jnp.ndarray, im: jnp.ndarray, pairs: jnp.ndarray,
     *, phat: bool = False, phat_eps: float = 1e-12, phat_beta: float = 1.0,
@@ -270,6 +297,8 @@ def xcorr_mxu_pairblocked(
         re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype, prec)
     syn_c = jnp.asarray(syn_c)
     syn_s = jnp.asarray(syn_s)
+    if cfg.band_auto:
+        re, im = autoband_scale_reim(re, im, pairs, cfg)
     if cfg.phat:
         # whiten per mic ONCE outside the chunk loop (lax.map would redo
         # the rsqrt pass for every pair chunk); this path only runs for
@@ -315,6 +344,8 @@ def xcorr_mxu(
     else:
         syn_c, syn_s = masked_synthesis(cfg, matmul_dtype)
         re, im = forward_spectra(frames, cfg.fft_length, matmul_dtype, prec)
+    if cfg.band_auto:
+        re, im = autoband_scale_reim(re, im, pairs, cfg)
     rr, jj = cross_power_reim(
         re, im, pairs, phat=cfg.phat, phat_eps=cfg.phat_eps,
         phat_beta=cfg.phat_beta)

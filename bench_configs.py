@@ -207,6 +207,24 @@ def main():
            {"pairs": 2016, "time_for_10k_frames_s": round(10_000 / fps, 2),
             "band_hz": [800.0, 6000.0], "resident_batches": 4})
 
+    # ---- config 5c: 64-mic with the HANDS-FREE auto band ----
+    # (band_hz='auto': per-event coherence-selected band from a 64-pair
+    # subsample, folded into the spectra — gcc_large._prep_spectra; no
+    # constant hand-matched to the source, unlike 5b's (800, 6000))
+    cfg64c = PipelineConfig(
+        frame_size_bits=12,
+        max_shift_samples=geometry.max_lag_for_array(
+            mics64, PipelineConfig()),
+        phat=True, fft_pad_mode="circular", srp_dtype="bfloat16",
+        band_hz="auto")
+    loc64c = Localizer.create(mics64, cfg64c, grid5, init_grid_stride=2)
+    dt = _timed_resident(lambda p, x: loc64c._jitted(p, x)["xy"],
+                         loc64c.params, fr64_np, g=4, iters=5)
+    fps = chunk / dt
+    report("5c_64mic_4096pt_band_auto", fps, chunk,
+           {"pairs": 2016, "time_for_10k_frames_s": round(10_000 / fps, 2),
+            "band_hz": "auto", "resident_batches": 4})
+
     with open("BENCH_CONFIGS.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"summary": "ok", "configs": len(results)}))

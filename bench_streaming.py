@@ -109,6 +109,35 @@ def main():
         print(json.dumps(rec))
     best = max(best, best_band)
 
+    # --- hands-free auto band: the same PHAT pipeline with the per-event
+    # coherence-selected band (band_hz='auto', no hand-matched constant;
+    # rides the MXU engine via spectra scaling, mxu_fft.autoband_scale_reim)
+    sl_auto = StreamingLocalizer.create(
+        geometry.reference_array(),
+        PipelineConfig(phat=True, band_hz="auto"),
+        stream=StreamConfig(chunk_size=chunk))
+    worst_case_auto = None
+    for s_count in (1024, 2048, 4096):
+        states = sl_auto.init_states(s_count)
+        chunks = jax.device_put(jnp.asarray(
+            rng.integers(127, 130, (s_count, 3, chunk)), jnp.float32))
+        states, out = sl_auto.step_many(states, chunks)
+        jax.block_until_ready(out["xy_grid"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            states, out = sl_auto.step_many(states, chunks)
+        jax.block_until_ready(out["xy_grid"])
+        lat = (time.perf_counter() - t0) / 20
+        capacity = int(chunk_s / lat * s_count)
+        worst_case_auto = (capacity if worst_case_auto is None
+                           else min(worst_case_auto, capacity))
+        rec = {"streams": s_count, "mode": "band_auto_phat",
+               "step_ms": round(lat * 1e3, 2),
+               "realtime_capacity_streams": capacity,
+               "realtime_ok": lat < chunk_s}
+        results.append(rec)
+        print(json.dumps(rec))
+
     # --- tracked serving: the ONE-dispatch fused localize+track step ---
     # (models/tracked.py: Kalman bank update rides the same device program
     # as the burst — no host round-trip, so tracked capacity is measured
@@ -191,6 +220,7 @@ def main():
                "dense_path_best": best,
                "dense_fullband_worst_case": worst_case,
                "dense_band_crop_worst_case": worst_case_band,
+               "dense_band_auto_worst_case": worst_case_auto,
                "tracked_fused_worst_case": worst_case_tracked,
                "two_rate_path": best_tworate,
                "vs_baseline": worst_case_band}  # reference: 1 stream

@@ -115,3 +115,28 @@ def test_fused_stats_small_batch_falls_back():
     np.testing.assert_allclose(
         np.asarray(a["tdoa_samples"]), np.asarray(b["tdoa_samples"]),
         atol=1e-5)
+
+
+def test_mxu_engine_band_auto_matches_fft_reference():
+    """The unfused MXU engine (the streaming burst's correlator) folds
+    the auto band into the spectra (mxu_fft.autoband_scale_reim): its
+    correlograms must equal the XLA-FFT reference path's."""
+    from audio_triangulation_tpu.core.config import PipelineConfig as PC
+    from audio_triangulation_tpu.models.localizer import condition_frames
+    from audio_triangulation_tpu.ops import (
+        mxu_fft, window as window_ops, xcorr)
+
+    frames = _frames(8)
+    pairs = jnp.asarray(geometry.mic_pairs(4))
+    for kw in (dict(phat=True), dict()):
+        cfg = PC(fft_pad_mode="circular", band_hz="auto", **kw)
+        win = jnp.asarray(window_ops.window_for(cfg))
+        x = condition_frames(frames, win, cfg)
+        got = np.asarray(mxu_fft.xcorr_mxu(x, pairs, cfg))
+        ref = np.asarray(xcorr.xcorr_fft(x, pairs, cfg))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+        blocked = np.asarray(mxu_fft.xcorr_mxu_pairblocked(
+            x, pairs, cfg, pair_chunk=4))
+        np.testing.assert_allclose(
+            blocked / scale, ref / scale, atol=2e-5)
