@@ -94,7 +94,7 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
                 *, pairs, phat, phat_eps, n, tile_b, n_mics, num_lags,
                 taper_denom, with_peaks, nyq_fold, inv_fft_len, srp_g=0,
                 compact=False, sub_tiles=1, mxu_precision=None,
-                stats_cfg=None):
+                stats_cfg=None, smooth_ref=None):
     """One grid step: frames_ref [TB, M, N] -> out_ref [TB, P, L_pad]
     (tapered correlograms) and, when with_peaks, aux_ref [TB, P, L_pad]
     carrying lane 0 = integer best shift, lane 1 = sub-sample TDOA, lane 2 =
@@ -214,26 +214,25 @@ def _gcc_kernel(frames_ref, window_ref, cos_ref, msin_ref, sync_ref,
     sc = stats_cfg
 
     def _smooth(x, nyq_col=None):
-        """Moving average over +-hw lanes with edge support counted over
+        """Moving average over +-hw bins with edge support counted over
         the FULL rfft bin set (= ops.xcorr.freq_smooth): x [R, F_k] holds
         bins 0..F_full-2 (Nyquist folded out); ``nyq_col`` [R, 1] is the
-        Nyquist bin's value, folded back into the windows that cover it."""
-        f_lanes = x.shape[-1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        total = x
-        for o in range(1, sc.hw + 1):
-            # left-shift by o == circular roll right by F - o (pltpu.roll
-            # takes non-negative shifts only); wrapped lanes masked off
-            lf = pltpu.roll(x, shift=f_lanes - o, axis=1)
-            total = total + jnp.where(lane < f_lanes - o, lf, 0.0)
-            rt = pltpu.roll(x, shift=o, axis=1)
-            total = total + jnp.where(lane >= o, rt, 0.0)
+        Nyquist bin's value, folded back into the windows that cover it.
+
+        Computed as ONE MXU matmul against the banded smoothing matrix
+        (smooth_ref rows [0:F_k]; the final row is the Nyquist-correction
+        row, with 1/count folded into every entry).  The roll-based VPU
+        form this replaced cost ~64 serialized lane-shift ops per tensor
+        — 3.5x the whole base kernel (measured r5: auto_parabolic 0.84M
+        vs fullband 2.97M frames/s at 8192x4).  HIGHEST precision: the
+        smoothed estimates feed a threshold, and bf16-class passes would
+        wiggle coherence by ~1% near it."""
+        total = jnp.dot(x, smooth_ref[: x.shape[-1]],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         if nyq_col is not None:
-            total = total + jnp.where(
-                lane >= sc.f_full - 1 - sc.hw, nyq_col, 0.0)
-        cnt = (jnp.minimum(lane + sc.hw, sc.f_full - 1)
-               - jnp.maximum(lane - sc.hw, 0) + 1).astype(jnp.float32)
-        return total / cnt
+            total = total + nyq_col * smooth_ref[x.shape[-1]:]
+        return total
 
     def _expand_rows(w2):
         """[SB, F] -> [SB*P, F] with each frame's row repeated per pair,
@@ -632,7 +631,32 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
         sub_tiles=sub_tiles,
         srp_g=int(srp_onehot.shape[-1]) if compact else 0,
         compact=compact, stats_cfg=stats_cfg)
-    if not with_peaks:
+    smooth_mat = None
+    if stats_cfg is not None:
+        # banded smoothing matrix [F_k + 1, F_k]: row k weights bin k's
+        # contribution 1/count[f] into every window |k - f| <= hw; the
+        # last row is the Nyquist bin's correction (ops.xcorr.freq_smooth
+        # semantics with edge counts over the FULL rfft bin set)
+        f_k = cfg.fft_length // 2
+        hw = stats_cfg.hw
+        f_full = stats_cfg.f_full
+        ks = np.arange(f_k + 1)[:, None]  # source bin (F_k = Nyquist)
+        fs_ = np.arange(f_k)[None, :]     # target bin
+        src = np.where(ks == f_k, f_full - 1, ks)
+        counts = (np.minimum(fs_ + hw, f_full - 1)
+                  - np.maximum(fs_ - hw, 0) + 1).astype(np.float64)
+        smooth_mat = np.where(
+            np.abs(src - fs_) <= hw, 1.0 / counts, 0.0).astype(np.float32)
+
+    if stats_cfg is not None and with_peaks:
+        def kernel(f, w, c, ms, sc, ss, sm, corr, aux,  # noqa: F811
+                   _k=kernel):
+            _k(f, w, c, ms, sc, ss, corr, aux, smooth_ref=sm)
+    elif stats_cfg is not None:
+        def kernel(f, w, c, ms, sc, ss, sm, corr,  # noqa: F811
+                   _k=kernel):
+            _k(f, w, c, ms, sc, ss, corr, None, smooth_ref=sm)
+    elif not with_peaks:
         def kernel(*refs, _k=kernel):  # noqa: F811 - drop the aux ref slot
             _k(*refs, None)
     elif compact:
@@ -656,6 +680,9 @@ def _fused_gcc_call(frames, window, cfg: PipelineConfig, pairs_tuple,
     ]
     inputs = [frames, win, jnp.asarray(cos), jnp.asarray(msin),
               jnp.asarray(sync), jnp.asarray(syns)]
+    if smooth_mat is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # smoothing
+        inputs.append(jnp.asarray(smooth_mat))
     if compact:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # onehot
         inputs.append(srp_onehot.astype(jnp.bfloat16))
@@ -780,8 +807,10 @@ def fused_gcc_fits_vmem(n_mics: int, n: int, cfg: PipelineConfig,
                          and cfg.subsample_method in ("phase", "hybrid")):
         # spectral-stats mode keeps the raw cross-power, its smoothed
         # form, the coherence, and the phase-regression weights resident
-        # alongside the whitened path (_gcc_kernel stage_cross_stats)
+        # alongside the whitened path (_gcc_kernel stage_cross_stats),
+        # plus the resident [F+1, F] banded smoothing matrix
         acts += 4 * (2 * tile_b * n_mics * f + 6 * tile_b * p * f)
+        weights += 4 * (f + 1) * f
     return weights + acts <= vmem_budget
 
 

@@ -175,11 +175,12 @@ def main():
         if os.environ.get("ATRT_TRACEMALLOC"):
             import tracemalloc
 
-            if step == 200:
+            base_step = int(os.environ.get("ATRT_TM_BASE", 400))
+            if step == base_step - 200:
                 tracemalloc.start(25)
-            elif step == 400:
+            elif step == base_step:
                 globals()["_tm_base"] = tracemalloc.take_snapshot()
-            elif step == 2400:
+            elif step == base_step + 2000:
                 snap = tracemalloc.take_snapshot()
                 for st in snap.compare_to(
                         globals()["_tm_base"], "traceback")[:10]:
