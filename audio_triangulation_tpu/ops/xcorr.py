@@ -17,6 +17,8 @@ free of data-dependent Python control flow, so they jit/vmap/shard cleanly.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -240,6 +242,34 @@ def band_pair_subset(pairs: np.ndarray, limit: int = 64) -> np.ndarray:
     return pairs[np.unique(idx)]
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _smooth_matrix(f: int, half_width: int) -> np.ndarray:
+    """Banded [F, F] moving-average matrix equal to :func:`freq_smooth`
+    (edge bins normalized by actual support): x @ S == freq_smooth(x).
+    As a matmul the smoothing rides the MXU instead of 2*hw+1 HBM-bound
+    shifted adds — at 64-mic scale (F = 2049, 192 smoothed rows/frame)
+    the adds were 5x the entire correlation kernel (r5 5c measurement)."""
+    ks = np.arange(f)[:, None]
+    fs_ = np.arange(f)[None, :]
+    counts = (np.minimum(fs_ + half_width, f - 1)
+              - np.maximum(fs_ - half_width, 0) + 1).astype(np.float64)
+    return np.where(np.abs(ks - fs_) <= half_width,
+                    1.0 / counts, 0.0).astype(np.float32)
+
+
+def freq_smooth_matmul(x: jnp.ndarray, half_width: int) -> jnp.ndarray:
+    """:func:`freq_smooth` as one MXU matmul (HIGHEST precision: the
+    smoothed estimates feed the auto-band threshold, where bf16-class
+    passes would wiggle coherence near the decision boundary)."""
+    if half_width <= 0:
+        return x
+    s = jnp.asarray(_smooth_matrix(x.shape[-1], half_width))
+    return jnp.matmul(x, s, precision=jax.lax.Precision.HIGHEST)
+
+
 def auto_band_weight_reim(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -248,22 +278,50 @@ def auto_band_weight_reim(
 ) -> jnp.ndarray:
     """:func:`auto_band_weight` on split re/im RAW spectra [..., M, F]
     (the large-array MXU path carries spectra split, ops.mxu_fft) —
-    same smoothing, coherence and threshold math.  Returns [..., F]."""
+    same coherence and threshold math, with the smoothing as MXU matmuls
+    (:func:`freq_smooth_matmul`).  Returns [..., F].
+
+    For long frames (F > 1024) the coherence is estimated on a 4x
+    frequency-decimated grid and the 0/1 weight nearest-upsampled: the
+    statistic is already smoothed over 2*coherence_bins+1 bins, so its
+    information bandwidth is far below bin resolution, and full-rate
+    estimation at 64-mic/4096-pt scale cost ~2x the entire correlation
+    kernel (r5 config-5c measurement).  Short frames are estimated
+    exactly (bit-matching :func:`auto_band_weight` up to summation
+    order)."""
     pairs = jnp.asarray(pairs)
-    auto = re * re + im * im
-    auto_s = freq_smooth(auto, cfg.coherence_bins)
+    f = re.shape[-1]
+    d = 4 if f > 1024 else 1
+    if d > 1:
+        # decimated estimate: same Hz smoothing span (hw/d coarse bins)
+        re_d, im_d = re[..., ::d], im[..., ::d]
+        hw = max(1, cfg.coherence_bins // d)
+    else:
+        re_d, im_d = re, im
+        hw = cfg.coherence_bins
+    auto = re_d * re_d + im_d * im_d
+    auto_s = freq_smooth_matmul(auto, hw)
     gaa = jnp.take(auto_s, pairs[:, 0], axis=-2)
     gbb = jnp.take(auto_s, pairs[:, 1], axis=-2)
-    ri = jnp.take(re, pairs[:, 0], axis=-2)
-    ii = jnp.take(im, pairs[:, 0], axis=-2)
-    rj = jnp.take(re, pairs[:, 1], axis=-2)
-    ij = jnp.take(im, pairs[:, 1], axis=-2)
-    rr_s = freq_smooth(ri * rj + ii * ij, cfg.coherence_bins)
-    jj_s = freq_smooth(ri * ij - ii * rj, cfg.coherence_bins)
+    ri = jnp.take(re_d, pairs[:, 0], axis=-2)
+    ii = jnp.take(im_d, pairs[:, 0], axis=-2)
+    rj = jnp.take(re_d, pairs[:, 1], axis=-2)
+    ij = jnp.take(im_d, pairs[:, 1], axis=-2)
+    rr_s = freq_smooth_matmul(ri * rj + ii * ij, hw)
+    jj_s = freq_smooth_matmul(ri * ij - ii * rj, hw)
     eps = cfg.phat_eps
     g2 = jnp.clip((rr_s * rr_s + jj_s * jj_s)
                   / (gaa * gbb + eps * eps), 0.0, 1.0)
-    return _auto_band_from_g2(jnp.mean(g2, axis=-2), cfg)
+    if d == 1:
+        return _auto_band_from_g2(jnp.mean(g2, axis=-2), cfg)
+    # coarse threshold decision, nearest-upsampled; min-bins counted in
+    # coarse bins; DC and Nyquist re-excluded on the fine grid
+    cfg_d = dataclasses.replace(
+        cfg, auto_band_min_bins=max(1, cfg.auto_band_min_bins // d))
+    w_d = _auto_band_from_g2(jnp.mean(g2, axis=-2), cfg_d)
+    w = jnp.repeat(w_d, d, axis=-1)[..., :f]
+    fine = jnp.arange(f)
+    return jnp.where((fine > 0) & (fine < f - 1), w, 0.0)
 
 
 def gcc_weight(

@@ -323,12 +323,41 @@ def build_streaming(n_streams):
     return run, (chunks,), n_streams
 
 
+def build_tracked(n_streams):
+    """Fused tracked streaming (models/tracked.py) at n_streams — the
+    BENCH_STREAMING tracked_fused workload, for the r4->r5 question of
+    where the low-concurrency overhead vs the untracked step lives."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_triangulation_tpu.core import geometry
+    from audio_triangulation_tpu.core.config import StreamConfig
+    from audio_triangulation_tpu.models.tracked import (
+        TrackedStreamingLocalizer)
+
+    tsl = TrackedStreamingLocalizer.create(
+        geometry.reference_array(), stream=StreamConfig(chunk_size=512))
+    states = tsl.init_states(n_streams)
+    rng = np.random.default_rng(0)
+    chunks = jax.device_put(jnp.asarray(
+        rng.integers(127, 130, (n_streams, 3, 512)), jnp.float32))
+
+    holder = {"states": states}
+
+    def run(chunks):
+        s, out = tsl.step_many(holder["states"], chunks)
+        holder["states"] = s
+        return out["track_xy"]
+
+    return run, (chunks,), n_streams
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["headline", "fullband", "config3",
                                      "config3_lanes", "config4",
                                      "config4_tuned", "config5b",
-                                     "streaming"])
+                                     "streaming", "tracked"])
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--resident", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
@@ -390,6 +419,9 @@ def main():
     elif args.mode == "streaming":
         for n in args.streams:
             one(f"streaming_{n}", build_streaming(n))
+    elif args.mode == "tracked":
+        for n in args.streams:
+            one(f"tracked_{n}", build_tracked(n))
 
     if args.json:
         with open(args.json, "w") as f:
