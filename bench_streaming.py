@@ -169,6 +169,38 @@ def main():
         results.append(rec)
         print(json.dumps(rec))
 
+    # --- tracked, K-step fused dispatch (models/tracked.step_many_scan):
+    # the r5 trace showed the 1,024-stream tracked step is DISPATCH-
+    # limited (1.33 ms device inside a ~3.6 ms step; the tracker bank is
+    # +0.105 ms device over untracked) — scanning K chunks per dispatch
+    # amortizes the tunnel/host latency at the cost of K-chunk reporting
+    # latency (K=4 @ 512-sample chunks = 41 ms)
+    k_scan = 4
+    worst_case_tracked_scan = None
+    for s_count in (1024, 2048):
+        states = tsl.init_states(s_count)
+        chunks = jax.device_put(jnp.asarray(
+            rng.integers(127, 130, (s_count, k_scan, 3, chunk)),
+            jnp.float32))
+        states, out = tsl.step_many_scan(states, chunks)
+        jax.block_until_ready(out["track_xy"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            states, out = tsl.step_many_scan(states, chunks)
+        jax.block_until_ready(out["track_xy"])
+        lat = (time.perf_counter() - t0) / 20 / k_scan  # per chunk-step
+        capacity = int(chunk_s / lat * s_count)
+        worst_case_tracked_scan = (
+            capacity if worst_case_tracked_scan is None
+            else min(worst_case_tracked_scan, capacity))
+        rec = {"streams": s_count, "mode": "tracked_fused_scan4",
+               "step_ms": round(lat * 1e3, 2),
+               "realtime_capacity_streams": capacity,
+               "realtime_ok": lat < chunk_s,
+               "reporting_latency_ms": round(k_scan * chunk_s * 1e3, 1)}
+        results.append(rec)
+        print(json.dumps(rec))
+
     # --- two-rate serving: detect every chunk, localize at event rate ---
     # Acoustic events are sparse, so the detect-only step bounds capacity;
     # the event-rate localization batch amortizes over all streams.  The
@@ -222,6 +254,7 @@ def main():
                "dense_band_crop_worst_case": worst_case_band,
                "dense_band_auto_worst_case": worst_case_auto,
                "tracked_fused_worst_case": worst_case_tracked,
+               "tracked_fused_scan4_worst_case": worst_case_tracked_scan,
                "two_rate_path": best_tworate,
                "vs_baseline": worst_case_band}  # reference: 1 stream
     results.append(summary)

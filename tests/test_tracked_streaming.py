@@ -306,3 +306,32 @@ def test_solve_xyz_fused_three_dim_tracks():
     k = int(np.argmax(active))
     xyz = np.asarray(state.track.x)[k, :3]
     assert np.linalg.norm(xyz - src) < 0.3, xyz
+
+
+def test_step_many_scan_matches_sequential_steps():
+    """K chunk-steps fused into one dispatch (step_many_scan) must equal
+    K sequential step_many calls — states and stacked outputs."""
+    s1 = _event_stream([(0.5, 0.4)], seed=6)
+    s2 = _event_stream([(-0.6, 0.2)], seed=7, t_len=s1.shape[1])
+    tsl = _mk()
+    k = 4
+    chunks = np.stack([
+        np.stack([s[:, i * CHUNK:(i + 1) * CHUNK] for i in range(k)])
+        for s in (s1, s2)])  # [S, K, M, C]
+
+    st_seq = tsl.init_states(2)
+    outs_seq = []
+    for i in range(k):
+        st_seq, o = tsl.step_many(st_seq, jnp.asarray(chunks[:, i]))
+        outs_seq.append(jax.tree.map(np.asarray, o))
+
+    st_scan, outs = tsl.step_many_scan(
+        tsl.init_states(2), jnp.asarray(chunks))
+    for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    for i in range(k):
+        for key in ("xy", "event", "track_xy", "assigned"):
+            np.testing.assert_allclose(
+                np.asarray(outs[key])[i], outs_seq[i][key], atol=1e-5,
+                err_msg=f"step {i} {key}")
