@@ -27,6 +27,10 @@ _cache_dir = os.environ.get(
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # export for SUBPROCESS tests (examples, CLI, serving): without the
+    # env var their fresh interpreters recompile everything on every
+    # suite run — the examples driver alone cost ~90 s per run warm
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
 
 # Measured and NOT adopted: jax_optimization_level='O1' and
 # jax_exec_time_optimization_effort=-1.0 were both timing-neutral on the
@@ -133,6 +137,39 @@ def pytest_collection_modifyitems(config, items):
         name = item.name.split("[")[0]
         if name in _SLOW.get(fname, ()):
             item.add_marker(pytest.mark.slow)
+
+
+# ----------------------------------------------------------------------
+# mmap-exhaustion guard: every compiled XLA:CPU executable (and its zstd
+# cache buffers) adds memory mappings; a full-suite process accumulates
+# ~60k mappings, crossing vm.max_map_count (65,530 default) near the end
+# of the run — at which point the NEXT mmap fails inside native code and
+# the process segfaults in compile/serialize (diagnosed r5: three
+#"random" suite crashes around test_uncertainty, maps sampler showed
+# ~2k new mappings per 30 s).  When the count nears the ceiling, drop
+# the in-process executable caches; the persistent disk cache makes the
+# recompiles cheap deserializations.
+# ----------------------------------------------------------------------
+
+_MAPS_GUARD = {"every": 20, "count": 0, "limit": 45_000, "cleared": 0}
+
+
+def pytest_runtest_setup(item):
+    g = _MAPS_GUARD
+    g["count"] += 1
+    if g["count"] % g["every"]:
+        return
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:
+        return
+    if n_maps > g["limit"]:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+        g["cleared"] += 1
 
 
 @pytest.fixture()
