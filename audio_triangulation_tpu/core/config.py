@@ -140,8 +140,10 @@ class PipelineConfig:
     # squared coherence clears a relative threshold (ops/xcorr.
     # auto_band_weight) weight the cross-power before lag synthesis — the
     # hands-free form of the static band (no constant to hand-match to the
-    # source).  'auto' runs on the XLA-FFT correlation path (the dynamic
-    # per-event mask cannot be folded into precomputed synthesis matrices).
+    # source).  Since r5 'auto' runs IN-KERNEL on the fused Pallas path
+    # (gcc_kernel spectral-stats mode) and folds into the spectra
+    # (sqrt(w) scaling) on the unfused MXU / large-array paths; only the
+    # explicit 'fft' engine routes it to the XLA-FFT reference path.
     band_hz: Optional[tuple] = None
     # 'auto' band selection knobs: a bin is in-band when its pair-mean
     # smoothed coherence >= max(rel * peak coherence, floor); if fewer than
@@ -177,8 +179,10 @@ class PipelineConfig:
     #              folded into the fused kernel)
     # 'phase'    : coherence-weighted cross-spectrum phase-slope regression
     #              (ops/xcorr.tdoa_phase_slope) — lower bias for band-limited
-    #              signals; runs an extra FFT pass and disables the fused
-    #              kernel (precision tool, like the smoothed weightings)
+    #              signals.  Since r5 it runs IN-KERNEL on the fused Pallas
+    #              batch path (gcc_kernel.phase_slope_tdoa, ~2.3x the plain
+    #              kernel's cost); small batches and the streaming event
+    #              path use the XLA implementation.
     # 'hybrid'   : per-pair dispatch between the two — phase-slope where the
     #              pair's in-band mean coherence clears
     #              ``hybrid_coherence_min`` (phase wins there, ~30% at high

@@ -115,6 +115,15 @@ _SLOW = {
         "test_detection_rate_floor", "test_median_error_floor",
         "test_per_condition_floors",
     },
+    # r5 additions (cold durations: 27.4 / 23.6 / 24.4 s) — each path has
+    # a faster sibling in the mid profile (test_jpda_second_event_slot_
+    # feeds_tracker, test_no_event_outputs_equal_carried_state,
+    # test_dead_channel_recovered)
+    "test_tracked_streaming.py": {
+        "test_jpda_fused_tracks_two_sources",
+        "test_fused_matches_two_dispatch_composition",
+    },
+    "test_health_weighting.py": {"test_healthy_array_unaffected"},
 }
 
 
