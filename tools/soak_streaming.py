@@ -188,6 +188,19 @@ def main():
                           f"({st.count_diff:+d})", file=sys.stderr)
                     for line in st.traceback.format()[-4:]:
                         print("   ", line, file=sys.stderr)
+        clear_every = int(os.environ.get("ATRT_CLEAR_CACHES_EVERY", 0))
+        if clear_every and step and step % clear_every == 0:
+            # endurance mitigation for the jax host runtime's per-dispatch
+            # retention (r5 diagnosis: ~6-7 KB/dispatch linear host-RSS
+            # growth after a ~3k-step warmup, backend-independent,
+            # invisible to tracemalloc, not reclaimed by malloc_trim):
+            # dropping the executable caches releases it; the retrace
+            # costs one compile per program per interval (amortized
+            # negligible at >= 3000-step intervals)
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
         if step % 500 == 0:
             if os.environ.get("ATRT_MALLOC_TRIM"):
                 import ctypes
